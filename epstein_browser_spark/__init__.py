@@ -1,0 +1,28 @@
+"""epstein_browser_spark — a from-scratch PySpark-native reimplementation of
+the document-extraction core of ``actuallyrizzn/epstein-browser``.
+
+The reference is a Flask + SQLite single-process OCR browser; this package
+re-expresses its extraction semantics (span/confidence filtering, quality
+heuristics, idempotent content indexing, stable-order navigation, search)
+as a distributed batch pipeline over a ``transcripts`` table
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` using the PySpark DataFrame API and vectorized pandas/Arrow
+UDFs only — no per-row Python in the hot path.
+
+Layout:
+  core/       pure pandas/python extraction + quality kernels (no Spark)
+  udfs.py     pandas-UDF / mapInPandas wrappers around core
+  pipeline.py partition-aware extraction driver: repartition on
+              hash(conv_id), skew salting, per-partition checkpoint
+              manifests + lineage + metrics, resumable, idempotent writes
+  ordering.py stable (conv_id, turn_idx) navigation windows (W1-W5)
+  queries.py  relational query surface (stats/search/analytics) with
+              DuckDB-oracle-checkable SQL equivalents
+  dedup.py    exact / minhash-LSH / simhash / n-gram-jaccard dedup
+  similarity.py  embedding ANN (brute-force cosine top-k + LSH buckets)
+  textstats.py   language-id, quality scoring, token counts, fingerprints
+  multimodal.py  binary-column plumbing (decode stubbed; schema real)
+  synth.py    deterministic synthetic transcripts generator (seed=42)
+"""
+
+__version__ = "0.1.0"
