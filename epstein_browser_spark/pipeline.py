@@ -1,0 +1,196 @@
+"""Partition-aware extraction pipeline: the distributed replacement for the
+reference's serial OCR driver loop (/root/reference/ocr_processor.py:243-311).
+
+Design (SURVEY.md §7.1):
+
+  read transcripts
+    → bucket = pmod(xxhash64(conv_id), n_buckets)        # stable partition key
+    → [skew salt: extraction is per-turn, so a hot conv_id may be split
+       across tasks with pmod(xxhash64(conv_id, turn_idx), salt)]
+    → repartition(bucket[, salt])
+    → sortWithinPartitions(conv_id, turn_idx)            # stable turn order
+    → mapInPandas(extract)                               # vectorized core
+    → content_hash = md5(clean_text)                     # JVM-side
+    → write parquet partitioned by bucket (dynamic overwrite = idempotent)
+    → per-bucket manifest JSON: lineage + metrics + status
+
+Resumability (reference analog: JSON progress checkpoints,
+/root/reference/helpers/ocr_sync/ocr_sync.py:122-144): each completed bucket
+writes a manifest under ``<out>/_manifests/``; a rerun anti-joins the bucket
+list against completed manifests and recomputes only the remainder. Because
+the write is an atomic per-partition overwrite and extraction is
+deterministic, a crash mid-run never yields partial/duplicated rows after
+resume — this replaces the reference's mutable status flags
+(has_ocr_text / ocr_rescan_attempts in-place UPDATEs, index_images.py:128).
+
+At 100 TB: buckets are the unit of work and of recovery. n_buckets should be
+sized so one bucket ≈ a few GB (e.g. 2^14 buckets for 10^12 turns); the
+explicit repartition is the only full shuffle in the job; everything after
+it is narrow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epstein_browser_spark.udfs import EXTRACT_SCHEMA, extract_map_in_pandas
+
+MANIFEST_DIR = "_manifests"
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable partition key: hash-bucket of conv_id (never RoundRobin —
+    bucket membership must be deterministic for resume)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def extract_transcripts(
+    df: DataFrame,
+    n_buckets: int = 32,
+    salt: int = 1,
+) -> DataFrame:
+    """Core extraction transform (no I/O): returns the extracted DataFrame
+    with ``bucket`` and ``content_hash`` columns.
+
+    ``salt`` > 1 splits each bucket across ``salt`` tasks for skewed
+    conversations — extraction is per-turn, so correctness is unaffected
+    (asserted by tests: salted == unsalted output).
+    """
+    df = with_bucket(df, n_buckets)
+    if salt > 1:
+        df = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)).cast("int")
+        )
+        df = df.repartition(n_buckets * salt, "bucket", "_salt").drop("_salt")
+    else:
+        df = df.repartition(n_buckets, "bucket")
+    out = (
+        df.sortWithinPartitions("conv_id", "turn_idx")
+        .drop("bucket")
+        .mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
+    )
+    # bucket is deterministic from conv_id — recompute post-UDF (cheaper than
+    # shipping it through Arrow)
+    out = with_bucket(out, n_buckets)
+    return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
+
+
+def _manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("bucket-") and name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+                if m.get("status") == "completed":
+                    done.add(int(m["bucket"]))
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue
+    return done
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    salt: int = 1,
+    resume: bool = True,
+    input_snapshot: str = "unversioned",
+) -> dict:
+    """Run (or resume) the extraction job; returns run metrics.
+
+    Output layout:
+      <out_dir>/data/bucket=N/*.parquet   (dynamic-overwrite per bucket)
+      <out_dir>/_manifests/bucket-N.json  (lineage + metrics + status)
+    """
+    t0 = time.time()
+    done = completed_buckets(out_dir) if resume else set()
+    src = with_bucket(transcripts, n_buckets)
+    if done:
+        src = src.filter(~F.col("bucket").isin(sorted(done)))
+    src = src.drop("bucket")
+
+    extracted = extract_transcripts(src, n_buckets=n_buckets, salt=salt)
+    data_dir = os.path.join(out_dir, "data")
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+
+    # per-bucket metrics + lineage manifest (A9/S9/S10). One row per bucket —
+    # tiny aggregate, safe to collect.
+    stats = (
+        spark.read.parquet(data_dir)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("parse_failures"),
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("turn_idx").alias("min_turn_idx"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    )
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    wrote = 0
+    for r in stats:
+        b = int(r["bucket"])
+        if b in done:
+            continue
+        manifest = {
+            "partition_key": f"bucket={b}",
+            "bucket": b,
+            "status": "completed",
+            "input_snapshot": input_snapshot,
+            "rows_in": int(r["rows_out"]),  # extraction is 1:1 per turn
+            "rows_out": int(r["rows_out"]),
+            "parse_failures": int(r["parse_failures"]),
+            "chars_in": int(r["chars_in"]),
+            "chars_out": int(r["chars_out"]),
+            "boilerplate_ratio": float(r["boilerplate_ratio"] or 0.0),
+            "lineage": [
+                {
+                    "source": "transcripts",
+                    "snapshot": input_snapshot,
+                    "n_convs": int(r["n_convs"]),
+                    "turn_idx_range": [int(r["min_turn_idx"]), int(r["max_turn_idx"])],
+                }
+            ],
+        }
+        with open(_manifest_path(out_dir, b), "w") as f:
+            json.dump(manifest, f)
+        wrote += 1
+
+    elapsed = time.time() - t0
+    rows = sum(int(r["rows_out"]) for r in stats if int(r["bucket"]) not in done)
+    return {
+        "elapsed_sec": elapsed,
+        "buckets_completed": wrote,
+        "buckets_skipped": len(done),
+        "rows_out": rows,
+        "turns_per_sec": rows / elapsed if elapsed > 0 else 0.0,
+    }
