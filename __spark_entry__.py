@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full multi-mode extraction pipeline + per-
+                conversation rollup on sf0.001.
+queries()     — every implemented operator family from SURVEY.md §2 plus
+                the training-data ops (dedup / similarity / text stats).
+oracle_sql()  — DuckDB-checkable ANSI SQL for each query (omitted only for
+                ops whose kernels aren't SQL-expressible: minhash/simhash
+                LSH over xxhash64 and the HTML/PDF layout parsers — those
+                get rows-only checks plus pytest golden tests).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-mode extraction over transcripts derived from the
+    sf0.001 documents table, rolled up per conversation."""
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark.queries import q29_extract_multimode
+
+    extracted = q29_extract_multimode(spark, "/root/testdata/sf0.001")
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("n_failed"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(F.length("clean_text")).alias("total_chars"),
+        )
+        .orderBy("conv_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from epstein_browser_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from epstein_browser_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

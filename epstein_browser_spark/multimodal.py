@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container — see ``decode_image_stub``); everything Spark-side is real and
+tested: schema, partitioning, UDF signature, Arrow batch shape, and the
+metadata/feature columns. Reference analog: the repo treats page images as
+opaque files keyed by path with typed metadata rows
+(/root/reference/index_images.py:117-133) and re-encodes them out-of-band
+(/root/reference/app.py:808-835 — an explicit non-goal, SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "mime string, width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, payload_hash string, "
+    "feature array<float>, decode_status string"
+)
+
+FEATURE_DIM = 8
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Placeholder for a real decoder (PIL/libvips). Raises by design —
+    the pipeline routes around it via the deterministic fake below."""
+    raise NotImplementedError(
+        "image decode requires PIL/libvips, not present in this environment"
+    )
+
+
+def _fake_features(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in feature extractor: FEATURE_DIM moments of the
+    raw bytes. Vectorized over the batch; byte-level stats via frombuffer."""
+    feats = []
+    for b in payload:
+        if b is None or len(b) == 0:
+            feats.append([0.0] * FEATURE_DIM)
+            continue
+        arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+        chunks = np.array_split(arr, FEATURE_DIM)
+        feats.append([float(np.mean(c)) if len(c) else 0.0 for c in chunks])
+    return pd.DataFrame({"feature": pd.Series(feats, dtype=object)})
+
+
+def media_features_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas over MEDIA_SCHEMA → FEATURE_SCHEMA.
+
+    Real plumbing: binary payloads cross the JVM↔Python boundary as Arrow
+    binary arrays; hashing and sizing are vectorized; the decode itself is
+    the stubbed deterministic fake (decode_status='stubbed')."""
+    import hashlib
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        payload = pdf["payload"]
+        n_bytes = payload.map(lambda b: 0 if b is None else len(b)).astype("int64")
+        payload_hash = payload.map(
+            lambda b: hashlib.md5(bytes(b) if b is not None else b"").hexdigest()
+        )
+        feats = _fake_features(payload)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].astype("int64"),
+                "kind": pdf["kind"],
+                "n_bytes": n_bytes,
+                "payload_hash": payload_hash,
+                "feature": feats["feature"].map(
+                    lambda xs: [np.float32(x) for x in xs]
+                ),
+                "decode_status": "stubbed",
+            }
+        )
+
+
+def extract_media_features(media_df):
+    """media table (MEDIA_SCHEMA) → features table (FEATURE_SCHEMA)."""
+    return media_df.mapInPandas(media_features_map_in_pandas, schema=FEATURE_SCHEMA)
+
+
+def synth_media_spark(spark, n: int = 100):
+    """Deterministic binary test fixtures built with column expressions:
+    payload = md5 hex of the id, cast to binary."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    return df.select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("id", F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.repeat(F.md5(F.col("id").cast("string")), 4), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )

@@ -1,0 +1,936 @@
+"""Relational + extraction query surface with DuckDB-oracle SQL equivalents.
+
+Each entry in QUERIES is (spark_fn, oracle_sql | None). Spark fns take
+(spark, sf_dir) and return a DataFrame; oracle SQL runs on DuckDB against
+the same parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/aliases and types match
+on both sides (the driver hashes values sorted by column name).
+
+Operator coverage map (SURVEY.md §2): see each query's docstring for the
+operator ids it exercises and the reference file:line it derives from.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epstein_browser_spark import dedup, merge, similarity, textstats
+from epstein_browser_spark.core.quality import (
+    classify_low_quality_batch,
+    quality_score_batch,
+)
+from epstein_browser_spark.ordering import with_navigation
+from epstein_browser_spark.pipeline import extract_transcripts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs exposing the real extraction kernels to relational queries
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+_QUALITY_TYPE = T.StructType(
+    [
+        T.StructField("quality_score", T.IntegerType()),
+        T.StructField("quality_reason", T.StringType()),
+    ]
+)
+_LOWQ_TYPE = T.StructType(
+    [
+        T.StructField("is_low_quality", T.BooleanType()),
+        T.StructField("lq_reason", T.StringType()),
+        T.StructField("lq_confidence", T.DoubleType()),
+    ]
+)
+
+
+# created lazily: pandas_udf registration requires an active SparkContext,
+# and this module must stay importable before the session exists
+_UDF_CACHE: dict = {}
+
+
+def quality_udf():
+    if "q" not in _UDF_CACHE:
+        _UDF_CACHE["q"] = F.pandas_udf(_QUALITY_TYPE)(
+            lambda s: quality_score_batch(s)
+        )
+    return _UDF_CACHE["q"]
+
+
+def lowq_udf():
+    if "l" not in _UDF_CACHE:
+        _UDF_CACHE["l"] = F.pandas_udf(_LOWQ_TYPE)(
+            lambda s: classify_low_quality_batch(s)
+        )
+    return _UDF_CACHE["l"]
+
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+# adversarial text variants hitting every E4/E5 branch, derived
+# deterministically from doc_id (same CASE in the SQL oracles)
+_VARIANT_SQL = """
+  CASE CAST(doc_id % 8 AS INT)
+    WHEN 1 THEN '' WHEN 2 THEN '0 0 00 0'
+    WHEN 3 THEN substring(text, 1, 8) WHEN 4 THEN repeat('q', 25)
+    WHEN 5 THEN '00 a 00 00' WHEN 6 THEN 'a b c d e f g h i j'
+    WHEN 7 THEN 'mixed with asdf pattern inside text'
+    ELSE text END
+"""
+
+
+def _variant_col():
+    cases = [
+        (1, F.lit("")),
+        (2, F.lit("0 0 00 0")),
+        (3, F.expr("substring(text, 1, 8)")),
+        (4, F.expr("repeat('q', 25)")),
+        (5, F.lit("00 a 00 00")),
+        (6, F.lit("a b c d e f g h i j")),
+        (7, F.lit("mixed with asdf pattern inside text")),
+    ]
+    m = F.pmod("doc_id", F.lit(8))
+    expr = F.col("text")
+    for k, v in cases:
+        expr = F.when(m == k, v).otherwise(expr)
+    return expr
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transcripts-shaped input derived deterministically from documents —
+    the oracle can reproduce conv_id/turn_idx with plain SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("c"), F.pmod("doc_id", F.lit(50)).cast("string")).alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational queries (aggregations / joins / windows / sorts / strings)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A2/A8-style headline aggregate (TPC-H Q1 shape): filtered scan →
+    grouped sums/avgs/counts. Filter + pruning push to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_status_counts(spark, sf_dir):
+    """A3: group-by count + sum (reference: volume rollups,
+    /root/reference/app.py:902-908)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_Q02_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q03_distinct_users(spark, sf_dir):
+    """A4: exact count-distinct (reference: unique visitors,
+    /root/reference/app.py:508-515)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_Q03_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q04_avg_value(spark, sf_dir):
+    """A5: avg (reference: AVG(response_time), /root/reference/app.py:512)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+_Q04_SQL = """
+SELECT event_type, round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q05_top_users(spark, sf_dir):
+    """A6: top-k by count → TakeOrderedAndProject, no global sort
+    (reference: top pages, /root/reference/app.py:521-530)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+_Q05_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 10
+"""
+
+
+def q06_hourly(spark, sf_dir):
+    """A7: time-bucketed count (reference: strftime('%H'),
+    /root/reference/app.py:533-541)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.hour("ts").cast("long").alias("hour_of_day")).agg(
+        F.count("*").alias("n_events")
+    )
+
+
+_Q06_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q07_event_stats(spark, sf_dir):
+    """A8: multi-key group, multiple aggs (reference: query+type stats,
+    /root/reference/app.py:557-567)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_Q07_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q08_nav_window(spark, sf_dir):
+    """W1-W4: position / prev / next / first / last / progress over a
+    stable order — the reference's whole navigation model
+    (/root/reference/app.py:691-709,756-760) as one window spec."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("long").alias("position"),
+        F.lag("l_linenumber", 1).over(w).alias("prev_line"),
+        F.lead("l_linenumber", 1).over(w).alias("next_line"),
+        F.first("l_linenumber").over(wf).alias("first_line"),
+        F.last("l_linenumber").over(wf).alias("last_line"),
+        F.round(F.percent_rank().over(w), 6).alias("progress"),
+    )
+
+
+_Q08_SQL = """
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER w AS position,
+       lag(l_linenumber, 1) OVER w AS prev_line,
+       lead(l_linenumber, 1) OVER w AS next_line,
+       first_value(l_linenumber) OVER wf AS first_line,
+       last_value(l_linenumber) OVER wf AS last_line,
+       round(percent_rank() OVER w, 6) AS progress
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber),
+       wf AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q09_customers_no_orders(spark, sf_dir):
+    """J1/J2: left-anti join = work-remaining selection (reference:
+    unprocessed-images query, /root/reference/ocr_processor.py:140-147)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_Q09_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q10_search_excerpt(spark, sf_dir):
+    """P4+F1+J3: case-insensitive substring search with the reference's
+    exact excerpt window — 100 chars starting max(1, first_match-50)
+    (/root/reference/app.py:997-1035)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.lower("text").contains("table")).select(
+        "doc_id",
+        F.expr(
+            "substring(text, greatest(1, locate('table', lower(text)) - 50), 100)"
+        ).alias("excerpt"),
+    )
+
+
+_Q10_SQL = """
+SELECT doc_id,
+       substring(text, greatest(1, position('table' IN lower(text)) - 50), 100)
+         AS excerpt
+FROM documents WHERE lower(text) LIKE '%table%'
+"""
+
+
+def q11_union_dedup(spark, sf_dir):
+    """O3+J4+§2.7: union of two match families with anti-join dedup
+    (reference merges filename + OCR matches, /root/reference/app.py:1047-1071)."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.filter(F.col("source") == "src1").select(
+        "doc_id", F.lit("source").alias("match_type")
+    )
+    txt = (
+        d.filter(F.lower("text").contains("join"))
+        .join(src.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("text").alias("match_type"))
+    )
+    return src.unionByName(txt)
+
+
+_Q11_SQL = """
+SELECT doc_id, 'source' AS match_type FROM documents WHERE source = 'src1'
+UNION ALL
+SELECT d.doc_id, 'text' AS match_type FROM documents d
+WHERE lower(d.text) LIKE '%join%'
+  AND d.doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src1')
+"""
+
+
+def q12_pagination(spark, sf_dir):
+    """O2: LIMIT/OFFSET pagination as a window row_number + between —
+    the distributed-safe form (/root/reference/app.py:959-982)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id", "n_chars",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn").between(11, 30))
+    )
+
+
+_Q12_SQL = """
+SELECT doc_id, n_chars, rn FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn BETWEEN 11 AND 30
+"""
+
+
+def q13_extremes(spark, sf_dir):
+    """A10/O5: first/last by sort key as min/max aggregates, not
+    ORDER BY+LIMIT 1 (/root/reference/app.py:1136-1137)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_date"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_Q13_SQL = """
+SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_date,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders
+"""
+
+
+def q14_doc_numbers(spark, sf_dir):
+    """F5: regexp number extraction with cast (reference: DOJ-OGR doc
+    numbers, /root/reference/app.py:762-776)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num")
+        )
+        .groupBy("src_num")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q15_recent_events(spark, sf_dir):
+    """P8/F9: relative time-window predicate, anchored to max(ts) for
+    determinism (reference anchors to now(), /root/reference/app.py:507-515)."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_Q15_SQL = """
+SELECT event_type, count(*) AS n_events FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction-kernel queries (real pandas-UDF kernels vs independent SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q16_quality_score(spark, sf_dir):
+    """E4: the reference's binary quality heuristic chain
+    (/root/reference/helpers/error_detection.py:126-180) — Spark side runs
+    the production vectorized kernel; the oracle re-states the semantics in
+    SQL. Variants cover every branch."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", quality_udf()(_variant_col()).alias("q"))
+    return q.select("doc_id", "q.quality_score", "q.quality_reason")
+
+
+_Q16_SQL = """
+WITH v AS (SELECT doc_id, {variant} AS t0 FROM documents),
+s AS (SELECT doc_id, trim(t0) AS t, length(trim(t0)) AS n,
+             length(trim(t0)) - length(replace(trim(t0), '0', '')) AS nzero
+      FROM v),
+m AS (SELECT doc_id, t, n, nzero,
+             CASE WHEN n = 0 THEN 0
+                  ELSE len(string_split_regex(t, '\\s+')) END AS nwords,
+             CASE WHEN n = 0 THEN 0
+                  ELSE len(list_filter(string_split_regex(t, '\\s+'),
+                                       w -> regexp_matches(w, '^0+$'))) END AS nzw,
+             length(t) - length(regexp_replace(t,
+                 '[^\\x00-\\x1f{bin}]', '', 'g')) AS nbin_inv,
+             length(regexp_replace(t, '[\\x00-\\x1f{bin}]', '', 'g')) AS n_nonbin,
+             len(regexp_extract_all(t,
+                 '[A-Za-z0-9]|[ .,;:!?()\\[\\]{{}}"''`~@#$%^&*+=<>/\\\\|_-]')) AS nmean
+      FROM s)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0
+       WHEN length(replace(replace(t, ' ', ''), '0', '')) = 0 THEN 0
+       WHEN n < 20 AND nzero > n * 0.5 THEN 0
+       WHEN n < 10 THEN 0
+       WHEN nwords > 3 AND nzw > nwords * 0.7 THEN 0
+       WHEN (n - n_nonbin) > n * 0.1 THEN 0
+       WHEN nmean < 10 THEN 0 ELSE 100 END AS quality_score,
+  CASE WHEN n = 0 THEN 'Empty or whitespace-only text'
+       WHEN length(replace(replace(t, ' ', ''), '0', '')) = 0
+         THEN 'Only zeros and spaces'
+       WHEN n < 20 AND nzero > n * 0.5
+         THEN 'Too many zeros in short text (' || nzero || '/' || n || ' chars)'
+       WHEN n < 10 THEN 'Too short (' || n || ' characters)'
+       WHEN nwords > 3 AND nzw > nwords * 0.7
+         THEN 'Too many zero patterns (' || nzw || '/' || nwords || ' words)'
+       WHEN (n - n_nonbin) > n * 0.1
+         THEN 'Too many binary/corrupted characters (' || (n - n_nonbin) || '/'
+              || n || ' chars)'
+       WHEN nmean < 10
+         THEN 'Too few meaningful characters (' || nmean || ' chars)'
+       ELSE 'Passed all quality checks' END AS quality_reason
+FROM m
+""".replace("{bin}", "␦\\\\{}|~`\\^\\[\\]").replace("{variant}", _VARIANT_SQL).replace("{{}}", "{}")
+
+
+def q17_lowq_classify(spark, sf_dir):
+    """E5: the 5-pattern low-quality classifier
+    (/root/reference/helpers/ocr_quality_assessment.py:251-335) — production
+    kernel vs SQL restatement."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", lowq_udf()(_variant_col()).alias("q"))
+    return q.select("doc_id", "q.is_low_quality", "q.lq_reason", "q.lq_confidence")
+
+
+_Q17_SQL = """
+WITH v AS (SELECT doc_id, {variant} AS t FROM documents),
+m AS (SELECT doc_id, t,
+             length(t) AS n,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS nalpha,
+             length(replace(t, ' ', '')) AS ntotal,
+             coalesce(list_max(list_transform(
+                 list_distinct(regexp_extract_all(t, '[A-Za-z0-9]')),
+                 c -> length(t) - length(replace(t, c, '')))), 0) AS maxrep,
+             length(regexp_replace(t, '\\s', '', 'g')) AS nonws,
+             len(list_filter(string_split_regex(trim(t), '\\s+'),
+                             w -> w <> '')) AS nwords,
+             len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS nspecial
+      FROM v)
+SELECT doc_id,
+  CASE WHEN length(trim(t)) < 10 THEN TRUE
+       WHEN ntotal > 0 AND nalpha < ntotal * 0.3 THEN TRUE
+       WHEN maxrep > n * 0.4 THEN TRUE
+       WHEN nwords > 0 AND nonws < nwords * 2.0 THEN TRUE
+       WHEN regexp_matches(lower(t),
+         'qqqq|wwww|eeee|rrrr|tttt|yyyy|asdf|qwer|zxcv|0000|1111|2222|3333')
+         THEN TRUE
+       WHEN n > 0 AND nspecial > n * 0.5 THEN TRUE
+       ELSE FALSE END AS is_low_quality,
+  CASE WHEN length(trim(t)) < 10 THEN 'text_too_short'
+       WHEN ntotal > 0 AND nalpha < ntotal * 0.3 THEN 'mostly_non_alphabetic'
+       WHEN maxrep > n * 0.4 THEN 'excessive_character_repetition'
+       WHEN nwords > 0 AND nonws < nwords * 2.0 THEN 'gibberish_short_words'
+       WHEN regexp_matches(lower(t),
+         'qqqq|wwww|eeee|rrrr|tttt|yyyy|asdf|qwer|zxcv|0000|1111|2222|3333')
+         THEN 'ocr_failure_pattern'
+       WHEN n > 0 AND nspecial > n * 0.5 THEN 'excessive_special_characters'
+       ELSE 'passed_quality_checks' END AS lq_reason,
+  CASE WHEN length(trim(t)) < 10 THEN 1.0
+       WHEN ntotal > 0 AND nalpha < ntotal * 0.3 THEN 0.8
+       WHEN maxrep > n * 0.4 THEN 0.7
+       WHEN nwords > 0 AND nonws < nwords * 2.0 THEN 0.6
+       WHEN regexp_matches(lower(t),
+         'qqqq|wwww|eeee|rrrr|tttt|yyyy|asdf|qwer|zxcv|0000|1111|2222|3333')
+         THEN 0.9
+       WHEN n > 0 AND nspecial > n * 0.5 THEN 0.7
+       ELSE 0.8 END AS lq_confidence
+FROM m
+""".replace("{variant}", _VARIANT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis queries
+# ---------------------------------------------------------------------------
+
+def q18_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy (reference content-hash idempotency,
+    /root/reference/index_images.py:194-232); keyed on a 20-char prefix so
+    the synthetic corpus actually collides."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr("substring(text, 1, 20)")
+    )
+    return dedup.exact_duplicates(d)
+
+
+_Q18_SQL = """
+SELECT md5(substring(text, 1, 20)) AS content_hash,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q19_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs over a blocked candidate set — exact
+    set semantics, SQL-checkable."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_Q19_SQL = """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - 2),
+           i -> lower(trim(text))[i:i+2])) AS grams
+  FROM documents WHERE doc_id < 200 AND length(lower(trim(text))) >= 3),
+b AS (SELECT id, grams, list_sort(grams)[1] AS blk FROM g)
+SELECT a.id AS id_a, c.id AS id_b,
+       round(CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, c.grams))), 6) AS jaccard
+FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.5
+"""
+
+
+def q20_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup (scale path): signatures → banded buckets →
+    verify. Non-SQL-expressible (xxhash64) → rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q21_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup with hamming-band candidates. Rows-only check."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.simhash_near_dups(d, max_hamming=6)
+
+
+def q22_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: JVM-side dot products
+    (F.aggregate/zip_with), TakeOrderedAndProject top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_Q22_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM embeddings e, q
+ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q23_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path: bucket = partition key at 100 TB).
+    Rows-only check (xxhash64 hyperplanes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucketed = similarity.with_lsh_bucket(e, dim=64, n_planes=6)
+    qv = [0.0] * 64
+    qv[0] = 1.0
+    return similarity.lsh_topk_df(spark, bucketed, qv, dim=64, k=10, n_planes=6)
+
+
+def q24_token_stats(spark, sf_dir):
+    """Token counting + quality ratios (training-data curation stats)."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = textstats.tokens(c)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(textstats.BPE_TOKEN_RE), 0))
+        .cast("long").alias("n_bpe_tokens"),
+        F.round(textstats.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(textstats.punct_ratio(c), 6).alias("punct_ratio"),
+    )
+
+
+_Q24_SQL = """
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+       AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS BIGINT) AS n_bpe_tokens,
+  round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t <> '')) > 0
+    THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         t -> list_contains(['the','and','of','to','is','in','that','with',
+                             'a','an','it','on','for','as','are'], t)))
+         AS DOUBLE)
+         / len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> ''))
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+         AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q25_langid(spark, sf_dir):
+    """Marker-word language-ID heuristic, JVM expressions only."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        textstats.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+def _langid_sql() -> str:
+    parts = []
+    for lang, markers in textstats.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        parts.append(
+            f"printf('%010d', len(list_filter("
+            f"string_split_regex(trim(lower(text)), '\\s+'), "
+            f"t -> list_contains([{lst}], t)))) || '{lang}'"
+        )
+    best = "greatest(" + ", ".join(parts) + ")"
+    return f"""
+SELECT doc_id, lang,
+  CASE WHEN CAST(substring({best}, 1, 10) AS INTEGER) > 0
+       THEN substring({best}, 11, 10) ELSE 'und' END AS predicted_lang
+FROM documents
+"""
+
+
+def q26_fingerprint(spark, sf_dir):
+    """Order-insensitive shingle fingerprint (content-hash idempotency key,
+    /root/reference/index_images.py:206, robust to reordering)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.fingerprint(F.col("text"), 4).alias("fingerprint")
+    )
+
+
+_Q26_SQL = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(list_transform(
+    generate_series(1, length(lower(trim(text))) - 3),
+    i -> lower(trim(text))[i:i+3]))), '')) AS fingerprint
+FROM documents WHERE length(lower(trim(text))) >= 4
+UNION ALL
+SELECT doc_id, md5('') AS fingerprint
+FROM documents WHERE length(lower(trim(text))) < 4
+"""
+
+
+def q27_merge_classify(spark, sf_dir):
+    """S6/S7/E8: incremental merge diff — skip/update/insert/delete
+    classification on content hashes (/root/reference/index_images.py:344-434)."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.select("doc_id", F.md5("text").alias("h"))
+    source = (
+        d.filter(F.pmod("doc_id", F.lit(11)) != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                       F.concat(F.col("text"), F.lit(" updated")))
+                .otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            d.filter(F.pmod("doc_id", F.lit(13)) == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("h"),
+            )
+        )
+    )
+    return (
+        merge.classify_merge(target, source, "doc_id", "h")
+        .groupBy("merge_action")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_Q27_SQL = """
+WITH target AS (SELECT doc_id, md5(text) AS h FROM documents),
+source AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 13 = 0),
+j AS (
+  SELECT CASE WHEN t.h IS NULL THEN 'insert'
+              WHEN s.h IS NULL THEN 'delete'
+              WHEN t.h <> s.h THEN 'update'
+              ELSE 'skip' END AS merge_action
+  FROM target t FULL OUTER JOIN source s USING (doc_id))
+SELECT merge_action, count(*) AS n FROM j GROUP BY merge_action
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction-pipeline queries over derived transcripts
+# ---------------------------------------------------------------------------
+
+def q28_extract_plain(spark, sf_dir):
+    """Full extraction pipeline (plain mode) over derived transcripts —
+    per-turn clean text / gate / content hash, SQL-oracle-checkable."""
+    tr = _derived_transcripts(spark, sf_dir)
+    out = extract_transcripts(tr, n_buckets=8)
+    return out.select(
+        "conv_id", "turn_idx", "clean_text", "parse_failed", "content_hash"
+    )
+
+
+_Q28_SQL = """
+SELECT 'c' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+       CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) <= 10 AS parse_failed,
+       md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash
+FROM documents
+"""
+
+
+def q29_extract_multimode(spark, sf_dir):
+    """Full multi-mode extraction (plain/spans/html/pdf wrappers) through
+    the real pipeline. Rows-only check (HTML/PDF parse isn't ANSI SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(4))
+    body = F.trim(F.regexp_replace("text", r"\s+", " "))
+    text = (
+        F.when(m == 1, F.concat(F.lit("0.9|"), body, F.lit("\n0.1|dropped")))
+        .when(m == 2, F.concat(F.lit("<body><nav><a href='/'>x</a></nav><p>"),
+                               body, F.lit("</p></body>")))
+        .when(m == 3, F.concat(F.lit("1|1|10|"), body, F.lit("\n1|1|999|Page 1")))
+        .otherwise(F.col("text"))
+    )
+    tool = (
+        F.when(m == 1, F.lit("spans"))
+        .when(m == 2, F.lit("html"))
+        .when(m == 3, F.lit("pdf"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    tr = d.select(
+        F.concat(F.lit("c"), F.pmod("doc_id", F.lit(50)).cast("string")).alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = extract_transcripts(tr, n_buckets=8)
+    return out.select(
+        "conv_id", "turn_idx", "tool", "clean_text", "quality_score",
+        "parse_failed", "content_hash",
+    )
+
+
+def q30_nav_transcripts(spark, sf_dir):
+    """W1-W4 over derived transcripts — the navigation surface on the
+    extraction output shape."""
+    tr = _derived_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    nav = with_navigation(tr)
+    return nav.select(
+        "conv_id", "turn_idx",
+        F.col("position").cast("long").alias("position"),
+        "prev_turn_idx", "next_turn_idx", "first_turn_idx", "last_turn_idx",
+        F.round("progress_pct", 6).alias("progress_pct"),
+    )
+
+
+_Q30_SQL = """
+WITH tr AS (SELECT 'c' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                   CAST(doc_id // 50 AS INTEGER) AS turn_idx
+            FROM documents)
+SELECT conv_id, turn_idx,
+       row_number() OVER w AS position,
+       lag(turn_idx, 1) OVER w AS prev_turn_idx,
+       lead(turn_idx, 1) OVER w AS next_turn_idx,
+       first_value(turn_idx) OVER wf AS first_turn_idx,
+       last_value(turn_idx) OVER wf AS last_turn_idx,
+       round(percent_rank() OVER w * 100.0, 6) AS progress_pct
+FROM tr
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+       wf AS (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q31_hourly_tumbling(spark, sf_dir):
+    """A7 streaming-shaped: tumbling 1-hour window over event time (the
+    batch equivalent of window(ts, '1 hour') — reference computes this over
+    a static table, /root/reference/app.py:533-541)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events", "avg_value",
+        )
+    )
+
+
+_Q31_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
+    "q02_status_counts": (q02_status_counts, _Q02_SQL),
+    "q03_distinct_users": (q03_distinct_users, _Q03_SQL),
+    "q04_avg_value": (q04_avg_value, _Q04_SQL),
+    "q05_top_users": (q05_top_users, _Q05_SQL),
+    "q06_hourly": (q06_hourly, _Q06_SQL),
+    "q07_event_stats": (q07_event_stats, _Q07_SQL),
+    "q08_nav_window": (q08_nav_window, _Q08_SQL),
+    "q09_customers_no_orders": (q09_customers_no_orders, _Q09_SQL),
+    "q10_search_excerpt": (q10_search_excerpt, _Q10_SQL),
+    "q11_union_dedup": (q11_union_dedup, _Q11_SQL),
+    "q12_pagination": (q12_pagination, _Q12_SQL),
+    "q13_extremes": (q13_extremes, _Q13_SQL),
+    "q14_doc_numbers": (q14_doc_numbers, _Q14_SQL),
+    "q15_recent_events": (q15_recent_events, _Q15_SQL),
+    "q16_quality_score": (q16_quality_score, _Q16_SQL),
+    "q17_lowq_classify": (q17_lowq_classify, _Q17_SQL),
+    "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),
+    "q19_jaccard_pairs": (q19_jaccard_pairs, _Q19_SQL),
+    "q20_minhash_pairs": (q20_minhash_pairs, None),
+    "q21_simhash_pairs": (q21_simhash_pairs, None),
+    "q22_embedding_topk": (q22_embedding_topk, _Q22_SQL),
+    "q23_ann_lsh": (q23_ann_lsh, None),
+    "q24_token_stats": (q24_token_stats, _Q24_SQL),
+    "q25_langid": (q25_langid, _langid_sql()),
+    "q26_fingerprint": (q26_fingerprint, _Q26_SQL),
+    "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
+    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
+    "q29_extract_multimode": (q29_extract_multimode, None),
+    "q30_nav_transcripts": (q30_nav_transcripts, _Q30_SQL),
+    "q31_hourly_tumbling": (q31_hourly_tumbling, _Q31_SQL),
+}

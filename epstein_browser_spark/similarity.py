@@ -1,0 +1,117 @@
+"""Embedding similarity search over array<float> columns.
+
+* brute-force cosine top-k — the exact baseline: one broadcast of the query
+  vector, one pass, TakeOrderedAndProject for the top-k (no full sort).
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures bucket
+  vectors so a query probes one bucket (+ optional multi-probe) instead of
+  the whole corpus. Hyperplanes are derived deterministically from
+  xxhash64, so signatures are reproducible with no driver-side randomness.
+
+Dot products use F.aggregate/F.zip_with (JVM, codegen) — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast operands (not the product) to double: float32 multiply then
+    # widen loses bits and breaks oracle (DuckDB computes in double)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query is a literal array → constant-folded; orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition heap, no global sort shuffle).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine(F.col(vec_col), q).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane i is a
+    zero-mean value derived from xxhash64(i, j). Reproducible everywhere."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit(plane_idx), j), F.lit(2001)) - 1000
+        ).cast("double"),
+    )
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds `bucket`: n_planes-bit random-hyperplane signature."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bit = F.when(dot(F.col(vec_col), _hyperplane(dim, i)) >= 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig * 2 + bit
+    return embeddings.withColumn("bucket", sig)
+
+
+def lsh_topk_df(
+    spark,
+    embeddings_with_bucket: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only the query's LSH bucket. The query signature is
+    computed by the same Spark expression as the corpus signatures (single
+    hash implementation). At 100 TB the bucketed table is written
+    partitioned by `bucket`, so this becomes a partition-pruned scan of
+    ~1/2^n_planes of the corpus instead of a full pass."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qdf = with_lsh_bucket(
+        spark.range(1).select(q.alias(vec_col)), dim, n_planes, vec_col
+    ).select(F.col("bucket").alias("q_bucket"), F.col(vec_col).alias("q_vec"))
+    return (
+        embeddings_with_bucket.join(
+            F.broadcast(qdf), F.col("bucket") == F.col("q_bucket")
+        )
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,120 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality/stat scoring, language-ID heuristic, fingerprints.
+
+All JVM-side (built-in pyspark.sql.functions — whole-stage codegen, no
+Python in the hot path). These generalize the reference's density/ratio
+quality heuristics (/root/reference/helpers/error_detection.py:126-180) to
+the stats a 100 TB corpus-curation job needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker-word inventories for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "it", "on", "for", "as", "are"]
+
+# BPE-ish token pattern: word pieces, numbers, or single punctuation — a
+# whitespace-plus split that approximates subword tokenizer pre-splitting
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty array for blank input)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (regexp-based, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_bpe_tokens, avg_token_len, stopword_ratio,
+    punct_ratio, and a composite quality_band (good/ok/junk)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    avg_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_bpe_tokens", bpe_token_count(c))
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stopword_ratio(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+    )
+    return out.withColumn(
+        "quality_band",
+        F.when((F.col("n_tokens") >= 20) & (F.col("punct_ratio") < 0.2), "good")
+        .when(F.col("n_tokens") >= 5, "ok")
+        .otherwise("junk"),
+    )
+
+
+def predicted_lang(col: Column) -> Column:
+    """Marker-word language heuristic: argmax of per-language hit counts,
+    'und' when nothing matches. Pure JVM expressions."""
+    toks = tokens(F.lower(col))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # encode (hits, lang) as a sortable string so the argmax is a plain
+        # greatest() — deterministic tie-break = lexicographically max lang,
+        # and expressible identically in any SQL dialect (oracle parity)
+        scores.append(F.concat(F.format_string("%010d", hits), F.lit(lang)))
+    best = F.greatest(*scores)
+    return F.when(
+        F.substring(best, 1, 10).cast("int") > 0, F.substring(best, 11, 10)
+    ).otherwise(F.lit("und"))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles (JVM-side via sequence+transform)."""
+    t = F.lower(F.trim(col))
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(col: Column, n: int = 4) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    n-gram shingle set — the reference's content-hash idempotency key
+    (/root/reference/index_images.py:206) made robust to reordering."""
+    return F.md5(F.concat_ws("", F.array_sort(char_ngrams(col, n))))
