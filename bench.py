@@ -80,6 +80,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         _materialize(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        print(f"  bench {name}: {times[name]}s", file=sys.stderr)
     return times
 
 

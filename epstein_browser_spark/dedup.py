@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from epstein_browser_spark.textstats import char_ngrams
+from epstein_browser_spark.textstats import (
+    char_ngrams,
+    exploded_shingles,
+    shingle_sets,
+)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -51,17 +55,14 @@ def ngram_jaccard_pairs(
     a cheap deterministic blocking key) so the join is equi, not a cross
     product. Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    g = df.select(
-        F.col(id_col).alias("_id"),
-        char_ngrams(F.col(text_col), n).alias("_grams"),
-    ).filter(F.size("_grams") > 0)
+    g = shingle_sets(df, text_col, id_col, n).withColumnRenamed("grams", "_grams")
     block = block_col if block_col is not None else F.element_at(
         F.array_sort("_grams"), 1
     )
     g = g.withColumn("_block", block)
-    a = g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"),
+    a = g.select(F.col("id").alias("id_a"), F.col("_grams").alias("_ga"),
                  F.col("_block").alias("_b"))
-    b = g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"),
+    b = g.select(F.col("id").alias("id_b"), F.col("_grams").alias("_gb"),
                  F.col("_block").alias("_b"))
     joined = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
@@ -77,32 +78,42 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        n: int = 5) -> DataFrame:
     """(id, sig: array<long>) — MinHash over char n-gram shingles.
 
-    Permutation i = min over shingles of xxhash64(shingle, seed=i); all
-    JVM-side (transform + array_min), one pass over the data.
+    Shape: explode shingles → n_perms plain min(xxhash64(shingle, i))
+    aggregates → assemble the signature array. Flat aggregates stay inside
+    whole-stage codegen with map-side partial aggregation (the shuffle
+    carries one n_perms-wide row per doc per partition, NOT the exploded
+    shingles). This beats the nested higher-order-function formulation by
+    an order of magnitude: lambda-based transforms are interpreted, not
+    codegen'd, and re-materialize the shingle array per permutation.
     """
-    grams = char_ngrams(F.col(text_col), n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_perms - 1)),
-        lambda i: F.array_min(
-            F.transform(grams, lambda s: F.xxhash64(s, i))
-        ),
+    ex = exploded_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+        for i in range(n_perms)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_h{i}" for i in range(n_perms)]).alias("sig"))
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.when(F.size(grams) > 0, sig).otherwise(
-            F.array().cast("array<bigint>")
-        ).alias("sig"),
-    ).filter(F.size("sig") > 0)
 
 
-def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
+                           max_bucket: int = 200) -> DataFrame:
     """Banded LSH: docs sharing any band hash become candidate pairs.
 
     Shuffle profile: explode to |docs|×n_bands rows, one shuffle on
     (band, band_hash), pairs emitted per bucket. Output: (id_a, id_b)
     distinct.
+
+    Band width = n_perms/n_bands rows; with the default 32 perms / 4 bands
+    a pair of ~0.3-jaccard docs collides with p≈0.3^8 — wide bands are what
+    keep bucket sizes bounded on vocabulary-similar corpora. ``max_bucket``
+    is a hard cap: buckets larger than it are dropped from candidate
+    generation (they are near-universal shingle buckets that would create
+    O(n²) pairs; a real run should log the dropped-bucket count from the
+    returned plan's metrics).
     """
-    n_perms = None  # derived from the signature length at runtime
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -123,6 +134,15 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
                 ),
             )
         ).alias("band", "band_hash"),
+    )
+    # drop mega-buckets via a window count — same (band, band_hash) shuffle
+    # key as the self-join below, so the partitioning is reused, and nothing
+    # is broadcast (bucket stats scale with the corpus)
+    bw = Window.partitionBy("band", "band_hash")
+    banded = (
+        banded.withColumn("_bucket_n", F.count("*").over(bw))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
@@ -147,13 +167,26 @@ def minhash_dedup_pairs(
 
     Verification joins the shingle sets back only for candidate pairs, so
     the expensive set ops run on the (small) candidate set.
+
+    Signatures and shingle arrays are persisted: both feed two branches of
+    the plan (the LSH self-join / both sides of the verify join), and
+    recomputing the shingling per branch doubles the dominant cost. At
+    full scale these intermediates would be written to a scratch table
+    instead (same reuse, disk-backed).
     """
-    sigs = minhash_signatures(df, text_col, id_col, n_perms, shingle)
-    cands = minhash_lsh_candidates(sigs, n_bands)
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        char_ngrams(F.col(text_col), shingle).alias("grams"),
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col, n_perms, shingle).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sigs.count()  # materialize the cache BEFORE the self-join fans out:
+    # an unmaterialized persisted branch referenced from both sides of a
+    # join gets recomputed per side (cache population races the join)
+    cands = minhash_lsh_candidates(sigs, n_bands)
+    grams = shingle_sets(df, text_col, id_col, shingle).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    grams.count()
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
@@ -165,27 +198,33 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_bits(col, n: int = 3):
-    """64-bit SimHash over char n-gram shingles as a 64-char bit string.
+def simhash_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, sh: 64-char bit string) — SimHash over char n-gram shingles.
 
-    Per shingle, its 64 hash bits contribute ±1 to per-position counters
-    (one F.aggregate with an array<long> accumulator); output bit b is 1 iff
-    counter b > 0. Bit strings (via F.bin + lpad) avoid column-amount shift
-    ops, which Spark only supports with literal shift counts."""
-    grams = char_ngrams(col, n)
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
-    counters = F.aggregate(
-        grams,
-        zero,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.split(F.lpad(F.bin(F.xxhash64(s)), 64, "0"), "(?!$)"),
-            lambda a, c: a + F.when(c == "1", 1).otherwise(-1),
-        ),
+    Same explode + flat-codegen-aggregate shape as minhash_signatures:
+    per bit b, counter = sum over shingles of ±1 by hash bit (literal masks,
+    sign bit via h < 0); output bit b is '1' iff counter > 0. Bit strings
+    avoid column-amount shift ops (Spark requires literal shift counts)."""
+    ex = exploded_shingles(df, text_col, id_col, n).select(
+        "id", F.xxhash64("_sh").alias("_h")
     )
-    return F.concat_ws(
-        "", F.transform(counters, lambda v: F.when(v > 0, "1").otherwise("0"))
+    aggs = []
+    for b in range(64):
+        if b == 63:
+            bit_set = F.col("_h") < 0  # sign bit; 1<<63 overflows a long literal
+        else:
+            bit_set = F.col("_h").bitwiseAND(F.lit(1 << b)) != 0
+        aggs.append(
+            F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"_c{b}")
+        )
+    counters = ex.groupBy("id").agg(*aggs)
+    # msb-first string so band slicing reads naturally
+    bit_str = F.concat(
+        *[F.when(F.col(f"_c{b}") > 0, "1").otherwise("0")
+          for b in range(63, -1, -1)]
     )
+    return counters.select("id", bit_str.alias("sh"))
 
 
 def hamming_bits(a, b):
@@ -205,8 +244,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash hamming distance <= max_hamming, candidate
     generation via 4×16-bit band equality (any-band collision covers all
     pairs with hamming <= 3 by pigeonhole)."""
-    h = df.select(F.col(id_col).alias("id"),
-                  simhash_bits(F.col(text_col), n).alias("sh"))
+    h = simhash_table(df, text_col, id_col, n)
     banded = h.select(
         "id", "sh",
         F.posexplode(

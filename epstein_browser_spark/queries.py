@@ -720,8 +720,8 @@ def q26_fingerprint(spark, sf_dir):
     """Order-insensitive shingle fingerprint (content-hash idempotency key,
     /root/reference/index_images.py:206, robust to reordering)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", textstats.fingerprint(F.col("text"), 4).alias("fingerprint")
+    return textstats.fingerprint_table(d, "text", "doc_id", 4).select(
+        F.col("id").alias("doc_id"), "fingerprint"
     )
 
 

@@ -116,5 +116,61 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 def fingerprint(col: Column, n: int = 4) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     n-gram shingle set — the reference's content-hash idempotency key
-    (/root/reference/index_images.py:206) made robust to reordering."""
+    (/root/reference/index_images.py:206) made robust to reordering.
+
+    Column form — O(len²) per doc (see exploded_shingles); fine for short
+    strings, use fingerprint_table for corpus-scale runs."""
     return F.md5(F.concat_ws("", F.array_sort(char_ngrams(col, n))))
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
+                      n: int) -> DataFrame:
+    """(id, _sh) — one row per distinct char n-gram shingle per doc.
+
+    The normalized string is materialized in a projection *below* the
+    explode, so ``lower(trim(text))`` runs once per document. The array
+    formulation (transform over sequence with substr lambdas) re-evaluates
+    the normalization inside every lambda iteration — O(len²) per document
+    and interpreted (higher-order functions skip codegen); this explode
+    shape is the scale path for all shingle consumers (minhash, simhash,
+    fingerprints).
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.trim(F.col(text_col))).alias("_norm"),
+    ).filter(F.length("_norm") >= n)
+    return (
+        norm.select(
+            "id", "_norm",
+            F.explode(F.sequence(F.lit(1), F.length("_norm") - (n - 1))).alias("_i"),
+        )
+        .select("id", F.expr(f"substring(_norm, _i, {n})").alias("_sh"))
+        .distinct()
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, grams array<string>) — distinct shingle set per doc via the
+    explode path (order-irrelevant: consumers do set ops)."""
+    return (
+        exploded_shingles(df, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.collect_list("_sh").alias("grams"))
+    )
+
+
+def fingerprint_table(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 4) -> DataFrame:
+    """(id, fingerprint) for a whole corpus via the explode path; documents
+    too short to shingle get md5('') (parity with the Column form)."""
+    sets = shingle_sets(df, text_col, id_col, n)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sets, "id", "left")
+        .select(
+            "id",
+            F.md5(
+                F.coalesce(F.concat_ws("", F.array_sort("grams")), F.lit(""))
+            ).alias("fingerprint"),
+        )
+    )

@@ -51,8 +51,8 @@ def test_minhash_lsh_recovers_exact_dups(spark):
 
 def test_simhash_identical_and_near(spark):
     d = _docs(spark)
-    h = d.select("doc_id", dedup.simhash_bits(F.col("text")).alias("sh")).toPandas()
-    by_id = dict(zip(h["doc_id"], h["sh"]))
+    h = dedup.simhash_table(d).toPandas()
+    by_id = dict(zip(h["id"], h["sh"]))
     assert all(len(v) == 64 for v in by_id.values())
     assert by_id[0] == by_id[1]  # identical text → identical simhash
     ham02 = sum(a != b for a, b in zip(by_id[0], by_id[2]))
