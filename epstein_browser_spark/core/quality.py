@@ -87,17 +87,48 @@ def quality_score_batch(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"quality_score": score, "quality_reason": reason})
 
 
+# exact str.isalnum() for the ASCII range; codepoints >= 128 fall back to
+# Python's unicodedata-backed isalnum on *unique* codes only
+_ASCII_ALNUM = np.zeros(128, dtype=bool)
+for _c in range(128):
+    _ASCII_ALNUM[_c] = chr(_c).isalnum()
+
+
 def _max_char_repetition(texts: pd.Series) -> pd.Series:
-    """Max count of any single alnum char per row, vectorized via extractall."""
+    """Max count of any single alnum char per row (reference semantics:
+    per-char histogram over isalnum chars, ocr_quality_assessment.py:276-285).
+
+    Flat numpy formulation: one codepoint array for the whole batch +
+    np.unique over (row, codepoint) keys + reduceat for per-row maxima.
+    (str.extractall builds one MultiIndex row per character — ~1000×
+    slower on real batches.)"""
     out = pd.Series(0, index=texts.index, dtype="int64")
-    matches = texts.str.extractall(f"({_ALNUM_RE})")
-    if len(matches) == 0:
+    vals = texts.to_numpy()
+    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=len(vals))
+    total = int(lens.sum())
+    if total == 0:
         return out
-    flat = pd.DataFrame(
-        {"_r": matches.index.get_level_values(0), "_ch": matches[0].to_numpy()}
-    )
-    mx = flat.groupby(["_r", "_ch"]).size().groupby(level="_r").max()
-    out.loc[mx.index] = mx.to_numpy()
+    joined = "".join(vals)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    row_ids = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+    is_ascii = codes < 128
+    alnum = np.zeros(total, dtype=bool)
+    alnum[is_ascii] = _ASCII_ALNUM[codes[is_ascii]]
+    hi = codes[~is_ascii]
+    if len(hi):
+        uniq = np.unique(hi)
+        ok = np.array([chr(int(c)).isalnum() for c in uniq], dtype=bool)
+        alnum[~is_ascii] = ok[np.searchsorted(uniq, hi)]
+    codes = codes[alnum]
+    row_ids = row_ids[alnum]
+    if len(codes) == 0:
+        return out
+    key = row_ids * (1 << 21) + codes  # max codepoint 0x10FFFF < 2^21
+    uk, counts = np.unique(key, return_counts=True)
+    grp = (uk >> 21).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+    maxima = np.maximum.reduceat(counts, starts)
+    out.iloc[grp[starts]] = maxima
     return out
 
 
