@@ -33,7 +33,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # corpus size for the extraction benchmark (turns)
-EXTRACT_TURNS = int(os.environ.get("BENCH_EXTRACT_TURNS", "400000"))
+EXTRACT_TURNS = int(os.environ.get("BENCH_EXTRACT_TURNS", "1200000"))
+# fixed bucket count: the scaling pair must run the IDENTICAL job shape
+EXTRACT_BUCKETS = int(os.environ.get("BENCH_EXTRACT_BUCKETS", "128"))
 
 
 def _materialize(df) -> int:
@@ -59,11 +61,15 @@ def ensure_corpus(spark, path: str, n_turns: int) -> None:
     ).parquet(path)
 
 
-def bench_extraction(spark, corpus_path: str, n_buckets: int) -> dict:
+def bench_extraction(spark, corpus_path: str, n_buckets: int = None) -> dict:
     from epstein_browser_spark.pipeline import extract_transcripts
 
+    n_buckets = n_buckets or EXTRACT_BUCKETS
     tr = spark.read.parquet(corpus_path)
     n = tr.count()  # warm the file listing; excluded from timing
+    # warmup pass: compile codegen, spawn+reuse Python workers — we measure
+    # steady-state throughput, not JVM/worker cold start
+    _materialize(extract_transcripts(tr.limit(20000), n_buckets=n_buckets))
     t0 = time.time()
     out = extract_transcripts(tr, n_buckets=n_buckets)
     _materialize(out)
@@ -89,7 +95,10 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--extraction-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
-    ap.add_argument("--corpus", default="/tmp/bench_transcripts.parquet")
+    ap.add_argument(
+        "--corpus",
+        default=f"/tmp/bench_transcripts_{EXTRACT_TURNS}.parquet",
+    )
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
@@ -99,7 +108,7 @@ def main() -> None:
 
     spark = _get_spark(args.cpus)
     ensure_corpus(spark, args.corpus, EXTRACT_TURNS)
-    ext = bench_extraction(spark, args.corpus, n_buckets=args.cpus * 4)
+    ext = bench_extraction(spark, args.corpus)
 
     if args.extraction_only:
         print(json.dumps({"cpus": args.cpus, "extraction": ext}))

@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions: the 100 TB story depends on these —
+filters pushed to the scan, columns pruned, small sides broadcast, and the
+extraction job containing exactly one full shuffle."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from epstein_browser_spark.pipeline import extract_transcripts
+from epstein_browser_spark.queries import (
+    q01_pricing_summary,
+    q05_top_users,
+    q09_customers_no_orders,
+    q10_search_excerpt,
+    q22_embedding_topk,
+)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir):
+    plan = _plan(q01_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan)
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(q05_top_users(spark, sf_dir))
+    # top-k over events must read only user_id — not ts/value/props
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "user_id" in m.group(1)
+    assert "props" not in m.group(1) and "value" not in m.group(1)
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(q05_top_users(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = _plan(q09_customers_no_orders(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_substring_search_prunes_columns(spark, sf_dir):
+    plan = _plan(q10_search_excerpt(spark, sf_dir))
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "text" in m.group(1)
+    assert "n_chars" not in m.group(1)
+
+
+def test_broadcast_query_vector(spark, sf_dir):
+    plan = _plan(q22_embedding_topk(spark, sf_dir))
+    assert "Broadcast" in plan  # the 1-row query vector is broadcast
+
+
+def test_extraction_single_shuffle(spark, corpus_sdf):
+    """The pipeline's only wide dependency is the explicit repartition on
+    the conv_id hash bucket — no hidden shuffles before the UDF."""
+    out = extract_transcripts(corpus_sdf, n_buckets=8)
+    plan = _plan(out.select("conv_id", "clean_text"))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # repartition (+ AQE re-use at most)
+    assert "hashpartitioning" in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_extraction_sort_is_partition_local(spark, corpus_sdf):
+    out = extract_transcripts(corpus_sdf, n_buckets=8)
+    plan = _plan(out.select("conv_id"))
+    # partition-local sort for turn ordering, never a global Sort+Exchange
+    assert re.search(r"Sort .*\[conv_id.*turn_idx", plan) or "Sort" in plan
+    assert "rangepartitioning" not in plan
