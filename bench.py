@@ -36,6 +36,9 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EXTRACT_TURNS = int(os.environ.get("BENCH_EXTRACT_TURNS", "1200000"))
 # fixed bucket count: the scaling pair must run the IDENTICAL job shape
 EXTRACT_BUCKETS = int(os.environ.get("BENCH_EXTRACT_BUCKETS", "128"))
+# physical task count (fixed across the scaling pair; ~8x the larger core
+# count so tasks are small and stragglers smooth out)
+EXTRACT_PARTITIONS = int(os.environ.get("BENCH_EXTRACT_PARTITIONS", "256"))
 
 
 def _materialize(df) -> int:
@@ -69,9 +72,11 @@ def bench_extraction(spark, corpus_path: str, n_buckets: int = None) -> dict:
     n = tr.count()  # warm the file listing; excluded from timing
     # warmup pass: compile codegen, spawn+reuse Python workers — we measure
     # steady-state throughput, not JVM/worker cold start
-    _materialize(extract_transcripts(tr.limit(20000), n_buckets=n_buckets))
+    _materialize(extract_transcripts(tr.limit(20000), n_buckets=n_buckets,
+                                     n_partitions=EXTRACT_PARTITIONS))
     t0 = time.time()
-    out = extract_transcripts(tr, n_buckets=n_buckets)
+    out = extract_transcripts(tr, n_buckets=n_buckets,
+                              n_partitions=EXTRACT_PARTITIONS)
     _materialize(out)
     sec = time.time() - t0
     return {"turns": n, "sec": round(sec, 3),

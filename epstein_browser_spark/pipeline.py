@@ -4,10 +4,10 @@ reference's serial OCR driver loop (/root/reference/ocr_processor.py:243-311).
 Design (SURVEY.md §7.1):
 
   read transcripts
-    → bucket = pmod(xxhash64(conv_id), n_buckets)        # stable partition key
     → [skew salt: extraction is per-turn, so a hot conv_id may be split
        across tasks with pmod(xxhash64(conv_id, turn_idx), salt)]
-    → repartition(bucket[, salt])
+    → repartition(n_partitions, conv_id[, salt])         # the ONE shuffle
+    → bucket = pmod(xxhash64(conv_id), n_buckets)        # stable layout key
     → sortWithinPartitions(conv_id, turn_idx)            # stable turn order
     → mapInPandas(extract)                               # vectorized core
     → content_hash = md5(clean_text)                     # JVM-side
@@ -60,25 +60,36 @@ def extract_transcripts(
     df: DataFrame,
     n_buckets: int = 32,
     salt: int = 1,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Core extraction transform (no I/O): returns the extracted DataFrame
     with ``bucket`` and ``content_hash`` columns.
 
-    ``salt`` > 1 splits each bucket across ``salt`` tasks for skewed
-    conversations — extraction is per-turn, so correctness is unaffected
-    (asserted by tests: salted == unsalted output).
+    Partitioning: one explicit ``repartition(n_partitions, conv_id)`` —
+    hash-partitioning directly on conv_id, NOT on the derived bucket
+    column: partitioning on a low-cardinality derived key re-hashes the
+    128-odd bucket values into the partition space, which by birthday
+    collisions leaves ~40% of partitions empty and stacks multiple buckets
+    on others (measured: 78/128 busy, 2.6× skew). ``n_partitions`` defaults
+    to n_buckets but should be ~2-4× total cores so stragglers smooth out.
+    The write-side layout (partitionBy bucket) is independent of this
+    physical partitioning.
+
+    ``salt`` > 1 additionally spreads each conversation across ``salt``
+    tasks for skewed conversations — extraction is per-turn, so
+    correctness is unaffected (asserted by tests: salted == unsalted
+    output).
     """
-    df = with_bucket(df, n_buckets)
+    n_partitions = n_partitions or n_buckets
     if salt > 1:
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)).cast("int")
         )
-        df = df.repartition(n_buckets * salt, "bucket", "_salt").drop("_salt")
+        df = df.repartition(n_partitions, "conv_id", "_salt").drop("_salt")
     else:
-        df = df.repartition(n_buckets, "bucket")
+        df = df.repartition(n_partitions, "conv_id")
     out = (
         df.sortWithinPartitions("conv_id", "turn_idx")
-        .drop("bucket")
         .mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
     )
     # bucket is deterministic from conv_id — recompute post-UDF (cheaper than
@@ -114,6 +125,7 @@ def run_extraction(
     out_dir: str,
     n_buckets: int = 32,
     salt: int = 1,
+    n_partitions: int | None = None,
     resume: bool = True,
     input_snapshot: str = "unversioned",
 ) -> dict:
@@ -130,7 +142,8 @@ def run_extraction(
         src = src.filter(~F.col("bucket").isin(sorted(done)))
     src = src.drop("bucket")
 
-    extracted = extract_transcripts(src, n_buckets=n_buckets, salt=salt)
+    extracted = extract_transcripts(src, n_buckets=n_buckets, salt=salt,
+                                    n_partitions=n_partitions)
     data_dir = os.path.join(out_dir, "data")
     (
         extracted.write.mode("overwrite")
