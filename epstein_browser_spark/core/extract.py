@@ -72,23 +72,30 @@ def _normalize(s: pd.Series) -> pd.Series:
     return s.fillna("").astype(str).str.replace(_WS_RE, " ", regex=True).str.strip()
 
 
-def _segments_to_rows(seg: pd.DataFrame, n: int) -> tuple[list[str], list[list[dict]]]:
+def _segments_to_rows(
+    seg: pd.DataFrame, n: int
+) -> tuple[list[str], list[list[int]], list[list[int]], list[list[str]]]:
     """From exploded segments (_row, seg_text, kind) sorted by _row (stable,
-    mode order preserved within a row), build per-input-row clean_text +
-    span offset lists. Offsets are computed with flat numpy cumsums over
-    run boundaries — no per-group pandas calls (a groupby.transform(lambda)
-    here costs ~1ms per group, which at 10k rows/batch dominates the whole
-    extraction)."""
+    mode order preserved within a row), build per-input-row clean_text plus
+    parallel span arrays (starts, ends, kinds). Offsets are computed with
+    flat numpy cumsums over run boundaries — no per-group pandas calls (a
+    groupby.transform(lambda) here costs ~1ms per group, which at 10k
+    rows/batch dominates the whole extraction). Spans travel as three flat
+    arrays, not list-of-dicts: Arrow-serializing per-row dicts costs more
+    than the extraction itself; the JVM zips them into structs afterwards.
+    """
     texts = [""] * n
-    spans: list[list[dict]] = [[] for _ in range(n)]
+    starts: list[list[int]] = [[] for _ in range(n)]
+    ends: list[list[int]] = [[] for _ in range(n)]
+    kinds_out: list[list[str]] = [[] for _ in range(n)]
     if len(seg) == 0:
-        return texts, spans
+        return texts, starts, ends, kinds_out
     seg = seg[seg["seg_text"].str.len() > 0]
     if len(seg) == 0:
-        return texts, spans
+        return texts, starts, ends, kinds_out
     rows = seg["_row"].to_numpy()
     seg_texts = seg["seg_text"].tolist()
-    kinds = seg["kind"].to_numpy()
+    kinds = seg["kind"].tolist()
     lens = np.fromiter((len(t) for t in seg_texts), dtype=np.int64,
                        count=len(seg_texts))
     # global start = cumsum of (len+1) shifted; rebase per row-run
@@ -97,18 +104,17 @@ def _segments_to_rows(seg: pd.DataFrame, n: int) -> tuple[list[str], list[list[d
     run_first[0] = True
     np.not_equal(rows[1:], rows[:-1], out=run_first[1:])
     base = gstart[run_first][np.cumsum(run_first) - 1]
-    start = gstart - base
-    end = start + lens
+    start = (gstart - base).tolist()
+    end = (gstart - base + lens).tolist()
     bounds = np.flatnonzero(run_first)
     stops = np.r_[bounds[1:], len(rows)]
     for b, e in zip(bounds, stops):
         r = rows[b]
         texts[r] = " ".join(seg_texts[b:e])
-        spans[r] = [
-            {"start": int(start[i]), "end": int(end[i]), "kind": kinds[i]}
-            for i in range(b, e)
-        ]
-    return texts, spans
+        starts[r] = start[b:e]
+        ends[r] = end[b:e]
+        kinds_out[r] = kinds[b:e]
+    return texts, starts, ends, kinds_out
 
 
 # -- mode extractors: each returns an exploded segment frame ------------------
@@ -222,7 +228,7 @@ def extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     # restore global input order of segments: stable sort on _row keeps each
     # mode's internal segment order
     seg = seg.sort_values("_row", kind="stable").reset_index(drop=True)
-    texts, spans = _segments_to_rows(seg, n)
+    texts, starts, ends, kinds = _segments_to_rows(seg, n)
     clean = pd.Series(texts, dtype=object)
     chars_in = text.fillna("").astype(str).str.len().astype("int64")
     chars_out = clean.str.len().astype("int64")
@@ -230,7 +236,9 @@ def extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "clean_text": clean,
-            "spans": pd.Series(spans, dtype=object),
+            "span_starts": pd.Series(starts, dtype=object),
+            "span_ends": pd.Series(ends, dtype=object),
+            "span_kinds": pd.Series(kinds, dtype=object),
             "parse_failed": (clean.str.strip().str.len() <= MEANINGFUL_GATE),
             "chars_in": chars_in,
             "chars_out": chars_out,

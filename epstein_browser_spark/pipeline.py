@@ -81,6 +81,7 @@ def extract_transcripts(
     output).
     """
     n_partitions = n_partitions or n_buckets
+    df = df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
     if salt > 1:
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)).cast("int")
@@ -92,8 +93,22 @@ def extract_transcripts(
         df.sortWithinPartitions("conv_id", "turn_idx")
         .mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
     )
-    # bucket is deterministic from conv_id — recompute post-UDF (cheaper than
-    # shipping it through Arrow)
+    # JVM-side finishers: rebuild ts, zip span arrays into structs, recompute
+    # bucket (deterministic from conv_id — cheaper than shipping via Arrow),
+    # and hash content (built-in md5, codegen)
+    out = (
+        out.withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+        .withColumn(
+            "spans",
+            F.arrays_zip(
+                F.col("span_starts").alias("start"),
+                F.col("span_ends").alias("end"),
+                F.col("span_kinds").alias("kind"),
+            ).cast("array<struct<start:int,end:int,kind:string>>"),
+        )
+        .drop("span_starts", "span_ends", "span_kinds")
+    )
     out = with_bucket(out, n_buckets)
     return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
 

@@ -1,0 +1,97 @@
+"""Structured-Streaming variant of the extraction pipeline.
+
+The reference is entirely batch + cron polling (SURVEY.md §2.10): a mutable
+reprocessing queue (/root/reference/process_reprocessing_queue.py:26-63) and
+a resumable HTTP poller (/root/reference/helpers/ocr_sync/ocr_sync.py:689-810).
+The stream-shaped semantics worth keeping are (a) incremental pickup of new
+input, (b) exactly-once-ish resumability, (c) the hourly analytics bucket
+(A7). Those map directly onto Structured Streaming:
+
+  readStream (file source over the transcripts directory)
+    → the SAME mapInPandas extraction kernel (E-ops are stateless per turn,
+      so batch and stream share one code path)
+    → writeStream with checkpointLocation (replaces the JSON progress file)
+
+and for analytics: watermarked tumbling windows over event time.
+
+At scale the file source becomes Kafka/Iceberg incremental reads; nothing
+else changes — the extraction stage is mode-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epstein_browser_spark.pipeline import TRANSCRIPTS_SCHEMA, with_bucket
+from epstein_browser_spark.udfs import EXTRACT_SCHEMA, extract_map_in_pandas
+
+
+def read_transcripts_stream(spark: SparkSession, input_dir: str,
+                            max_files_per_trigger: int = 16) -> DataFrame:
+    """Incremental file-source stream over a directory of transcript
+    parquet files (new files picked up per micro-batch)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def extract_stream(stream_df: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """The extraction transform on a streaming DataFrame — same kernel as
+    batch (stateless per turn → no watermark/state needed). Streaming
+    DataFrames can't repartition-by-column mid-stream the same way, so the
+    micro-batch is extracted as-read; bucket assignment still happens for
+    layout."""
+    df = stream_df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    out = df.mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
+    out = (
+        out.withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+        .withColumn(
+            "spans",
+            F.arrays_zip(
+                F.col("span_starts").alias("start"),
+                F.col("span_ends").alias("end"),
+                F.col("span_kinds").alias("kind"),
+            ).cast("array<struct<start:int,end:int,kind:string>>"),
+        )
+        .drop("span_starts", "span_ends", "span_kinds")
+    )
+    out = with_bucket(out, n_buckets)
+    return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+):
+    """writeStream with checkpointing: the streaming replacement for the
+    reference's {last_processed_id, processed set} JSON checkpoint
+    (/root/reference/helpers/ocr_sync/ocr_sync.py:122-144) — offsets + file
+    lists live in the checkpoint, restart resumes exactly."""
+    out = extract_stream(read_transcripts_stream(spark, input_dir), n_buckets)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_event_counts_stream(events_stream: DataFrame,
+                               watermark: str = "2 hours") -> DataFrame:
+    """A7 as a real stream: watermarked tumbling 1-hour window (the batch
+    equivalent is q31_hourly_tumbling; late rows beyond the watermark drop)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

@@ -32,10 +32,15 @@ _BINARY_STRIP_RE = r"[\x00-\x1f␦\\{}|~`^\[\]]"
 
 # Spark DDL for the extraction output (input cols + derived cols).
 # content_hash is added JVM-side with F.md5 (no reason to hash in Python).
+# ts crosses the Python boundary as epoch micros (bigint): Arrow<->pandas
+# timestamp conversion costs more than the integer round-trip, and the
+# kernel never touches it. Spans cross as three flat arrays and are zipped
+# into array<struct<start,end,kind>> JVM-side (list-of-dict serialization
+# is as expensive as the extraction itself).
 EXTRACT_SCHEMA = (
-    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "conv_id string, turn_idx int, role string, tool string, ts_us bigint, "
     "clean_text string, "
-    "spans array<struct<start:int,end:int,kind:string>>, "
+    "span_starts array<int>, span_ends array<int>, span_kinds array<string>, "
     "quality_score int, quality_reason string, "
     "is_low_quality boolean, lq_reason string, lq_confidence double, "
     "parse_failed boolean, attempts int, "
@@ -87,9 +92,11 @@ def extract_pdf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "turn_idx": pdf["turn_idx"].astype("int32"),
             "role": pdf["role"],
             "tool": pdf["tool"],
-            "ts": pdf["ts"],
+            "ts_us": pdf["ts_us"],
             "clean_text": res["clean_text"],
-            "spans": res["spans"],
+            "span_starts": res["span_starts"],
+            "span_ends": res["span_ends"],
+            "span_kinds": res["span_kinds"],
             "quality_score": res["quality_score"].astype("int32"),
             "quality_reason": res["quality_reason"],
             "is_low_quality": res["is_low_quality"],

@@ -87,7 +87,7 @@ def test_span_join_matches_reference_semantics():
     raw = "\n".join(f"{c}|{t}" for c, t in spans)
     out = extract_batch(pd.Series([raw]), pd.Series(["spans"]))
     assert out["clean_text"][0] == "first span boundary kept final"
-    assert [s["kind"] for s in out["spans"][0]] == ["span"] * 3
+    assert list(out["span_kinds"][0]) == ["span"] * 3
 
 
 def test_content_hash_is_md5():

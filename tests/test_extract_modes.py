@@ -11,10 +11,20 @@ def _one(text, tool):
     return out.iloc[0]
 
 
+def _spans(r):
+    return list(zip(r["span_starts"], r["span_ends"], r["span_kinds"]))
+
+
+def _reconstruct(r):
+    return " ".join(
+        r["clean_text"][s:e] for s, e, _ in _spans(r)
+    )
+
+
 def test_plain_normalizes_whitespace():
     r = _one("  Lorem   ipsum\t dolor \n sit amet  ", None)
     assert r["clean_text"] == "Lorem ipsum dolor sit amet"
-    assert r["spans"] == [{"start": 0, "end": 26, "kind": "text"}]
+    assert _spans(r) == [(0, 26, "text")]
     assert not r["parse_failed"]
 
 
@@ -22,13 +32,9 @@ def test_spans_mode_filters_and_offsets():
     raw = "0.9|alpha beta\n0.2|noise dropped\n0.5|gamma"
     r = _one(raw, "spans")
     assert r["clean_text"] == "alpha beta gamma"
-    assert r["spans"] == [
-        {"start": 0, "end": 10, "kind": "span"},
-        {"start": 11, "end": 16, "kind": "span"},
-    ]
+    assert _spans(r) == [(0, 10, "span"), (11, 16, "span")]
     # spans reconstruct clean_text exactly (FIXTURES.md §2 invariant)
-    recon = " ".join(r["clean_text"][s["start"]:s["end"]] for s in r["spans"])
-    assert recon == r["clean_text"]
+    assert _reconstruct(r) == r["clean_text"]
 
 
 def test_spans_mode_unparseable_line_kept_as_full_span():
@@ -49,7 +55,7 @@ def test_html_strips_boilerplate_keeps_main():
     assert r["clean_text"] == (
         "The main article body has plenty of meaningful words in it."
     )
-    assert r["spans"][0]["kind"] == "block"
+    assert r["span_kinds"][0] == "block"
     assert r["boilerplate_ratio"] > 0.5
 
 
@@ -76,9 +82,8 @@ def test_pdf_reading_order_and_furniture():
         "right column continues the thought second page starts here"
     )
     # blocks: (p1,c1) merged, (p1,c2), (p2,c1); furniture dropped
-    assert [s["kind"] for s in r["spans"]] == ["block", "block", "block"]
-    recon = " ".join(r["clean_text"][s["start"]:s["end"]] for s in r["spans"])
-    assert recon == r["clean_text"]
+    assert list(r["span_kinds"]) == ["block", "block", "block"]
+    assert _reconstruct(r) == r["clean_text"]
 
 
 def test_empty_and_null_inputs():
@@ -86,7 +91,7 @@ def test_empty_and_null_inputs():
                         pd.Series([None, "html", "pdf"], dtype=object))
     assert list(out["clean_text"]) == ["", "", ""]
     assert list(out["parse_failed"]) == [True, True, True]
-    assert list(out["spans"]) == [[], [], []]
+    assert list(out["span_starts"]) == [[], [], []]
 
 
 def test_mixed_mode_batch_alignment():
@@ -107,5 +112,5 @@ def test_span_reconstruction_invariant_on_corpus():
 
     df = make_transcripts_pdf(n_convs=30)
     out = extract_batch(df["text"], df["tool"])
-    for ct, sp in zip(out["clean_text"], out["spans"]):
-        assert " ".join(ct[s["start"]:s["end"]] for s in sp) == ct
+    for _, r in out.iterrows():
+        assert _reconstruct(r) == r["clean_text"]

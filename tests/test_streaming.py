@@ -1,0 +1,56 @@
+"""Streaming pipeline: incremental pickup, checkpoint resume, and parity
+with the batch extraction output."""
+
+import os
+
+import pandas as pd
+
+from epstein_browser_spark.pipeline import extract_transcripts
+from epstein_browser_spark.streaming import start_extraction_stream
+
+
+def test_stream_extraction_matches_batch(spark, corpus_pdf, corpus_sdf, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_sdf.repartition(4).write.parquet(in_dir)
+
+    q = start_extraction_stream(spark, in_dir, out_dir, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .select("conv_id", "turn_idx", "clean_text", "quality_score", "content_hash")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        extract_transcripts(corpus_sdf, n_buckets=4)
+        .select("conv_id", "turn_idx", "clean_text", "quality_score", "content_hash")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_resume_picks_up_only_new_files(spark, corpus_sdf, tmp_path):
+    in_dir = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    half1 = corpus_sdf.filter("turn_idx % 2 = 0")
+    half2 = corpus_sdf.filter("turn_idx % 2 = 1")
+    half1.write.parquet(in_dir)
+
+    q = start_extraction_stream(spark, in_dir, out_dir, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == half1.count()
+
+    # drop in new files; restart from the same checkpoint → only new rows
+    half2.write.mode("append").parquet(in_dir)
+    q = start_extraction_stream(spark, in_dir, out_dir, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1 + half2.count()
+    assert os.path.isdir(ckpt)
