@@ -897,6 +897,59 @@ FROM events GROUP BY 1
 """
 
 
+def q32_text_preference(spark, sf_dir):
+    """E10: two-version text model — display corrected text when present,
+    else original (/root/reference/app.py:720-754, coalesce semantics).
+    Synthetic corrections: every 5th doc has one."""
+    d = _t(spark, sf_dir, "documents")
+    corrected = F.when(
+        F.pmod("doc_id", F.lit(5)) == 0, F.upper(F.expr("substring(text, 1, 30)"))
+    ).otherwise(F.lit(None).cast("string"))
+    return d.select(
+        "doc_id",
+        F.coalesce(corrected, F.col("text")).alias("display_text"),
+        corrected.isNotNull().alias("is_corrected"),
+    )
+
+
+_Q32_SQL = """
+SELECT doc_id,
+       coalesce(CASE WHEN doc_id % 5 = 0 THEN upper(substring(text, 1, 30)) END,
+                text) AS display_text,
+       (CASE WHEN doc_id % 5 = 0 THEN upper(substring(text, 1, 30)) END)
+         IS NOT NULL AS is_corrected
+FROM documents
+"""
+
+
+def q33_relevance_order(spark, sf_dir):
+    """W6/O4: rank-expression ordering — exact-match class before others,
+    then secondary keys (/root/reference/app.py:967-974 CASE relevance),
+    paginated top-25."""
+    d = _t(spark, sf_dir, "documents")
+    rank_cls = F.when(F.col("source") == "src1", 1).otherwise(2)
+    w = Window.orderBy(rank_cls.asc(), F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id", "source", "n_chars",
+            rank_cls.alias("rank_class"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 25)
+    )
+
+
+_Q33_SQL = """
+SELECT * FROM (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN source = 'src1' THEN 1 ELSE 2 END AS rank_class,
+         row_number() OVER (
+           ORDER BY CASE WHEN source = 'src1' THEN 1 ELSE 2 END ASC,
+                    n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -933,4 +986,6 @@ QUERIES: dict[str, tuple] = {
     "q29_extract_multimode": (q29_extract_multimode, None),
     "q30_nav_transcripts": (q30_nav_transcripts, _Q30_SQL),
     "q31_hourly_tumbling": (q31_hourly_tumbling, _Q31_SQL),
+    "q32_text_preference": (q32_text_preference, _Q32_SQL),
+    "q33_relevance_order": (q33_relevance_order, _Q33_SQL),
 }
