@@ -139,21 +139,22 @@ def main() -> None:
     }))
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 3:
+        x += 1
+    return x
+
+
 def _burn_calibration(pairs=((2, 8), (8, 32))) -> dict:
     """Pure-CPU speedup ceiling of THIS box: a python busy-loop at N and 4N
     processes. Cores share one socket whose clock drops as more cores go
     active, so even perfectly parallel work cannot reach 4.0x here — on a
     real cluster N->4N adds machines and this ceiling does not apply."""
     import multiprocessing as mp
-    import time as _t
 
-    def burn(_):
-        t0 = _t.time()
-        x = 0
-        while _t.time() - t0 < 3:
-            x += 1
-        return x
-
+    burn = _burn
     rates = {}
     for n in sorted({c for p in pairs for c in p}):
         with mp.Pool(n) as pool:
