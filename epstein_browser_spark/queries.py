@@ -950,6 +950,77 @@ SELECT * FROM (
 """
 
 
+def q34_rollup_join(spark, sf_dir):
+    """J6: the reference's correlated scalar subquery (directory file_count
+    rollup, /root/reference/index_images.py:438-445) decorrelated into a
+    groupBy + join-back — free decorrelation in the DataFrame formulation."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("file_count"))
+    return (
+        d.select("doc_id", "source")
+        .join(counts, "source")
+        .select("doc_id", "source", "file_count")
+    )
+
+
+_Q34_SQL = """
+SELECT d.doc_id, d.source,
+       (SELECT count(*) FROM documents i WHERE i.source = d.source)
+         AS file_count
+FROM documents d
+"""
+
+
+def q35_string_funcs(spark, sf_dir):
+    """F3/F4/F5: path normalization (backslash → slash), extension swap
+    (.txt sidecar naming, /root/reference/ocr_processor.py:111), doc-number
+    extraction with positional fallback (/root/reference/app.py:762-776)."""
+    d = _t(spark, sf_dir, "documents")
+    # synthesize a windows-ish path deterministically from existing columns
+    path = F.concat(F.lit("VOL00001\\IMAGES\\"), F.col("source"),
+                    F.lit("\\DOJ-OGR-"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                    F.lit(".tif"))
+    norm = F.translate(path, "\\", "/")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_path"),
+        F.regexp_replace(norm, r"\.[^.]+$", ".txt").alias("sidecar_path"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(norm, r"DOJ-OGR-(\d+)", 1), F.lit("")).cast("int"),
+            F.col("doc_id").cast("int"),
+        ).alias("doc_number"),
+    )
+
+
+_Q35_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'VOL00001\\IMAGES\\' || source || '\\DOJ-OGR-' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.tif' AS path
+  FROM documents)
+SELECT doc_id,
+       replace(path, '\\', '/') AS norm_path,
+       regexp_replace(replace(path, '\\', '/'), '\\.[^.]+$', '.txt')
+         AS sidecar_path,
+       coalesce(CAST(nullif(regexp_extract(replace(path, '\\', '/'),
+                                           'DOJ-OGR-(\\d+)', 1), '') AS INTEGER),
+                CAST(doc_id AS INTEGER)) AS doc_number
+FROM p
+"""
+
+
+def q36_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads through Arrow-batched
+    mapInPandas (decode stubbed, schema/partitioning real). Rows-only
+    check — binary columns aren't part of the DuckDB view contract."""
+    from epstein_browser_spark import multimodal
+
+    media = multimodal.synth_media_spark(spark, 200)
+    return multimodal.extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "payload_hash", "decode_status"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -988,4 +1059,7 @@ QUERIES: dict[str, tuple] = {
     "q31_hourly_tumbling": (q31_hourly_tumbling, _Q31_SQL),
     "q32_text_preference": (q32_text_preference, _Q32_SQL),
     "q33_relevance_order": (q33_relevance_order, _Q33_SQL),
+    "q34_rollup_join": (q34_rollup_join, _Q34_SQL),
+    "q35_string_funcs": (q35_string_funcs, _Q35_SQL),
+    "q36_media_features": (q36_media_features, None),
 }
