@@ -23,11 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from epstein_browser_spark.textstats import (
-    char_ngrams,
-    exploded_shingles,
-    shingle_sets,
-)
+from epstein_browser_spark.textstats import exploded_shingles, shingle_sets
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
