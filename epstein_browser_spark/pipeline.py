@@ -117,7 +117,11 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
 
 
-def completed_buckets(out_dir: str) -> set[int]:
+def completed_buckets(out_dir: str, input_snapshot: str | None = None) -> set[int]:
+    """Buckets with a completed manifest. When ``input_snapshot`` is given,
+    only manifests recorded against that snapshot count — a changed input
+    invalidates prior completions, mirroring the reference's file-hash
+    change detection (/root/reference/index_images.py:344-352)."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return set()
@@ -127,7 +131,10 @@ def completed_buckets(out_dir: str) -> set[int]:
             try:
                 with open(os.path.join(mdir, name)) as f:
                     m = json.load(f)
-                if m.get("status") == "completed":
+                if m.get("status") == "completed" and (
+                    input_snapshot is None
+                    or m.get("input_snapshot") == input_snapshot
+                ):
                     done.add(int(m["bucket"]))
             except (ValueError, KeyError, json.JSONDecodeError):
                 continue
@@ -151,7 +158,7 @@ def run_extraction(
       <out_dir>/_manifests/bucket-N.json  (lineage + metrics + status)
     """
     t0 = time.time()
-    done = completed_buckets(out_dir) if resume else set()
+    done = completed_buckets(out_dir, input_snapshot) if resume else set()
     src = with_bucket(transcripts, n_buckets)
     if done:
         src = src.filter(~F.col("bucket").isin(sorted(done)))

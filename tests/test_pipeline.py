@@ -85,6 +85,19 @@ def test_rerun_is_noop_when_complete(spark, corpus_sdf, tmp_path):
     assert m["buckets_skipped"] == 4
 
 
+def test_snapshot_change_invalidates_resume(spark, corpus_sdf, tmp_path):
+    """A new input snapshot recomputes everything even with manifests
+    present (reference: file-hash change → UPDATE path,
+    index_images.py:344-352); the same snapshot is a no-op."""
+    out = str(tmp_path / "runsnap")
+    m1 = run_extraction(spark, corpus_sdf, out, n_buckets=4, input_snapshot="v1")
+    assert m1["buckets_completed"] == 4
+    m2 = run_extraction(spark, corpus_sdf, out, n_buckets=4, input_snapshot="v1")
+    assert m2["buckets_completed"] == 0 and m2["buckets_skipped"] == 4
+    m3 = run_extraction(spark, corpus_sdf, out, n_buckets=4, input_snapshot="v2")
+    assert m3["buckets_completed"] == 4 and m3["buckets_skipped"] == 0
+
+
 def test_manifest_contents(spark, corpus_sdf, tmp_path):
     out = str(tmp_path / "run3")
     run_extraction(spark, corpus_sdf, out, n_buckets=4, input_snapshot="snapshot-42")
