@@ -1021,6 +1021,35 @@ def q36_media_features(spark, sf_dir):
     )
 
 
+def q37_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline on a bounded subset
+    (all-pairs; the LSH variant q38 is the scale path)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.cosine_near_dup_pairs(e, threshold=0.25)
+
+
+_Q37_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25
+"""
+
+
+def q38_cosine_pairs_lsh(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane LSH buckets + exact-cosine
+    verify (rows-only: xxhash64 hyperplanes aren't SQL-expressible)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_lsh(e, dim=64, threshold=0.25,
+                                                n_planes=6)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1062,4 +1091,6 @@ QUERIES: dict[str, tuple] = {
     "q34_rollup_join": (q34_rollup_join, _Q34_SQL),
     "q35_string_funcs": (q35_string_funcs, _Q35_SQL),
     "q36_media_features": (q36_media_features, None),
+    "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
+    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, None),
 }

@@ -88,6 +88,59 @@ def with_lsh_bucket(
     return embeddings.withColumn("bucket", sig)
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all-pairs self-join filtered
+    to cosine >= threshold, (id_a < id_b). Exact baseline — quadratic; use
+    :func:`cosine_near_dup_pairs_lsh` at corpus scale."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane bucket
+    self-join generates candidates (same-bucket vectors), exact cosine
+    verifies. High-cosine pairs land in the same bucket with probability
+    (1 - theta/pi)^n_planes; the self-join shuffles on `bucket`, never a
+    cross product."""
+    h = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    a = h.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                 "bucket")
+    b = h.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                 "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_topk_df(
     spark,
     embeddings_with_bucket: DataFrame,
