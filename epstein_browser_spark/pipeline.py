@@ -174,10 +174,14 @@ def run_extraction(
     )
 
     # per-bucket metrics + lineage manifest (A9/S9/S10). One row per bucket —
-    # tiny aggregate, safe to collect.
+    # tiny aggregate, safe to collect. Completed buckets are pruned from the
+    # scan (partition filter on the bucket= directory layout), so a resumed
+    # run never re-reads finished output.
+    post = spark.read.parquet(data_dir)
+    if done:
+        post = post.filter(~F.col("bucket").isin(sorted(done)))
     stats = (
-        spark.read.parquet(data_dir)
-        .groupBy("bucket")
+        post.groupBy("bucket")
         .agg(
             F.count("*").alias("rows_out"),
             F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("parse_failures"),
