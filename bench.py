@@ -99,9 +99,61 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_skew(args) -> None:
+    """Skew experiment: one conversation owns ~25% of all turns. Unsalted,
+    its whole bucket lands on one task (straggler-bound); salt splits it.
+    Appends the measured table to BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark.pipeline import extract_transcripts
+    from epstein_browser_spark.synth import synth_transcripts_spark
+
+    n = 1_200_000
+    spark = _get_spark(args.cpus)
+    base = synth_transcripts_spark(spark, n)
+    hot = base.withColumn(
+        "conv_id",
+        F.when(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0,
+               F.lit("conv_hot")).otherwise(F.col("conv_id")),
+    )
+    path = "/tmp/bench_skewed.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        hot.repartition(64).write.mode("overwrite").parquet(path)
+    tr = spark.read.parquet(path)
+    results = {}
+    for salt in (1, 8):
+        _materialize(extract_transcripts(tr.limit(20000), n_buckets=128,
+                                         salt=salt, n_partitions=256))
+        t0 = time.time()
+        _materialize(extract_transcripts(tr, n_buckets=128, salt=salt,
+                                         n_partitions=256))
+        sec = time.time() - t0
+        results[salt] = {"sec": round(sec, 3),
+                         "turns_per_sec": round(n / sec, 1)}
+        print(f"  skew salt={salt}: {sec:.1f}s", file=sys.stderr)
+    spark.stop()
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            "\n## Skew experiment (one conv_id owns ~25% of all turns, "
+            f"local[{args.cpus}], {n} turns)\n\n"
+            "| salt | wall sec | turns/sec |\n|---|---|---|\n"
+            f"| 1 (off) | {results[1]['sec']} | {results[1]['turns_per_sec']} |\n"
+            f"| 8       | {results[8]['sec']} | {results[8]['turns_per_sec']} |\n\n"
+            f"Salting speedup on the skewed corpus: "
+            f"{results[1]['sec'] / results[8]['sec']:.2f}x — extraction is "
+            "per-turn, so the hot conversation is safely split across tasks "
+            "(output equality asserted by tests/test_pipeline.py).\n"
+        )
+    print(json.dumps({"metric": "skew salting speedup",
+                      "value": round(results[1]["sec"] / results[8]["sec"], 2),
+                      "unit": "x", "detail": results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--extraction-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument(
@@ -113,6 +165,9 @@ def main() -> None:
 
     if args.scaling:
         run_scaling(args)
+        return
+    if args.skew:
+        run_skew(args)
         return
 
     spark = _get_spark(args.cpus)
