@@ -1050,6 +1050,66 @@ def q38_cosine_pairs_lsh(spark, sf_dir):
                                                 n_planes=6)
 
 
+def q39_search_page(spark, sf_dir):
+    """The reference's whole /api/search composed as ONE declarative plan
+    (/root/reference/app.py:920-1095): two match families (source-match ≈
+    filename-match, content-match with excerpt F1), anti-join dedup (J4),
+    relevance-class ordering (W6: exact class first), then window
+    pagination (O2/O3) — page 2, 10 per page. The reference does this with
+    two SQL queries plus Python list merge/sort/slice; here it is one plan
+    with no driver-side merging."""
+    d = _t(spark, sf_dir, "documents")
+    q = "join"
+    src = d.filter(F.col("source") == "src1").select(
+        "doc_id", "n_chars",
+        F.lit("source").alias("match_type"),
+        F.expr("substring(text, 1, 100)").alias("excerpt"),
+    )
+    txt = (
+        d.filter(F.lower("text").contains(q))
+        .join(src.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id", "n_chars",
+            F.lit("text").alias("match_type"),
+            F.expr(
+                f"substring(text, greatest(1, locate('{q}', lower(text)) - 50), 100)"
+            ).alias("excerpt"),
+        )
+    )
+    unioned = src.unionByName(txt)
+    rank_cls = F.when(F.col("match_type") == "source", 1).otherwise(2)
+    w = Window.orderBy(rank_cls.asc(), F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        unioned.select(
+            "doc_id", "match_type", "excerpt",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn").between(11, 20))
+    )
+
+
+_Q39_SQL = """
+WITH src AS (
+  SELECT doc_id, n_chars, 'source' AS match_type,
+         substring(text, 1, 100) AS excerpt
+  FROM documents WHERE source = 'src1'),
+txt AS (
+  SELECT d.doc_id, d.n_chars, 'text' AS match_type,
+         substring(d.text, greatest(1, position('join' IN lower(d.text)) - 50),
+                   100) AS excerpt
+  FROM documents d
+  WHERE lower(d.text) LIKE '%join%'
+    AND d.doc_id NOT IN (SELECT doc_id FROM src)),
+u AS (SELECT * FROM src UNION ALL SELECT * FROM txt),
+r AS (SELECT doc_id, match_type, excerpt,
+             row_number() OVER (
+               ORDER BY CASE WHEN match_type = 'source' THEN 1 ELSE 2 END ASC,
+                        n_chars DESC, doc_id ASC) AS rn
+      FROM u)
+SELECT doc_id, match_type, excerpt, rn FROM r WHERE rn BETWEEN 11 AND 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1093,4 +1153,5 @@ QUERIES: dict[str, tuple] = {
     "q36_media_features": (q36_media_features, None),
     "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
     "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, None),
+    "q39_search_page": (q39_search_page, _Q39_SQL),
 }
