@@ -113,6 +113,47 @@ def extract_transcripts(
     return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
 
 
+def extract_conversations_grouped(df: DataFrame) -> DataFrame:
+    """Grouped-map variant: ``groupBy(conv_id).applyInPandas`` — each
+    conversation arrives as ONE ordered pandas frame (the reference's
+    per-batch processing unit, /root/reference/ocr_processor.py:170-241).
+
+    Use this instead of :func:`extract_transcripts` when a downstream step
+    needs whole-conversation context in Python (cross-turn features,
+    per-conversation models). Results are identical for the per-turn
+    kernels (asserted by tests); the cost is that groups must fit in one
+    task's memory — mega-conversations need the salted mapInPandas path.
+    Adds per-turn ``conv_turns`` (group size) as an example of a
+    group-level feature the flat path can't produce in one pass.
+    """
+    from epstein_browser_spark.udfs import extract_pdf_batch
+
+    def _per_conv(pdf):
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        out = extract_pdf_batch(pdf)
+        out["conv_turns"] = len(pdf)
+        return out
+
+    df = df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    out = df.groupBy("conv_id").applyInPandas(
+        _per_conv, schema=EXTRACT_SCHEMA + ", conv_turns int"
+    )
+    out = (
+        out.withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+        .withColumn(
+            "spans",
+            F.arrays_zip(
+                F.col("span_starts").alias("start"),
+                F.col("span_ends").alias("end"),
+                F.col("span_kinds").alias("kind"),
+            ).cast("array<struct<start:int,end:int,kind:string>>"),
+        )
+        .drop("span_starts", "span_ends", "span_kinds")
+    )
+    return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
+
+
 def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
 

@@ -115,6 +115,27 @@ def test_manifest_contents(spark, corpus_sdf, tmp_path):
     assert total_rows == spark.read.parquet(out + "/data").count()
 
 
+def test_grouped_map_matches_flat_path(spark, corpus_sdf):
+    """applyInPandas per-conversation extraction == mapInPandas extraction
+    on every per-turn column, plus correct group-level conv_turns."""
+    from epstein_browser_spark.pipeline import extract_conversations_grouped
+
+    flat = _collect_sorted(extract_transcripts(corpus_sdf, n_buckets=4))
+    grouped_df = extract_conversations_grouped(corpus_sdf)
+    grouped = _collect_sorted(grouped_df)
+    pd.testing.assert_frame_equal(flat, grouped)
+    sizes = (
+        grouped_df.select("conv_id", "conv_turns").distinct().toPandas()
+        .set_index("conv_id")["conv_turns"]
+    )
+    counts = (
+        corpus_sdf.groupBy("conv_id").count().toPandas()
+        .set_index("conv_id")["count"]
+    )
+    for conv, n in counts.items():
+        assert sizes[conv] == n
+
+
 def test_retry_pass_bounded(spark):
     """E6: failed structured parses are retried as plain, capped at 3
     attempts (/root/reference/helpers/error_detection.py:44)."""

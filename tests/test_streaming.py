@@ -35,6 +35,50 @@ def test_stream_extraction_matches_batch(spark, corpus_pdf, corpus_sdf, tmp_path
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_watermarked_hourly_counts(spark, tmp_path):
+    """A7 as a stream: watermarked tumbling window aggregates event time;
+    append mode only emits windows the watermark has closed."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import hourly_event_counts_stream
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:20",
+                 "2024-01-01 02:05", "2024-01-01 05:00", "2024-01-01 05:01"]
+            ),
+            "value": [1.0] * 6,
+        }
+    )
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "agg")
+    q = (
+        hourly_event_counts_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("window_start")
+    # watermark = max(ts) - 1h = 04:01 → windows 00:00, 01:00, 02:00 closed;
+    # the 05:00 window is still open and withheld in append mode
+    by_window = dict(zip(got["window_start"].astype(str), got["n_events"]))
+    assert by_window.get("2024-01-01 00:00:00") == 2
+    assert by_window.get("2024-01-01 01:00:00") == 1
+    assert by_window.get("2024-01-01 02:00:00") == 1
+    assert "2024-01-01 05:00:00" not in by_window
+
+
 def test_stream_resume_picks_up_only_new_files(spark, corpus_sdf, tmp_path):
     in_dir = str(tmp_path / "in2")
     out_dir = str(tmp_path / "out2")
