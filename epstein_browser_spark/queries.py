@@ -811,7 +811,12 @@ FROM documents
 
 def q29_extract_multimode(spark, sf_dir):
     """Full multi-mode extraction (plain/spans/html/pdf wrappers) through
-    the real pipeline. Rows-only check (HTML/PDF parse isn't ANSI SQL)."""
+    the real pipeline — the flagship correctness query. The wrappers are
+    deterministic, so the oracle can state the expected per-turn output in
+    plain SQL: the spans wrapper keeps only the 0.9-confidence span, the
+    html wrapper's nav/link boilerplate is stripped leaving the <p> body,
+    the pdf wrapper drops the page-furniture line; in every mode the clean
+    text is exactly the whitespace-normalized document body."""
     d = _t(spark, sf_dir, "documents")
     m = F.pmod("doc_id", F.lit(4))
     body = F.trim(F.regexp_replace("text", r"\s+", " "))
@@ -841,6 +846,22 @@ def q29_extract_multimode(spark, sf_dir):
         "conv_id", "turn_idx", "tool", "clean_text", "quality_score",
         "parse_failed", "content_hash",
     )
+
+
+_Q29_SQL = """
+WITH b AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body
+  FROM documents)
+SELECT 'c' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+       CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 1 THEN 'spans' WHEN 2 THEN 'html' WHEN 3 THEN 'pdf' END AS tool,
+       body AS clean_text,
+       CASE WHEN length(body) = 0 THEN 0 ELSE 100 END AS quality_score,
+       length(body) <= 10 AS parse_failed,
+       md5(body) AS content_hash
+FROM b
+"""
 
 
 def q30_nav_transcripts(spark, sf_dir):
@@ -1143,7 +1164,7 @@ QUERIES: dict[str, tuple] = {
     "q26_fingerprint": (q26_fingerprint, _Q26_SQL),
     "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
-    "q29_extract_multimode": (q29_extract_multimode, None),
+    "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q30_nav_transcripts": (q30_nav_transcripts, _Q30_SQL),
     "q31_hourly_tumbling": (q31_hourly_tumbling, _Q31_SQL),
     "q32_text_preference": (q32_text_preference, _Q32_SQL),
