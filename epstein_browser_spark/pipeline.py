@@ -61,6 +61,7 @@ def extract_transcripts(
     n_buckets: int = 32,
     salt: int = 1,
     n_partitions: int | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Core extraction transform (no I/O): returns the extracted DataFrame
     with ``bucket`` and ``content_hash`` columns.
@@ -79,10 +80,20 @@ def extract_transcripts(
     tasks for skewed conversations — extraction is per-turn, so
     correctness is unaffected (asserted by tests: salted == unsalted
     output).
+
+    ``assume_partitioned=True`` skips the repartition entirely: when the
+    input table is already laid out by conv_id bucket (an Iceberg table
+    written ``PARTITIONED BY (bucket(N, conv_id))``), the scan's splits
+    are the partitioning, and the job becomes fully shuffle-free — the
+    partitioning is reused across stages instead of re-derived. This is
+    the intended 100 TB read path; the explicit repartition is for
+    arbitrary-layout inputs.
     """
     n_partitions = n_partitions or n_buckets
     df = df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
-    if salt > 1:
+    if assume_partitioned:
+        pass  # scan splits already group conversations; no shuffle
+    elif salt > 1:
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)).cast("int")
         )

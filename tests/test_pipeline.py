@@ -115,6 +115,30 @@ def test_manifest_contents(spark, corpus_sdf, tmp_path):
     assert total_rows == spark.read.parquet(out + "/data").count()
 
 
+def test_prebucketed_input_is_shuffle_free(spark, corpus_sdf, tmp_path):
+    """Iceberg-layout read path: input already bucketed by conv_id →
+    assume_partitioned skips the repartition, the plan has NO Exchange,
+    and output equals the shuffled path."""
+    import contextlib
+    import io
+
+    from epstein_browser_spark.pipeline import with_bucket
+
+    path = str(tmp_path / "bucketed")
+    with_bucket(corpus_sdf, 8).write.partitionBy("bucket").parquet(path)
+    pre = spark.read.parquet(path).drop("bucket")
+
+    out = extract_transcripts(pre, n_buckets=8, assume_partitioned=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.select("conv_id", "clean_text").explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+    got = _collect_sorted(out)
+    exp = _collect_sorted(extract_transcripts(corpus_sdf, n_buckets=8))
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_grouped_map_matches_flat_path(spark, corpus_sdf):
     """applyInPandas per-conversation extraction == mapInPandas extraction
     on every per-turn column, plus correct group-level conv_turns."""
