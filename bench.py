@@ -150,10 +150,58 @@ def run_skew(args) -> None:
                       "unit": "x", "detail": results}))
 
 
+def run_layout(args) -> None:
+    """Layout experiment: arbitrary-layout input (needs the one shuffle) vs
+    a conv-bucketed table (Iceberg-style layout; shuffle-free read path).
+    Appends results to BENCH/BASELINE.md."""
+    from epstein_browser_spark.pipeline import extract_transcripts, with_bucket
+
+    n = EXTRACT_TURNS
+    spark = _get_spark(args.cpus)
+    ensure_corpus(spark, args.corpus, n)
+    tr = spark.read.parquet(args.corpus)
+    pre_path = "/tmp/bench_prebucketed.parquet"
+    if not os.path.exists(os.path.join(pre_path, "_SUCCESS")):
+        with_bucket(tr, 256).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(pre_path)
+    pre = spark.read.parquet(pre_path).drop("bucket")
+
+    results = {}
+    for label, df, kw in [
+        ("shuffled", tr, {"n_partitions": EXTRACT_PARTITIONS}),
+        ("prebucketed", pre, {"assume_partitioned": True}),
+    ]:
+        _materialize(extract_transcripts(df.limit(20000), n_buckets=128, **kw))
+        t0 = time.time()
+        _materialize(extract_transcripts(df, n_buckets=128, **kw))
+        sec = time.time() - t0
+        results[label] = {"sec": round(sec, 3), "turns_per_sec": round(n / sec, 1)}
+        print(f"  layout {label}: {sec:.1f}s", file=sys.stderr)
+    spark.stop()
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## Layout experiment (local[{args.cpus}], {n} turns)\n\n"
+            "| input layout | wall sec | turns/sec |\n|---|---|---|\n"
+            f"| arbitrary (repartition shuffle) | {results['shuffled']['sec']} "
+            f"| {results['shuffled']['turns_per_sec']} |\n"
+            f"| conv-bucketed table (shuffle-free) | "
+            f"{results['prebucketed']['sec']} "
+            f"| {results['prebucketed']['turns_per_sec']} |\n\n"
+            "The bucketed layout is the intended 100 TB read path (Iceberg "
+            "`PARTITIONED BY (bucket(N, conv_id))`): the extraction plan has "
+            "zero Exchange nodes (asserted by tests), so the job's cost is "
+            "pure scan + kernel.\n"
+        )
+    print(json.dumps({"metric": "layout comparison", "detail": results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--layout", action="store_true")
     ap.add_argument("--extraction-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument(
@@ -168,6 +216,9 @@ def main() -> None:
         return
     if args.skew:
         run_skew(args)
+        return
+    if args.layout:
+        run_layout(args)
         return
 
     spark = _get_spark(args.cpus)
