@@ -79,6 +79,15 @@ class BatchChars:
         self._hi = self.codes[~self._is_ascii]
         self._hi_uniq = np.unique(self._hi) if len(self._hi) else None
         self._class_cache: dict[str, np.ndarray] = {}
+        self._row_of: np.ndarray | None = None
+
+    def row_of(self) -> np.ndarray:
+        """Row id of every character (computed once per batch)."""
+        if self._row_of is None:
+            self._row_of = np.repeat(
+                np.arange(self.n, dtype=np.int64), self.lens
+            )
+        return self._row_of
 
     def char_class(self, name: str) -> np.ndarray:
         """Boolean per-character mask for a named class (exact Python
@@ -98,11 +107,13 @@ class BatchChars:
         return mask
 
     def row_count(self, mask: np.ndarray) -> np.ndarray:
-        """Per-row sum of a boolean per-character mask."""
+        """Per-row sum of a boolean per-character mask (bincount over the
+        selected chars' row ids — no O(total) cumsum allocation)."""
         if len(self.codes) == 0:
             return np.zeros(self.n, dtype=np.int64)
-        csum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
-        return csum[self.offsets + self.lens] - csum[self.offsets]
+        return np.bincount(self.row_of()[mask], minlength=self.n).astype(
+            np.int64
+        )
 
     def count_class(self, name: str) -> np.ndarray:
         return self.row_count(self.char_class(name))
@@ -121,8 +132,7 @@ class BatchChars:
         # a row's first char never continues the previous row's run
         prev_nonws[self.offsets[self.lens > 0]] = False
         starts = np.flatnonzero(nonws & ~prev_nonws)
-        rows = np.searchsorted(self.offsets, starts, side="right") - 1
-        return starts, rows
+        return starts, self.row_of()[starts]
 
     def word_counts(self) -> np.ndarray:
         """Per-row len(text.split())."""
@@ -171,9 +181,9 @@ class BatchChars:
         if not hit.any():
             return out
         idx = np.flatnonzero(hit)
-        rows0 = np.searchsorted(self.offsets, idx, side="right") - 1
-        rows3 = np.searchsorted(self.offsets, idx + 3, side="right") - 1
-        same_row = rows0 == rows3  # window must not straddle rows
+        ro = self.row_of()
+        rows0 = ro[idx]
+        same_row = rows0 == ro[idx + 3]  # window must not straddle rows
         out[np.unique(rows0[same_row])] = True
         return out
 
@@ -186,8 +196,7 @@ class BatchChars:
         idx = np.flatnonzero(alnum)
         if len(idx) == 0:
             return out
-        rows = np.searchsorted(self.offsets, idx, side="right") - 1
-        key = rows.astype(np.int64) * (1 << 21) + self.codes[idx]
+        key = self.row_of()[idx] * (1 << 21) + self.codes[idx]
         uk, counts = np.unique(key, return_counts=True)
         grp = (uk >> 21).astype(np.int64)
         gstart = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])

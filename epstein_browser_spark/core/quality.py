@@ -2,10 +2,12 @@
 heuristics.
 
 Production counterpart of ``core.reference_oracle`` — identical results,
-computed batch-at-a-time. The per-character class counts run on a single
-flat codepoint encoding of the batch (``core.charstats.BatchChars``): one
-encode + table lookups replaces ~a dozen regex scans, which profiling
-showed dominated the extraction kernel.
+computed batch-at-a-time. Both heuristics run off ONE flat codepoint
+encoding of the batch (``core.charstats.BatchChars``): the quality chain
+works on stripped text, the classifier on raw text, and instead of
+re-encoding the stripped strings the quality counts are taken over the
+[first-nonws..last-nonws] region of the raw encoding (identical by
+construction of str.strip()).
 
 Semantics sources (see reference_oracle for the row-level statement):
   * quality_score  — /root/reference/helpers/error_detection.py:126-180
@@ -27,40 +29,71 @@ _FAILURE_PATTERNS = [
 _FAILURE_PATTERN_RE = "|".join(_FAILURE_PATTERNS)  # kept for SQL oracles/tests
 
 
-def quality_score_batch(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized check_ocr_quality: -> DataFrame(quality_score, quality_reason)."""
+def _strip_region(bc: BatchChars):
+    """Per-row (first_nonws_idx, last_nonws_idx, strip_len) plus the
+    per-char in-region mask; rows with no non-ws chars get strip_len 0."""
+    n = bc.n
+    total = len(bc.codes)
+    first_nw = np.full(n, -1, dtype=np.int64)
+    last_nw = np.full(n, -2, dtype=np.int64)
+    if total:
+        nonws = ~bc.char_class("ws")
+        idx = np.flatnonzero(nonws)
+        if len(idx):
+            rows = bc.row_of()[idx]
+            # idx ascending & rows non-decreasing → first/last occurrence
+            uniq, firsts = np.unique(rows, return_index=True)
+            first_nw[uniq] = idx[firsts]
+            lasts = len(rows) - 1 - np.unique(rows[::-1], return_index=True)[1]
+            last_nw[uniq] = idx[lasts]
+        in_region = np.zeros(total, dtype=bool)
+        ro = bc.row_of()
+        all_idx = np.arange(total, dtype=np.int64)
+        in_region = (all_idx >= first_nw[ro]) & (all_idx <= last_nw[ro])
+    else:
+        in_region = np.zeros(0, dtype=bool)
+    strip_len = np.maximum(last_nw - first_nw + 1, 0)
+    return in_region, strip_len
+
+
+def assess_batch(texts: pd.Series) -> pd.DataFrame:
+    """Both heuristics over one encode:
+    (quality_score, quality_reason, is_low_quality, lq_reason,
+    lq_confidence)."""
     raw = texts.fillna("").astype(str)
-    t = raw.str.strip()
-    bc = BatchChars(t.tolist())
-    length = bc.lens
-    zeros = bc.count_class("zero")
-    spaces = bc.count_class("space_literal")
+    bc = BatchChars(raw.tolist())
+    n = bc.n
+    in_region, strip_len = _strip_region(bc)
+
+    def count_in_region(name: str) -> np.ndarray:
+        return bc.row_count(bc.char_class(name) & in_region)
+
+    # ---- quality chain (on stripped text == raw restricted to region) ----
+    length = strip_len
+    zeros = count_in_region("zero")
+    spaces = count_in_region("space_literal")
 
     is_empty = length == 0
-    # no_space.replace('0','') == '' ⇔ every char is ' ' or '0'
     only_zeros = (~is_empty) & (zeros + spaces == length)
     short_zeros = (length < 20) & (zeros > length * 0.5)
-    too_short = length < 10
+    too_short_q = length < 10
 
-    n_words = bc.word_counts()
+    n_words = bc.word_counts()  # boundary ws doesn't change split()
     zero_words = bc.zero_word_counts()
     zero_patterns = (n_words > 3) & (zero_words > n_words * 0.7)
 
-    n_binary = bc.count_class("binary")
+    n_binary = count_in_region("binary")
     binary_heavy = n_binary > length * 0.1
-
-    n_meaningful = bc.count_class("meaningful")
+    n_meaningful = count_in_region("meaningful")
     few_meaningful = n_meaningful < 10
 
-    n = bc.n
     reason = np.full(n, "Passed all quality checks", dtype=object)
     score = np.full(n, 100, dtype=np.int32)
     fired = np.zeros(n, dtype=bool)
 
     def fire(cond: np.ndarray, fmt) -> None:
         nonlocal fired
-        hit = np.flatnonzero(cond & ~fired)
-        for i in hit:
+        for i in np.flatnonzero(cond & ~fired):
             reason[i] = fmt(i)
         fired |= np.asarray(cond)
 
@@ -68,7 +101,7 @@ def quality_score_batch(texts: pd.Series) -> pd.DataFrame:
     fire(only_zeros, lambda i: "Only zeros and spaces")
     fire(short_zeros,
          lambda i: f"Too many zeros in short text ({zeros[i]}/{length[i]} chars)")
-    fire(too_short, lambda i: f"Too short ({length[i]} characters)")
+    fire(too_short_q, lambda i: f"Too short ({length[i]} characters)")
     fire(zero_patterns,
          lambda i: f"Too many zero patterns ({zero_words[i]}/{n_words[i]} words)")
     fire(binary_heavy,
@@ -77,36 +110,18 @@ def quality_score_batch(texts: pd.Series) -> pd.DataFrame:
     fire(few_meaningful,
          lambda i: f"Too few meaningful characters ({n_meaningful[i]} chars)")
     score[fired] = 0
-    return pd.DataFrame(
-        {
-            "quality_score": pd.Series(score, index=texts.index),
-            "quality_reason": pd.Series(reason, index=texts.index),
-        }
-    )
 
-
-def classify_low_quality_batch(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized detect_low_quality_ocr:
-    -> DataFrame(is_low_quality, lq_reason, lq_confidence)."""
-    raw = texts.fillna("").astype(str)
-    bc = BatchChars(raw.tolist())
-    length = bc.lens
-
-    too_short = (raw.str.strip().str.len() < 10).to_numpy()
-
+    # ---- low-quality classifier (on raw text) ----------------------------
+    raw_len = bc.lens
+    too_short = strip_len < 10
     alpha = bc.count_class("alpha")
-    total = length - bc.count_class("space_literal")
+    total = raw_len - bc.count_class("space_literal")
     non_alpha = (total > 0) & (alpha < total * 0.3)
-
-    repetition = bc.max_alnum_repetition() > length * 0.4
-
+    repetition = bc.max_alnum_repetition() > raw_len * 0.4
     nonws = bc.nonws_counts()
-    n_words = bc.word_counts()
     gibberish = (n_words > 0) & (nonws < n_words * 2.0)
-
     pattern_hit = bc.contains_any_4gram(_FAILURE_PATTERNS)
-
-    special_heavy = (length > 0) & (bc.count_class("special") > length * 0.5)
+    special_heavy = (raw_len > 0) & (bc.count_class("special") > raw_len * 0.5)
 
     conds = [too_short, non_alpha, repetition, gibberish, pattern_hit,
              special_heavy]
@@ -114,14 +129,28 @@ def classify_low_quality_batch(texts: pd.Series) -> pd.DataFrame:
               "excessive_character_repetition", "gibberish_short_words",
               "ocr_failure_pattern", "excessive_special_characters"]
     confs = [1.0, 0.8, 0.7, 0.6, 0.9, 0.7]
-
-    reason = np.select(conds, labels, default="passed_quality_checks")
-    conf = np.select(conds, confs, default=0.8)
+    lq_reason = np.select(conds, labels, default="passed_quality_checks")
+    lq_conf = np.select(conds, confs, default=0.8)
     is_lq = np.select(conds, [True] * len(conds), default=False)
+
     return pd.DataFrame(
         {
+            "quality_score": pd.Series(score, index=texts.index),
+            "quality_reason": pd.Series(reason, index=texts.index),
             "is_low_quality": pd.Series(is_lq, index=texts.index, dtype=bool),
-            "lq_reason": pd.Series(reason, index=texts.index, dtype=object),
-            "lq_confidence": pd.Series(conf, index=texts.index, dtype="float64"),
+            "lq_reason": pd.Series(lq_reason, index=texts.index, dtype=object),
+            "lq_confidence": pd.Series(lq_conf, index=texts.index,
+                                       dtype="float64"),
         }
     )
+
+
+def quality_score_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized check_ocr_quality: -> DataFrame(quality_score, quality_reason)."""
+    return assess_batch(texts)[["quality_score", "quality_reason"]]
+
+
+def classify_low_quality_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized detect_low_quality_ocr:
+    -> DataFrame(is_low_quality, lq_reason, lq_confidence)."""
+    return assess_batch(texts)[["is_low_quality", "lq_reason", "lq_confidence"]]

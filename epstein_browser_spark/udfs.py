@@ -21,10 +21,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from epstein_browser_spark.core.extract import extract_batch
-from epstein_browser_spark.core.quality import (
-    classify_low_quality_batch,
-    quality_score_batch,
-)
+from epstein_browser_spark.core.quality import assess_batch
 
 MAX_ATTEMPTS = 3  # /root/reference/helpers/error_detection.py:44
 
@@ -55,11 +52,7 @@ def extract_pdf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     n = len(pdf)
     pdf = pdf.reset_index(drop=True)
     res = extract_batch(pdf["text"], pdf["tool"])
-    res = pd.concat(
-        [res, quality_score_batch(res["clean_text"]),
-         classify_low_quality_batch(res["clean_text"])],
-        axis=1,
-    )
+    res = pd.concat([res, assess_batch(res["clean_text"])], axis=1)
     attempts = pd.Series(1, index=res.index, dtype="int32")
 
     for attempt in (2, 3):
@@ -77,9 +70,7 @@ def extract_pdf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             )
         sub = extract_batch(raw, pd.Series(None, index=raw.index, dtype=object))
         sub = pd.concat(
-            [sub, quality_score_batch(sub["clean_text"]),
-             classify_low_quality_batch(sub["clean_text"])],
-            axis=1,
+            [sub, assess_batch(sub["clean_text"])], axis=1
         ).set_index(raw.index)
         attempts[failed] = attempt
         ok = sub[sub["quality_score"] > 0]
