@@ -32,11 +32,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # larger Arrow batches amortize the per-batch Python-worker
-        # roundtrip (measured: 64k cuts mapInPandas overhead ~40% vs the
-        # 10k default); kernels are linear in batch size and a 64k-row
-        # text batch is ~20 MB — safely inside worker memory
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Arrow batch size trades per-batch Python-worker roundtrip
+        # overhead (wants bigger) against the kernels' numpy working set
+        # per batch (wants smaller: 32 concurrent workers each holding
+        # codepoint+mask arrays pressure memory bandwidth). 32k rows
+        # measured best end-to-end on 32 cores (64k equivalent within
+        # noise); override via SPARK_ARROW_BATCH
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "32768"),
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
