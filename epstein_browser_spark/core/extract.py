@@ -175,14 +175,28 @@ def _extract_pdf_mode(text: pd.Series) -> pd.DataFrame:
     if len(ex) == 0:
         return pd.DataFrame(columns=["_row", "seg_text", "kind"])
     df = pd.DataFrame({"_row": ex.index, "raw": ex.to_numpy()})
-    parsed = df["raw"].str.extract(_PDF_LINE_RE)
-    parsed.columns = ["page", "col", "y", "body"]
-    ok = parsed["page"].notna()
+    # split is ~2x a 4-group regex extract; validity = 3 numeric prefixes
+    parts = df["raw"].str.split("|", n=3, expand=True)
+    if parts.shape[1] < 4:
+        return pd.DataFrame(columns=["_row", "seg_text", "kind"])
+    # contract: the three prefixes are digit runs (same acceptance as the
+    # ^(\d+)\|(\d+)\|(\d+)\| regex — isdigit + parseable excludes signs,
+    # decimals, exponents, and whitespace)
+    ok = (
+        parts[0].str.isdigit().fillna(False)
+        & parts[1].str.isdigit().fillna(False)
+        & parts[2].str.isdigit().fillna(False)
+        & parts[3].notna()
+    )
+    page = pd.to_numeric(parts[0].where(ok), errors="coerce")
+    col = pd.to_numeric(parts[1].where(ok), errors="coerce")
+    y = pd.to_numeric(parts[2].where(ok), errors="coerce")
+    ok &= page.notna() & col.notna() & y.notna()
     df = df[ok].assign(
-        page=parsed.loc[ok, "page"].astype("int64"),
-        col=parsed.loc[ok, "col"].astype("int64"),
-        y=parsed.loc[ok, "y"].astype("int64"),
-        seg_text=_normalize(parsed.loc[ok, "body"]),
+        page=page[ok].astype("int64"),
+        col=col[ok].astype("int64"),
+        y=y[ok].astype("int64"),
+        seg_text=_normalize(parts.loc[ok, 3]),
     )
     furniture = df["seg_text"].str.match(_PAGE_FURNITURE_RE)
     df = df[~furniture & (df["seg_text"].str.len() > 0)]
