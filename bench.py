@@ -116,7 +116,7 @@ def run_skew(args) -> None:
         F.when(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0,
                F.lit("conv_hot")).otherwise(F.col("conv_id")),
     )
-    path = "/tmp/bench_skewed.parquet"
+    path = "/tmp/bench_skewed_v2.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         hot.repartition(64).write.mode("overwrite").parquet(path)
     tr = spark.read.parquet(path)
@@ -160,7 +160,7 @@ def run_layout(args) -> None:
     spark = _get_spark(args.cpus)
     ensure_corpus(spark, args.corpus, n)
     tr = spark.read.parquet(args.corpus)
-    pre_path = "/tmp/bench_prebucketed.parquet"
+    pre_path = "/tmp/bench_prebucketed_v2.parquet"
     if not os.path.exists(os.path.join(pre_path, "_SUCCESS")):
         with_bucket(tr, 256).write.partitionBy("bucket").mode(
             "overwrite"
@@ -206,7 +206,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument(
         "--corpus",
-        default=f"/tmp/bench_transcripts_{EXTRACT_TURNS}.parquet",
+        default=f"/tmp/bench_transcripts_v2_{EXTRACT_TURNS}.parquet",
     )
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
@@ -289,8 +289,8 @@ def run_scaling(args) -> None:
     identical per-pair corpora, best-of-2, with a pure-CPU ceiling
     calibration → BENCH/BASELINE.md."""
     pair_corpora = {
-        (2, 8): (f"/tmp/bench_transcripts_{EXTRACT_TURNS}.parquet", EXTRACT_TURNS),
-        (8, 32): (f"/tmp/bench_transcripts_{SCALING_TURNS}.parquet", SCALING_TURNS),
+        (2, 8): (f"/tmp/bench_transcripts_v2_{EXTRACT_TURNS}.parquet", EXTRACT_TURNS),
+        (8, 32): (f"/tmp/bench_transcripts_v2_{SCALING_TURNS}.parquet", SCALING_TURNS),
     }
     spark = _get_spark(32)
     for corpus, turns in pair_corpora.values():

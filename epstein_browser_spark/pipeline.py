@@ -210,6 +210,12 @@ def run_extraction(
       <out_dir>/_manifests/bucket-N.json  (lineage + metrics + status)
     """
     t0 = time.time()
+    # Resume safety is NOT left to the caller's session config: with Spark's
+    # default static overwrite mode, mode("overwrite").partitionBy("bucket")
+    # truncates the whole data dir — a resume would silently delete every
+    # completed bucket. Dynamic mode overwrites only the buckets present in
+    # this run's output.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_buckets(out_dir, input_snapshot) if resume else set()
     src = with_bucket(transcripts, n_buckets)
     if done:

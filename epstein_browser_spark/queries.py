@@ -347,17 +347,34 @@ WHERE lower(d.text) LIKE '%join%'
 """
 
 
-def q12_pagination(spark, sf_dir):
-    """O2: LIMIT/OFFSET pagination as a window row_number + between —
-    the distributed-safe form (/root/reference/app.py:959-982)."""
-    d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+def _paginate(df: DataFrame, order_cols: list, lo: int, hi: int) -> DataFrame:
+    """O2 at scale: the consumed output is always a bounded prefix of a
+    total order, so pre-reduce with orderBy+limit — TakeOrderedAndProject,
+    per-partition top-k heaps, no global sort — and only then number the
+    tiny (≤hi-row) prefix. The window partitions on a constant so WindowExec
+    never takes the moves-everything-to-one-partition path on the full
+    input (its input here is already ≤hi rows). Semantics are identical to
+    row_number over the full order because order_cols are a total order."""
+    limited = df.orderBy(*order_cols).limit(hi)
+    # the partition key must be constant-valued but NOT foldable — Catalyst
+    # eliminates a literal partitionBy, putting WindowExec back on its
+    # empty-partition-spec (global) path
+    const_key = F.pmod(F.xxhash64(df.columns[0]), F.lit(1))
+    w = Window.partitionBy(const_key).orderBy(*order_cols)
     return (
-        d.select(
-            "doc_id", "n_chars",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn").between(11, 30))
+        limited.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn").between(lo, hi))
+    )
+
+
+def q12_pagination(spark, sf_dir):
+    """O2: LIMIT/OFFSET pagination (/root/reference/app.py:959-982) as
+    orderBy+limit prefix → row_number — see :func:`_paginate` for why this
+    beats an unpartitioned window at scale."""
+    d = _t(spark, sf_dir, "documents")
+    return _paginate(
+        d.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")], 11, 30,
     )
 
 
@@ -616,12 +633,14 @@ def q22_embedding_topk(spark, sf_dir):
         e.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(
-                similarity.cosine(F.col("embedding"), F.col("q_vec")), 6
-            ).alias("cosine_sim"),
+            # order by the UNROUNDED cosine (mirrors the oracle's ORDER BY):
+            # ordering on the 6-dp-rounded value can flip the top-k boundary
+            # for cosines that differ only beyond 6 dp
+            similarity.cosine(F.col("embedding"), F.col("q_vec")).alias("_c"),
         )
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
         .limit(10)
+        .select("vec_id", F.round("_c", 6).alias("cosine_sim"))
     )
 
 
@@ -949,14 +968,9 @@ def q33_relevance_order(spark, sf_dir):
     paginated top-25."""
     d = _t(spark, sf_dir, "documents")
     rank_cls = F.when(F.col("source") == "src1", 1).otherwise(2)
-    w = Window.orderBy(rank_cls.asc(), F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        d.select(
-            "doc_id", "source", "n_chars",
-            rank_cls.alias("rank_class"),
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 25)
+    return _paginate(
+        d.select("doc_id", "source", "n_chars", rank_cls.alias("rank_class")),
+        [F.asc("rank_class"), F.desc("n_chars"), F.asc("doc_id")], 1, 25,
     )
 
 
@@ -1099,14 +1113,11 @@ def q39_search_page(spark, sf_dir):
     )
     unioned = src.unionByName(txt)
     rank_cls = F.when(F.col("match_type") == "source", 1).otherwise(2)
-    w = Window.orderBy(rank_cls.asc(), F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        unioned.select(
-            "doc_id", "match_type", "excerpt",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn").between(11, 20))
-    )
+    return _paginate(
+        unioned.select("doc_id", "match_type", "excerpt", "n_chars",
+                       rank_cls.alias("_rank_cls")),
+        [F.asc("_rank_cls"), F.desc("n_chars"), F.asc("doc_id")], 11, 20,
+    ).select("doc_id", "match_type", "excerpt", "rn")
 
 
 _Q39_SQL = """
@@ -1128,6 +1139,28 @@ r AS (SELECT doc_id, match_type, excerpt,
                         n_chars DESC, doc_id ASC) AS rn
       FROM u)
 SELECT doc_id, match_type, excerpt, rn FROM r WHERE rn BETWEEN 11 AND 20
+"""
+
+
+def q41_rfc2822(spark, sf_dir):
+    """F11: the reference's exact RFC-2822 timestamp format for HTTP
+    headers/feeds ('%a, %d %b %Y %H:%M:%S GMT',
+    /root/reference/app.py:1253,1262) — Spark date_format pattern
+    'EEE, dd MMM yyyy HH:mm:ss' + the GMT suffix (session TZ is UTC)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss"),
+            F.lit(" GMT"),
+        ).alias("rfc2822"),
+    )
+
+
+_Q41_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS rfc2822
+FROM orders
 """
 
 
@@ -1175,4 +1208,5 @@ QUERIES: dict[str, tuple] = {
     "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
     "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, None),
     "q39_search_page": (q39_search_page, _Q39_SQL),
+    "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
 }

@@ -203,7 +203,12 @@ def synth_transcripts_spark(spark, n_turns: int, n_convs: int | None = None):
     )
     return df.select(
         F.concat(F.lit("conv_"), F.lpad(conv.cast("string"), 7, "0")).alias("conv_id"),
-        F.floor(F.col("id") / F.lit(n_convs)).cast("int").alias("turn_idx"),
+        # turn_idx = id: globally unique, hence unique WITHIN the hashed
+        # conversation too (conv from xxhash64(id)%n_convs with turn_idx =
+        # id//n_convs produced duplicate (conv_id, turn_idx) keys). Values
+        # are sparse per conversation — the contract needs a stable int32
+        # ordering key, not contiguity.
+        F.col("id").cast("int").alias("turn_idx"),
         F.element_at(
             F.array(*[F.lit(r) for r in _ROLES]),
             (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),

@@ -79,3 +79,24 @@ def test_extraction_sort_is_partition_local(spark, corpus_sdf):
     # partition-local sort for turn ordering, never a global Sort+Exchange
     assert re.search(r"Sort .*\[conv_id.*turn_idx", plan) or "Sort" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pagination_no_global_window(spark, sf_dir):
+    """q12/q33/q39 (VERDICT r1 'What's wrong' #1): pagination must pre-reduce
+    via TakeOrderedAndProject and never run an unpartitioned WindowExec over
+    the full input — the single-partition-window scale-killer."""
+    from epstein_browser_spark.queries import (
+        q12_pagination,
+        q33_relevance_order,
+        q39_search_page,
+    )
+
+    for fn in (q12_pagination, q33_relevance_order, q39_search_page):
+        plan = _plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, plan
+        # every window spec must carry a partition expression: the spec
+        # renders as windowspecdefinition(<partition cols>, <order cols>, ...)
+        # and the physical Window node lists the partition spec as its second
+        # argument — empty spec means the global (all-to-one-task) path
+        for m in re.finditer(r"Arguments: \[row_number\(\).*?\], \[(.*?)\]", plan):
+            assert m.group(1).strip(), plan
