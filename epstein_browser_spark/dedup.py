@@ -44,18 +44,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col=None,
+    max_block: int = 1000,
 ) -> DataFrame:
     """Exact Jaccard over char n-gram sets for candidate pairs.
 
     Candidates are blocked on ``block_col`` (default: shared first shingle —
     a cheap deterministic blocking key) so the join is equi, not a cross
     product. Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_block`` caps block size (same window-count pattern as the
+    minhash path's ``max_bucket``): a corpus-common leading shingle would
+    otherwise create one giant block and an O(n²) pair blow-up. Docs in
+    over-cap blocks are dropped from candidate generation — at scale, log
+    the dropped count and route those docs to the minhash path.
     """
     g = shingle_sets(df, text_col, id_col, n).withColumnRenamed("grams", "_grams")
     block = block_col if block_col is not None else F.element_at(
         F.array_sort("_grams"), 1
     )
     g = g.withColumn("_block", block)
+    bw = Window.partitionBy("_block")
+    g = (
+        g.withColumn("_block_n", F.count("*").over(bw))
+        .filter(F.col("_block_n") <= max_block)
+        .drop("_block_n")
+    )
     a = g.select(F.col("id").alias("id_a"), F.col("_grams").alias("_ga"),
                  F.col("_block").alias("_b"))
     b = g.select(F.col("id").alias("id_b"), F.col("_grams").alias("_gb"),
@@ -195,19 +208,34 @@ def minhash_dedup_pairs(
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", n: int = 3,
+                  hash_mode: str = "xxhash") -> DataFrame:
     """(id, sh: 64-char bit string) — SimHash over char n-gram shingles.
 
     Same explode + flat-codegen-aggregate shape as minhash_signatures:
     per bit b, counter = sum over shingles of ±1 by hash bit (literal masks,
     sign bit via h < 0); output bit b is '1' iff counter > 0. Bit strings
-    avoid column-amount shift ops (Spark requires literal shift counts)."""
-    ex = exploded_shingles(df, text_col, id_col, n).select(
-        "id", F.xxhash64("_sh").alias("_h")
-    )
+    avoid column-amount shift ops (Spark requires literal shift counts).
+
+    ``hash_mode``: 'xxhash' (default — the cheap scale path) derives the 64
+    shingle bits from xxhash64; 'md5' derives bit b as bit (b%4) of hex
+    digit (b//4) of md5(shingle) — ~3× more hash cost, but md5 exists in
+    every SQL engine, so the ENTIRE simhash computation is restatable as a
+    DuckDB oracle (see queries._simhash_sql). Both modes are deterministic
+    and produce 64 independent uniform bits."""
+    ex = exploded_shingles(df, text_col, id_col, n)
+    if hash_mode == "md5":
+        ex = ex.select("id", F.md5("_sh").alias("_h"))
+    elif hash_mode == "xxhash":
+        ex = ex.select("id", F.xxhash64("_sh").alias("_h"))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     aggs = []
     for b in range(64):
-        if b == 63:
+        if hash_mode == "md5":
+            digit = F.conv(F.substring("_h", b // 4 + 1, 1), 16, 10).cast("int")
+            bit_set = digit.bitwiseAND(F.lit(1 << (b % 4))) != 0
+        elif b == 63:
             bit_set = F.col("_h") < 0  # sign bit; 1<<63 overflows a long literal
         else:
             bit_set = F.col("_h").bitwiseAND(F.lit(1 << b)) != 0
@@ -223,6 +251,23 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     return counters.select("id", bit_str.alias("sh"))
 
 
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(start, width) band slices (1-indexed for substr) covering 64 bits
+    with n_bands = max_hamming + 1 equal-as-possible bands. Pigeonhole: a
+    pair differing in ≤ max_hamming bits has ≥ 1 band with zero differing
+    bits, so any-band-equality candidate generation has recall 1.0."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    starts, pos = [], 1
+    for w in widths:
+        starts.append(pos)
+        pos += w
+    return list(zip(starts, widths))
+
+
 def hamming_bits(a, b):
     """Hamming distance between two equal-length bit strings."""
     return F.size(
@@ -236,18 +281,20 @@ def hamming_bits(a, b):
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
-                      n: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming, candidate
-    generation via 4×16-bit band equality (any-band collision covers all
-    pairs with hamming <= 3 by pigeonhole)."""
-    h = simhash_table(df, text_col, id_col, n)
+                      n: int = 3, hash_mode: str = "xxhash") -> DataFrame:
+    """EXACT near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation uses (max_hamming + 1) bands — the pigeonhole
+    guarantee (see :func:`simhash_bands`) makes recall exactly 1.0, so the
+    output is precisely {(a, b) : hamming(sh_a, sh_b) <= max_hamming}, not
+    an approximation. (Round-1 bug: a fixed 4-band split only guaranteed
+    recall for hamming <= 3 while callers asked for <= 6.)"""
+    h = simhash_table(df, text_col, id_col, n, hash_mode)
     banded = h.select(
         "id", "sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.col("sh").substr(b * 16 + 1, F.lit(16)),
-            )
+            F.array(*[F.col("sh").substr(s, w)
+                      for s, w in simhash_bands(max_hamming)])
         ).alias("band", "key"),
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),

@@ -617,9 +617,51 @@ def q20_minhash_pairs(spark, sf_dir):
 
 
 def q21_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup with hamming-band candidates. Rows-only check."""
+    """SimHash near-dup pairs — EXACT semantics: (max_hamming+1)-band
+    candidate generation has recall 1.0 by pigeonhole, so the output is
+    precisely the hamming<=6 pair set. hash_mode='md5' derives the 64
+    shingle-hash bits from md5 hex digits, which DuckDB can restate
+    verbatim — full value oracle (was rows-only in r1)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return dedup.simhash_near_dups(d, max_hamming=6)
+    return dedup.simhash_near_dups(d, max_hamming=6, hash_mode="md5").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_sql(max_hamming: int = 6, n: int = 3, id_cap: int = 300) -> str:
+    """DuckDB restatement of md5-mode SimHash: per doc, bit b of the
+    64-bit sketch = sign of sum over distinct shingles of ±1 by bit
+    (b%4) of hex digit (b//4) of md5(shingle) — exactly
+    dedup.simhash_table(hash_mode='md5'). Pairs via exact all-pairs
+    hamming (BIT xor + bit_count), which the banded Spark plan must equal
+    because its recall is exactly 1.0."""
+    counters = ",\n        ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substring(hx, {b // 4 + 1}, 1)) - 1)"
+        f" // {1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(64)
+    )
+    bit_str = " || ".join(
+        f"(CASE WHEN c{b} > 0 THEN '1' ELSE '0' END)" for b in range(63, -1, -1)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - {n - 1}),
+           i -> lower(trim(text))[i:i+{n - 1}]))) AS sh
+  FROM documents
+  WHERE doc_id < {id_cap} AND length(lower(trim(text))) >= {n}),
+h AS (SELECT id, md5(sh) AS hx FROM g),
+c AS (SELECT id,
+        {counters}
+      FROM h GROUP BY id),
+s AS (SELECT id, ({bit_str}) AS sh FROM c)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(CAST(a.sh AS BIT), CAST(b.sh AS BIT))) AS BIGINT)
+         AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(CAST(a.sh AS BIT), CAST(b.sh AS BIT))) <= {max_hamming}
+"""
 
 
 def q22_embedding_topk(spark, sf_dir):
@@ -1189,7 +1231,7 @@ QUERIES: dict[str, tuple] = {
     "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),
     "q19_jaccard_pairs": (q19_jaccard_pairs, _Q19_SQL),
     "q20_minhash_pairs": (q20_minhash_pairs, None),
-    "q21_simhash_pairs": (q21_simhash_pairs, None),
+    "q21_simhash_pairs": (q21_simhash_pairs, _simhash_sql()),
     "q22_embedding_topk": (q22_embedding_topk, _Q22_SQL),
     "q23_ann_lsh": (q23_ann_lsh, None),
     "q24_token_stats": (q24_token_stats, _Q24_SQL),

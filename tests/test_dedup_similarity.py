@@ -159,3 +159,61 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\xff\xd8")
+
+
+def test_simhash_recall_is_exact(spark, sf_dir):
+    """VERDICT r1 item 2: banded candidate generation with
+    n_bands = max_hamming + 1 must emit EVERY pair whose true hamming
+    distance is <= cap (pigeonhole recall 1.0), for caps the old 4-band
+    split silently under-covered (4..6)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    for mode in ("xxhash", "md5"):
+        sh = dedup.simhash_table(d, hash_mode=mode)
+        a = sh.selectExpr("id AS id_a", "sh AS sh_a")
+        b = sh.selectExpr("id AS id_b", "sh AS sh_b")
+        exact = (
+            a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    dedup.hamming_bits(F.col("sh_a"), F.col("sh_b")).alias("h"))
+            .filter(F.col("h") <= 6)
+            .toPandas()
+        )
+        got = dedup.simhash_near_dups(d, max_hamming=6, hash_mode=mode).toPandas()
+        exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        assert got_pairs == exact_pairs, (mode, exact_pairs ^ got_pairs)
+
+
+def test_simhash_bands_cover_64_bits():
+    for cap in (0, 1, 3, 6, 13, 63):
+        bands = dedup.simhash_bands(cap)
+        assert len(bands) == cap + 1
+        assert sum(w for _s, w in bands) == 64
+        pos = 1
+        for s, w in bands:
+            assert s == pos and w >= 1
+            pos += w
+
+
+def test_jaccard_block_cap_prevents_quadratic_blowup(spark):
+    """VERDICT r1 item 6: a corpus-common blocking shingle must not create
+    an O(n^2) block — over-cap blocks are dropped from candidate
+    generation, the same max_bucket pattern as the minhash path."""
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # '!!!' is the lexicographically-min shingle of every doc (no
+            # spaces anywhere, '!' < all letters/digits) -> ONE shared
+            # block; the common body makes pairs similar enough to emit
+            "text": [f"!!!{'commonsharedbodytext' * 3}{i:04d}" for i in range(n)],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    capped = dedup.ngram_jaccard_pairs(d, threshold=0.1, max_block=50)
+    # the single 300-doc block exceeds the cap -> dropped, no pair blowup
+    assert capped.count() == 0
+    uncapped = dedup.ngram_jaccard_pairs(d, threshold=0.1, max_block=1000)
+    assert uncapped.count() > 0  # cap above block size: pairs emitted again
