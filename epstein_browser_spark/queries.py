@@ -702,14 +702,64 @@ LIMIT 10
 """
 
 
+def _lsh_bucket_sql(dim: int, n_planes: int, vec_expr: str = "v") -> str:
+    """DuckDB restatement of similarity.with_lsh_bucket: the hyperplane
+    components are plan literals (similarity.hyperplane_components), so the
+    oracle embeds the identical values — bucket bit i weighted
+    2^(n_planes-1-i), matching sig = sig*2 + bit."""
+    terms = []
+    for i in range(n_planes):
+        comps = similarity.hyperplane_components(dim, i)
+        lit = "[" + ", ".join(f"{c:.1f}" for c in comps) + "]"
+        weight = 1 << (n_planes - 1 - i)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0"
+            f" THEN {weight} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_query_bucket(dim: int, n_planes: int, qv: list[float]) -> int:
+    """The query vector's bucket, computed with the same fold ordering as
+    the Spark/DuckDB expressions (sequential dot, bit i -> 2^(np-1-i))."""
+    bucket = 0
+    for i in range(n_planes):
+        comps = similarity.hyperplane_components(dim, i)
+        acc = 0.0
+        for x, p in zip(qv, comps):
+            acc += float(x) * p
+        bucket = bucket * 2 + (1 if acc >= 0 else 0)
+    return bucket
+
+
+_Q23_QVEC = [1.0] + [0.0] * 63
+
+
 def q23_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path: bucket = partition key at 100 TB).
-    Rows-only check (xxhash64 hyperplanes)."""
+    """LSH-bucketed ANN (scale path: bucket = partition key at 100 TB —
+    the probe becomes a partition-pruned scan). Hyperplanes are plan
+    literals, so the FULL bucketing + top-k is value-oracle-checked in
+    DuckDB (was rows-only in r1)."""
     e = _t(spark, sf_dir, "embeddings")
     bucketed = similarity.with_lsh_bucket(e, dim=64, n_planes=6)
-    qv = [0.0] * 64
-    qv[0] = 1.0
-    return similarity.lsh_topk_df(spark, bucketed, qv, dim=64, k=10, n_planes=6)
+    top = similarity.lsh_topk_df(spark, bucketed, _Q23_QVEC, dim=64, k=10,
+                                 n_planes=6)
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _q23_sql() -> str:
+    qlit = "[" + ", ".join(f"{x:.1f}" for x in _Q23_QVEC) + "]"
+    qb = _lsh_query_bucket(64, 6, _Q23_QVEC)
+    cos = (
+        f"list_dot_product(v, {qlit}) / (sqrt(list_dot_product(v, v))"
+        f" * sqrt(list_dot_product({qlit}, {qlit})))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v FROM e WHERE ({_lsh_bucket_sql(64, 6)}) = {qb})
+SELECT vec_id, round({cos}, 6) AS cosine_sim
+FROM b ORDER BY {cos} DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q24_token_stats(spark, sf_dir):
@@ -1088,14 +1138,28 @@ FROM p
 
 def q36_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads through Arrow-batched
-    mapInPandas (decode stubbed, schema/partitioning real). Rows-only
-    check — binary columns aren't part of the DuckDB view contract."""
+    mapInPandas (decode stubbed, schema/partitioning real). The synthetic
+    payloads are derived from md5(media_id), so DuckDB can restate the
+    hash/size features over range(200) — full value oracle for the binary
+    round-trip through Arrow (was rows-only in r1)."""
     from epstein_browser_spark import multimodal
 
     media = multimodal.synth_media_spark(spark, 200)
     return multimodal.extract_media_features(media).select(
         "media_id", "kind", "n_bytes", "payload_hash", "decode_status"
     )
+
+
+_Q36_SQL = """
+SELECT range AS media_id,
+       CASE CAST(range % 3 AS INT)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(length(repeat(md5(CAST(range AS VARCHAR)), 4)) AS BIGINT)
+         AS n_bytes,
+       md5(repeat(md5(CAST(range AS VARCHAR)), 4)) AS payload_hash,
+       'stubbed' AS decode_status
+FROM range(200)
+"""
 
 
 def q37_cosine_pairs(spark, sf_dir):
@@ -1121,10 +1185,25 @@ WHERE round(list_dot_product(a.v, b.v)
 
 def q38_cosine_pairs_lsh(spark, sf_dir):
     """Embedding near-dup via random-hyperplane LSH buckets + exact-cosine
-    verify (rows-only: xxhash64 hyperplanes aren't SQL-expressible)."""
+    verify. Literal hyperplanes make the whole path (bucketing, candidate
+    self-join, verify) value-oracle-checked (was rows-only in r1)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs_lsh(e, dim=64, threshold=0.25,
                                                 n_planes=6)
+
+
+def _q38_sql() -> str:
+    cos = (
+        "list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_lsh_bucket_sql(64, 6)}) AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, round({cos}, 6) AS cosine_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({cos}, 6) >= 0.25
+"""
 
 
 def q39_search_page(spark, sf_dir):
@@ -1233,7 +1312,7 @@ QUERIES: dict[str, tuple] = {
     "q20_minhash_pairs": (q20_minhash_pairs, None),
     "q21_simhash_pairs": (q21_simhash_pairs, _simhash_sql()),
     "q22_embedding_topk": (q22_embedding_topk, _Q22_SQL),
-    "q23_ann_lsh": (q23_ann_lsh, None),
+    "q23_ann_lsh": (q23_ann_lsh, _q23_sql()),
     "q24_token_stats": (q24_token_stats, _Q24_SQL),
     "q25_langid": (q25_langid, _langid_sql()),
     "q26_fingerprint": (q26_fingerprint, _Q26_SQL),
@@ -1246,9 +1325,9 @@ QUERIES: dict[str, tuple] = {
     "q33_relevance_order": (q33_relevance_order, _Q33_SQL),
     "q34_rollup_join": (q34_rollup_join, _Q34_SQL),
     "q35_string_funcs": (q35_string_funcs, _Q35_SQL),
-    "q36_media_features": (q36_media_features, None),
+    "q36_media_features": (q36_media_features, _Q36_SQL),
     "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
-    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, None),
+    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
     "q39_search_page": (q39_search_page, _Q39_SQL),
     "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
 }

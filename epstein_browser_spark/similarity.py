@@ -62,15 +62,26 @@ def brute_force_topk(
     )
 
 
+def hyperplane_components(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components: zero-mean integer
+    values in [-1000, 1000] from SHA-256 of (plane, j). Computed driver-side
+    once and embedded as PLAN LITERALS (a few KB — constant at any corpus
+    scale), which (a) keeps the per-row work to one dot product instead of
+    re-deriving the plane per row, and (b) makes the exact values
+    embeddable verbatim in the DuckDB oracle SQL, so the whole LSH
+    bucketing is value-checkable (r1 had xxhash64-derived planes — cheap
+    but not restatable in SQL)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.sha256(f"lsh-plane:{plane_idx}:{j}".encode()).digest()
+        out.append(float(int.from_bytes(h[:8], "big") % 2001 - 1000))
+    return out
+
+
 def _hyperplane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane i is a
-    zero-mean value derived from xxhash64(i, j). Reproducible everywhere."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.pmod(F.xxhash64(F.lit(plane_idx), j), F.lit(2001)) - 1000
-        ).cast("double"),
-    )
+    return F.array(*[F.lit(v) for v in hyperplane_components(dim, plane_idx)])
 
 
 def with_lsh_bucket(
