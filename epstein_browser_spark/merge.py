@@ -14,8 +14,10 @@ against a bucketed target table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from epstein_browser_spark import fsutil
 
 MERGE_ACTIONS = ["insert", "update", "skip", "delete"]
 
@@ -58,3 +60,125 @@ def merge_snapshot(
     actions = classify_merge(target, source, key_col, hash_col)
     keep_keys = actions.filter(F.col("merge_action") != "delete").select(key_col)
     return source.join(keep_keys, key_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# the REAL merge sink: apply a merge to a stored bucket-partitioned table
+# ---------------------------------------------------------------------------
+
+def _bucket_of(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+
+def _rewrite_buckets(
+    spark: SparkSession,
+    target_dir: str,
+    new_rows: DataFrame,
+    changed_buckets: list[int],
+) -> None:
+    """Dynamic-overwrite the changed buckets with ``new_rows`` (which must
+    carry a ``bucket`` column restricted to ``changed_buckets``), then drop
+    the partition dirs of changed buckets that ended up empty (dynamic
+    overwrite only replaces partitions present in the written frame — an
+    all-rows-deleted bucket would otherwise keep its stale files;
+    cleanup goes through the Hadoop FS layer so hdfs:///s3a:// targets
+    behave like local paths).
+
+    ``new_rows``' lineage reads from ``target_dir`` itself (the kept rows of
+    changed buckets), so it is materialized with localCheckpoint before the
+    overwrite — Spark cannot read and rewrite the same files in one job. On
+    a real deployment this staging is the table format's job (Iceberg/Delta
+    MERGE snapshots); for parquet-native, checkpoint-then-rewrite keeps the
+    changed-bucket working set (not the table) as the memory bound."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    new_rows = new_rows.localCheckpoint(eager=True)
+    new_rows.write.mode("overwrite").partitionBy("bucket").parquet(target_dir)
+    spark.catalog.refreshByPath(target_dir)
+    written = {
+        int(r["bucket"])
+        for r in new_rows.select("bucket").distinct().collect()
+    }  # bounded by n_buckets — same documented bound as the manifest loop
+    for b in changed_buckets:
+        if b not in written:
+            fsutil.delete(spark, f"{target_dir}/bucket={b}")
+
+
+def merge_into_bucketed(
+    spark: SparkSession,
+    target_dir: str,
+    source: DataFrame,
+    key_col: str,
+    hash_col: str,
+    n_buckets: int,
+) -> dict:
+    """S6 as a real sink: apply the reference's incremental re-index diff
+    (/root/reference/index_images.py:344-434 — skip unchanged / update
+    changed / insert new / delete missing) to a parquet table laid out
+    ``bucket=pmod(xxhash64(key), n_buckets)``, rewriting ONLY the buckets
+    that contain a non-skip key. Unchanged buckets' files are not touched
+    (asserted by tests on file lists + mtimes). On Iceberg this is
+    ``MERGE INTO``; the classification and row-level result are identical.
+
+    Returns per-action counts + buckets_rewritten.
+    """
+    target = spark.read.parquet(target_dir)
+    actions = classify_merge(target, source, key_col, hash_col)
+    changed = actions.filter(F.col("merge_action") != "skip").withColumn(
+        "bucket", _bucket_of(key_col, n_buckets)
+    )
+    counts = {
+        r["merge_action"]: int(r["n"])
+        for r in actions.groupBy("merge_action").agg(F.count("*").alias("n")).collect()
+    }
+    changed_buckets = sorted(
+        int(r["bucket"]) for r in changed.select("bucket").distinct().collect()
+    )
+    if changed_buckets:
+        # new content of a changed bucket = the source rows hashing into it
+        # (deletes vanish by absence; skips in changed buckets are carried
+        # from source, whose rows equal target's for skip keys)
+        new_rows = source.withColumn("bucket", _bucket_of(key_col, n_buckets)).filter(
+            F.col("bucket").isin(changed_buckets)
+        )
+        _rewrite_buckets(spark, target_dir, new_rows, changed_buckets)
+    return {
+        "inserted": counts.get("insert", 0),
+        "updated": counts.get("update", 0),
+        "deleted": counts.get("delete", 0),
+        "skipped": counts.get("skip", 0),
+        "buckets_rewritten": len(changed_buckets),
+    }
+
+
+def upsert_into_bucketed(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    bucket_key: str,
+    n_buckets: int,
+) -> dict:
+    """Row-level upsert (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, no
+    delete-missing): replaces rows matching ``key_cols`` and appends new
+    ones, rewriting only the buckets the update keys hash into. Used by the
+    E7 reprocessing re-drive to fold recovered turns back into the data
+    table."""
+    changed_buckets = sorted(
+        int(r["bucket"])
+        for r in updates.select(_bucket_of(bucket_key, n_buckets).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    if not changed_buckets:
+        return {"upserted": 0, "buckets_rewritten": 0}
+    target = spark.read.parquet(target_dir).drop("bucket")
+    old_kept = target.withColumn("bucket", _bucket_of(bucket_key, n_buckets)).filter(
+        F.col("bucket").isin(changed_buckets)
+    ).join(updates.select(*key_cols), key_cols, "left_anti")
+    new_rows = old_kept.unionByName(
+        updates.withColumn("bucket", _bucket_of(bucket_key, n_buckets)),
+        allowMissingColumns=False,
+    )
+    n_up = updates.count()
+    _rewrite_buckets(spark, target_dir, new_rows, changed_buckets)
+    return {"upserted": n_up, "buckets_rewritten": len(changed_buckets)}

@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 from epstein_browser_spark.udfs import EXTRACT_SCHEMA, extract_map_in_pandas
 
 MANIFEST_DIR = "_manifests"
+FAILURES_DIR = "failures"
+
+# E7 re-drive pre-clean: keep word chars + basic punctuation, collapse the
+# rest to spaces — the deterministic analog of the reference re-driving the
+# engine with different settings (process_reprocessing_queue)
+AGGRESSIVE_KEEP_RE = r"[^A-Za-z0-9 .,;:!?'\"-]"
 
 TRANSCRIPTS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, "
@@ -165,24 +171,127 @@ def extract_conversations_grouped(df: DataFrame) -> DataFrame:
     return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
 
 
+def failures_table(extracted: DataFrame) -> DataFrame:
+    """E7: the reprocessing queue — turns still classified low-quality
+    after the bounded in-kernel retry loop, with the reference's priority
+    rule: priority 10 when lq_confidence > 0.8, else 5
+    (/root/reference/helpers/ocr_quality_assessment.py:152-162,337-362).
+    Carries ``bucket`` so the queue shares the data sink's per-bucket
+    layout and overwrite idempotency."""
+    return extracted.filter(F.col("is_low_quality")).select(
+        "conv_id", "turn_idx", "lq_reason",
+        F.when(F.col("lq_confidence") > 0.8, 10)
+        .otherwise(5).cast("int").alias("priority"),
+        "bucket",
+    )
+
+
+def read_failures(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The queue a re-drive consumes, highest priority first."""
+    return spark.read.parquet(f"{out_dir}/{FAILURES_DIR}")
+
+
+def run_reprocessing(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+) -> dict:
+    """E7 re-drive (reference: process_reprocessing_queue): semi-join the
+    source transcripts against the failures queue, re-extract with the
+    aggressive pre-clean, upsert turns that now pass back into the data
+    table (rewriting only their buckets), and rewrite the queue with the
+    still-failing remainder. Deterministic and idempotent: a second
+    re-drive finds the same (smaller) queue and recovers nothing new."""
+    from epstein_browser_spark.merge import upsert_into_bucketed
+
+    fails = read_failures(spark, out_dir)
+    n_queue = fails.count()
+    if n_queue == 0:
+        return {"queued": 0, "recovered": 0, "still_failing": 0,
+                "buckets_rewritten": 0}
+    subset = transcripts.join(
+        fails.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"
+    ).withColumn(
+        "text",
+        F.trim(F.regexp_replace(
+            F.regexp_replace("text", AGGRESSIVE_KEEP_RE, " "), r"\s+", " "
+        )),
+    ).withColumn("tool", F.lit(None).cast("string"))  # force plain re-parse
+    redone = extract_transcripts(subset, n_buckets=n_buckets)
+    recovered = redone.filter(~F.col("is_low_quality"))
+    n_rec = recovered.count()
+    res = {"queued": n_queue, "recovered": n_rec}
+    if n_rec:
+        data_dir = f"{out_dir}/data"
+        stats = upsert_into_bucketed(
+            spark, data_dir, recovered.drop("bucket"),
+            key_cols=["conv_id", "turn_idx"], bucket_key="conv_id",
+            n_buckets=n_buckets,
+        )
+        res["buckets_rewritten"] = stats["buckets_rewritten"]
+    else:
+        res["buckets_rewritten"] = 0
+    # rewrite the queue from the post-merge data table (source of truth);
+    # scope=None: the queue is recomputed for every bucket
+    post = spark.read.parquet(f"{out_dir}/data")
+    _write_failures(spark, post, out_dir, scope_buckets=None)
+    res["still_failing"] = read_failures(spark, out_dir).count()
+    return res
+
+
+def _write_failures(spark: SparkSession, extracted: DataFrame, out_dir: str,
+                    scope_buckets: set[int] | None = None) -> None:
+    """Failures sink: per-bucket dynamic overwrite + explicit cleanup of
+    in-scope bucket dirs that became failure-free (dynamic overwrite only
+    replaces partitions present in the written frame). ``scope_buckets``
+    bounds the cleanup on a resumed run — completed buckets' queue entries
+    must survive a resume that never recomputed them."""
+    from epstein_browser_spark import fsutil
+
+    fdir = f"{out_dir}/{FAILURES_DIR}"
+    fails = failures_table(extracted)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fails.write.mode("overwrite").partitionBy("bucket").parquet(fdir)
+    written = {int(r["bucket"]) for r in fails.select("bucket").distinct().collect()}
+    for name in fsutil.list_names(spark, fdir):
+        if name.startswith("bucket="):
+            b = int(name.split("=", 1)[1])
+            in_scope = scope_buckets is None or b in scope_buckets
+            if in_scope and b not in written:
+                fsutil.delete(spark, f"{fdir}/{name}")
+
+
 def _manifest_path(out_dir: str, bucket: int) -> str:
-    return os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
+    # plain string join, not os.path: out_dir may be hdfs:///s3a:// —
+    # manifest I/O goes through the Hadoop FS layer (fsutil)
+    return f"{out_dir}/{MANIFEST_DIR}/bucket-{bucket:05d}.json"
 
 
-def completed_buckets(out_dir: str, input_snapshot: str | None = None) -> set[int]:
+def completed_buckets(
+    out_dir: str,
+    input_snapshot: str | None = None,
+    spark: SparkSession | None = None,
+) -> set[int]:
     """Buckets with a completed manifest. When ``input_snapshot`` is given,
     only manifests recorded against that snapshot count — a changed input
     invalidates prior completions, mirroring the reference's file-hash
-    change detection (/root/reference/index_images.py:344-352)."""
-    mdir = os.path.join(out_dir, MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return set()
+    change detection (/root/reference/index_images.py:344-352).
+
+    Reads through the Hadoop FS API (same storage the data writes target —
+    hdfs:///s3a:// out_dirs resume correctly, ADVICE r1); falls back to the
+    active session when ``spark`` is not passed."""
+    from epstein_browser_spark import fsutil
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("completed_buckets needs an active SparkSession")
+    mdir = f"{out_dir}/{MANIFEST_DIR}"
     done = set()
-    for name in os.listdir(mdir):
+    for name in fsutil.list_names(spark, mdir):
         if name.startswith("bucket-") and name.endswith(".json"):
             try:
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
+                m = json.loads(fsutil.read_text(spark, f"{mdir}/{name}") or "")
                 if m.get("status") == "completed" and (
                     input_snapshot is None
                     or m.get("input_snapshot") == input_snapshot
@@ -216,7 +325,7 @@ def run_extraction(
     # completed bucket. Dynamic mode overwrites only the buckets present in
     # this run's output.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done = completed_buckets(out_dir, input_snapshot) if resume else set()
+    done = completed_buckets(out_dir, input_snapshot, spark) if resume else set()
     src = with_bucket(transcripts, n_buckets)
     if done:
         src = src.filter(~F.col("bucket").isin(sorted(done)))
@@ -224,7 +333,7 @@ def run_extraction(
 
     extracted = extract_transcripts(src, n_buckets=n_buckets, salt=salt,
                                     n_partitions=n_partitions)
-    data_dir = os.path.join(out_dir, "data")
+    data_dir = f"{out_dir}/data"
     (
         extracted.write.mode("overwrite")
         .partitionBy("bucket")
@@ -238,6 +347,10 @@ def run_extraction(
     post = spark.read.parquet(data_dir)
     if done:
         post = post.filter(~F.col("bucket").isin(sorted(done)))
+    # E7 failures/priority queue for the next re-drive, same bucket layout
+    # as the data sink; cleanup scoped to this run's recomputed buckets
+    _write_failures(spark, post, out_dir,
+                    scope_buckets=set(range(n_buckets)) - done)
     stats = (
         post.groupBy("bucket")
         .agg(
@@ -252,7 +365,9 @@ def run_extraction(
         )
         .collect()
     )
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    from epstein_browser_spark import fsutil
+
+    fsutil.mkdirs(spark, f"{out_dir}/{MANIFEST_DIR}")
     wrote = 0
     for r in stats:
         b = int(r["bucket"])
@@ -278,8 +393,8 @@ def run_extraction(
                 }
             ],
         }
-        with open(_manifest_path(out_dir, b), "w") as f:
-            json.dump(manifest, f)
+        fsutil.write_text(spark, _manifest_path(out_dir, b),
+                          json.dumps(manifest))
         wrote += 1
 
     elapsed = time.time() - t0

@@ -1263,6 +1263,29 @@ SELECT doc_id, match_type, excerpt, rn FROM r WHERE rn BETWEEN 11 AND 20
 """
 
 
+def q40_failures_queue(spark, sf_dir):
+    """E7: the reprocessing-queue projection — low-quality rows with the
+    reference's priority rule (10 if lq_confidence > 0.8 else 5,
+    /root/reference/helpers/ocr_quality_assessment.py:152-162). Runs the
+    production classifier kernel; the oracle restates classifier + rule in
+    SQL."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", lowq_udf()(_variant_col()).alias("q"))
+    return q.filter(F.col("q.is_low_quality")).select(
+        "doc_id",
+        F.col("q.lq_reason").alias("lq_reason"),
+        F.when(F.col("q.lq_confidence") > 0.8, 10)
+        .otherwise(5).cast("int").alias("priority"),
+    )
+
+
+_Q40_SQL = f"""
+SELECT doc_id, lq_reason,
+       CASE WHEN lq_confidence > 0.8 THEN 10 ELSE 5 END AS priority
+FROM ({_Q17_SQL}) WHERE is_low_quality
+"""
+
+
 def q41_rfc2822(spark, sf_dir):
     """F11: the reference's exact RFC-2822 timestamp format for HTTP
     headers/feeds ('%a, %d %b %Y %H:%M:%S GMT',
@@ -1329,5 +1352,6 @@ QUERIES: dict[str, tuple] = {
     "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
     "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
     "q39_search_page": (q39_search_page, _Q39_SQL),
+    "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
     "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
 }

@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=1)
     ap.add_argument("--snapshot", default="unversioned")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--reprocess", action="store_true",
+        help="after extraction, run the E7 re-drive: consume the failures "
+             "queue with the aggressive pre-clean and upsert recovered turns",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +59,12 @@ def main() -> None:
         resume=not args.no_resume,
         input_snapshot=args.snapshot,
     )
+    if args.reprocess:
+        from epstein_browser_spark.pipeline import run_reprocessing
+
+        metrics["reprocess"] = run_reprocessing(
+            spark, transcripts, args.output, n_buckets=args.buckets
+        )
     print(json.dumps(metrics))
     spark.stop()
 

@@ -192,3 +192,97 @@ def test_retry_pass_bounded(spark):
     assert "recoverable sentence words here" in got["clean_text"][0]
     assert int(got["attempts"][1]) == 1  # clean row untouched
     assert int(got["attempts"][2]) <= 3  # bounded
+
+
+# ---------------------------------------------------------------------------
+# E7 failures queue + re-drive (VERDICT r1 item 4)
+# ---------------------------------------------------------------------------
+
+def test_failures_queue_written_with_priority_rule(spark, corpus_sdf, tmp_path):
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark.pipeline import read_failures
+
+    out = str(tmp_path / "e7")
+    run_extraction(spark, corpus_sdf, out, n_buckets=6)
+    data = spark.read.parquet(out + "/data")
+    fails = read_failures(spark, out)
+    # exactly the still-low-quality rows, with the reference priority rule
+    exp = data.filter(F.col("is_low_quality")).select(
+        "conv_id", "turn_idx", "lq_reason",
+        F.when(F.col("lq_confidence") > 0.8, 10).otherwise(5).alias("priority"),
+    ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = fails.select("conv_id", "turn_idx", "lq_reason", "priority") \
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) > 0  # the synthetic corpus has noise payloads
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["priority"].unique()) <= {5, 10}
+
+
+def test_failures_survive_resume_of_other_buckets(spark, corpus_sdf, tmp_path):
+    from epstein_browser_spark.pipeline import read_failures
+
+    out = str(tmp_path / "e7resume")
+    run_extraction(spark, corpus_sdf, out, n_buckets=6, input_snapshot="s1")
+    before = read_failures(spark, out).toPandas()
+    b = sorted(completed_buckets(out))[0]
+    os.remove(os.path.join(out, "_manifests", f"bucket-{b:05d}.json"))
+    shutil.rmtree(os.path.join(out, "data", f"bucket={b}"))
+    run_extraction(spark, corpus_sdf, out, n_buckets=6, input_snapshot="s1")
+    after = read_failures(spark, out).toPandas()
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True),
+        after.sort_values(key).reset_index(drop=True),
+        check_dtype=False, check_like=True,
+    )
+
+
+def test_reprocessing_consumes_queue(spark, tmp_path):
+    """A turn that fails the classifier raw but passes after the aggressive
+    pre-clean is recovered by the re-drive: removed from the queue, updated
+    in the data table; hopeless turns stay queued; untouched buckets keep
+    their files."""
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark.pipeline import read_failures, run_reprocessing
+    from epstein_browser_spark.synth import make_transcripts_pdf
+
+    pdf = make_transcripts_pdf(n_convs=12)
+    # recoverable: >50% special chars raw (excessive_special_characters),
+    # clean prose once stripped
+    recoverable = "@@##$$%%^^&&**@@##$$%%^^&&**@@## the deposition testimony " \
+                  "was entered into evidence @@##$$%%^^&&**@@##$$%%^^&&**"
+    pdf.loc[0, "text"] = recoverable
+    pdf.loc[0, "tool"] = None
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "redrive")
+    run_extraction(spark, sdf, out, n_buckets=6)
+
+    key0 = (pdf.loc[0, "conv_id"], int(pdf.loc[0, "turn_idx"]))
+    q1 = read_failures(spark, out).toPandas()
+    assert key0 in set(zip(q1["conv_id"], q1["turn_idx"]))
+    n_q1 = len(q1)
+
+    res = run_reprocessing(spark, sdf, out, n_buckets=6)
+    assert res["queued"] == n_q1
+    assert res["recovered"] >= 1
+    q2 = read_failures(spark, out).toPandas()
+    assert key0 not in set(zip(q2["conv_id"], q2["turn_idx"]))
+    assert len(q2) == n_q1 - res["recovered"]
+
+    # data table updated with the recovered clean text
+    row = (
+        spark.read.parquet(out + "/data")
+        .filter((F.col("conv_id") == key0[0]) & (F.col("turn_idx") == key0[1]))
+        .toPandas()
+    )
+    assert len(row) == 1
+    assert not row["is_low_quality"][0]
+    assert "deposition testimony" in row["clean_text"][0]
+    assert "@@" not in row["clean_text"][0]
+
+    # idempotent: a second re-drive recovers nothing new
+    res2 = run_reprocessing(spark, sdf, out, n_buckets=6)
+    assert res2["recovered"] == 0
+    assert res2["queued"] == len(q2)
