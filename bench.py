@@ -235,7 +235,7 @@ def main() -> None:
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
     total = round(sum(qt.values()) + ext["sec"], 3)
     print(json.dumps({
-        "metric": "headline suite wall time (extraction + 31 queries)",
+        "metric": f"headline suite wall time (extraction + {len(qt)} queries)",
         "value": total,
         "unit": "sec",
         "queries": qt,

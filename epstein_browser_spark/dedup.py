@@ -177,25 +177,38 @@ def minhash_dedup_pairs(
     Verification joins the shingle sets back only for candidate pairs, so
     the expensive set ops run on the (small) candidate set.
 
-    Signatures and shingle arrays are persisted: both feed two branches of
-    the plan (the LSH self-join / both sides of the verify join), and
-    recomputing the shingling per branch doubles the dominant cost. At
-    full scale these intermediates would be written to a scratch table
-    instead (same reuse, disk-backed).
+    One shingling pass feeds everything: the exploded distinct (id, shingle)
+    frame is computed ONCE (it is the dominant cost — explode + distinct
+    shuffle over every character position) and persisted; signatures and
+    shingle-set arrays are two cheap aggregations over it, themselves
+    persisted because each feeds two join branches (the LSH self-join /
+    both sides of the verify join) — an unmaterialized branch referenced
+    twice gets recomputed per side. At full scale these intermediates
+    would be written to a scratch table instead (same reuse, disk-backed).
     """
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(df, text_col, id_col, n_perms, shingle).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from epstein_browser_spark.textstats import exploded_shingles
+
+    ex = exploded_shingles(df, text_col, id_col, shingle)
+    sig_aggs = [
+        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+        for i in range(n_perms)
+    ]
+    combined = (
+        ex.groupBy("id")
+        .agg(*sig_aggs, F.collect_list("_sh").alias("grams"))
+        .select(
+            "id",
+            F.array(*[f"_h{i}" for i in range(n_perms)]).alias("sig"),
+            "grams",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs.count()  # materialize the cache BEFORE the self-join fans out:
-    # an unmaterialized persisted branch referenced from both sides of a
-    # join gets recomputed per side (cache population races the join)
+    combined.count()  # materialize BEFORE the joins fan out (see above)
+    sigs = combined.select("id", "sig")
     cands = minhash_lsh_candidates(sigs, n_bands)
-    grams = shingle_sets(df, text_col, id_col, shingle).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    grams.count()
+    grams = combined.select("id", "grams")
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
