@@ -220,6 +220,59 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+    n_bands: int = 4,
+    shingle: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH: identical pipeline shape to
+    :func:`minhash_dedup_pairs` (signatures → banded candidates with bucket
+    cap → exact-Jaccard verify) but the permutation hash is
+    ``min(md5(shingle || ':' || i))`` — a string min over md5 hex, which is
+    a perfectly uniform minhash AND restatable verbatim in any SQL engine.
+    DuckDB reproduces every stage value-for-value (queries._minhash_md5_sql).
+    The xxhash64 variant stays the production scale path (md5 costs ~10×
+    per shingle-perm); this one exists so the banding/cap/verify SEMANTICS
+    carry a full value oracle, not just rows-only checks."""
+    ex = exploded_shingles(df, text_col, id_col, shingle)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f":{i}")))).alias(f"_h{i}")
+        for i in range(n_perms)
+    ] + [F.collect_list("_sh").alias("grams")]
+    combined = ex.groupBy("id").agg(*aggs)
+    width = n_perms // n_bands
+    band_keys = [
+        F.concat_ws("|", F.lit(str(b)),
+                    *[f"_h{i}" for i in range(b * width, (b + 1) * width)])
+        for b in range(n_bands)
+    ]
+    banded = combined.select(
+        "id", "grams", F.explode(F.array(*band_keys)).alias("key")
+    )
+    bw = Window.partitionBy("key")
+    banded = (
+        banded.withColumn("_bn", F.count("*").over(bw))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"), "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"), "key")
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
                   hash_mode: str = "xxhash") -> DataFrame:

@@ -1263,6 +1263,57 @@ SELECT doc_id, match_type, excerpt, rn FROM r WHERE rn BETWEEN 11 AND 20
 """
 
 
+def q42_minhash_pairs_md5(spark, sf_dir):
+    """MinHash+LSH with the md5-string permutation hash — the SAME
+    signatures→banded-candidates→bucket-cap→verify pipeline as q20, made
+    value-oracle-checkable: DuckDB reproduces every stage (min-string
+    signatures, band keys, window bucket cap, exact-Jaccard verify). q20
+    keeps the cheap xxhash64 hash for the bench/scale path; this query
+    pins the LSH semantics."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return dedup.minhash_dedup_pairs_md5(d, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _minhash_md5_sql(n_perms: int = 16, n_bands: int = 4, shingle: int = 5,
+                     threshold: float = 0.5, max_bucket: int = 200,
+                     id_cap: int = 250) -> str:
+    width = n_perms // n_bands
+    mins = ",\n        ".join(
+        f"min(md5(sh || ':{i}')) AS h{i}" for i in range(n_perms)
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "' || '|' || " + " || '|' || ".join(
+            f"h{i}" for i in range(b * width, (b + 1) * width)
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - {shingle - 1}),
+           i -> lower(trim(text))[i:i+{shingle - 1}]))) AS sh
+  FROM documents
+  WHERE doc_id < {id_cap} AND length(lower(trim(text))) >= {shingle}),
+s AS (SELECT id,
+        {mins},
+        list_distinct(list(sh)) AS grams
+      FROM g GROUP BY id),
+b AS (SELECT id, grams, unnest([{band_keys}]) AS key FROM s),
+bc AS (SELECT *, count(*) OVER (PARTITION BY key) AS bn FROM b),
+bf AS (SELECT id, grams, key FROM bc WHERE bn <= {max_bucket}),
+p AS (
+  SELECT a.id AS id_a, c.id AS id_b,
+         CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, c.grams))) AS j
+  FROM bf a JOIN bf c ON a.key = c.key AND a.id < c.id)
+SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard
+FROM p WHERE j >= {threshold}
+"""
+
+
 def q40_failures_queue(spark, sf_dir):
     """E7: the reprocessing-queue projection — low-quality rows with the
     reference's priority rule (10 if lq_confidence > 0.8 else 5,
@@ -1354,4 +1405,5 @@ QUERIES: dict[str, tuple] = {
     "q39_search_page": (q39_search_page, _Q39_SQL),
     "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
     "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
+    "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
 }
