@@ -160,11 +160,19 @@ def run_layout(args) -> None:
     spark = _get_spark(args.cpus)
     ensure_corpus(spark, args.corpus, n)
     tr = spark.read.parquet(args.corpus)
-    pre_path = "/tmp/bench_prebucketed_v2.parquet"
+    pre_path = "/tmp/bench_prebucketed_v3.parquet"
     if not os.path.exists(os.path.join(pre_path, "_SUCCESS")):
-        with_bucket(tr, 256).write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(pre_path)
+        # group rows by bucket before writing so each bucket is ONE file —
+        # the compacted-Iceberg layout the experiment models. Writing from
+        # an arbitrarily-partitioned frame emits files-per-task-per-bucket
+        # (64 tasks × 256 buckets ≈ 16k ~12KB files), and the scan's
+        # per-file overhead then dominates the "shuffle-free" path it is
+        # supposed to showcase.
+        from pyspark.sql import functions as F
+
+        with_bucket(tr, 256).repartition(256, F.col("bucket")).write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(pre_path)
     pre = spark.read.parquet(pre_path).drop("bucket")
 
     results = {}

@@ -21,7 +21,9 @@ Raw `text` payload contracts (ours — the synthetic corpus generator in
   tool='html'  : HTML-ish markup; script/style/head and nav/footer/header/
                  aside subtrees are boilerplate; block-level tags delimit
                  candidate text blocks; blocks are kept iff they have
-                 >= MIN_BLOCK_WORDS words and link-density <= MAX_LINK_DENSITY.
+                 >= MIN_BLOCK_WORDS words, link-density <= MAX_LINK_DENSITY,
+                 and tag-density <= MAX_TAG_DENSITY (markup share of the
+                 block's raw chars).
   tool='pdf'   : one line per layout fragment ``<page>|<col>|<y>|<text>``,
                  emitted in arbitrary order; reading order = sort by
                  (page, col, y); page-furniture lines (bare page numbers)
@@ -47,6 +49,7 @@ MIN_SPAN_CONFIDENCE = 0.3
 MEANINGFUL_GATE = 10
 MIN_BLOCK_WORDS = 5
 MAX_LINK_DENSITY = 0.5
+MAX_TAG_DENSITY = 0.7  # share of block chars that are markup, not text
 
 # -- HTML regexes ------------------------------------------------------------
 _HTML_DROP_SUBTREES_RE = (
@@ -156,16 +159,26 @@ def _extract_html_mode(text: pd.Series) -> pd.DataFrame:
     if len(ex) == 0:
         return pd.DataFrame(columns=["_row", "seg_text", "kind"])
     df = pd.DataFrame({"_row": ex.index, "raw": ex.to_numpy()})
-    # link-density: chars of anchor text / chars of visible text
+    # the three block scores of the north-star DOM heuristics:
+    #   link-density: chars of anchor text / chars of visible text
+    #   tag-density:  share of the block's raw chars that are markup
+    #   text-block:   visible word count
     anchor_text = df["raw"].str.findall(_ANCHOR_TEXT_RE).str.join(" ")
     anchor_len = _normalize(anchor_text).str.len()
-    visible = _normalize(df["raw"].str.replace(_ANY_TAG_RE, " ", regex=True))
+    untagged = df["raw"].str.replace(_ANY_TAG_RE, " ", regex=True)
+    visible = _normalize(untagged)
     vis_len = visible.str.len()
     n_words = visible.str.count(r"\S+")
     link_density = anchor_len / vis_len.replace(0, 1)
+    raw_len = df["raw"].str.len()
+    tag_density = 1.0 - untagged.str.len() / raw_len.replace(0, 1)
     df["seg_text"] = visible
     df["kind"] = "block"
-    keep = (n_words >= MIN_BLOCK_WORDS) & (link_density <= MAX_LINK_DENSITY)
+    keep = (
+        (n_words >= MIN_BLOCK_WORDS)
+        & (link_density <= MAX_LINK_DENSITY)
+        & (tag_density <= MAX_TAG_DENSITY)
+    )
     return df.loc[keep, ["_row", "seg_text", "kind"]]
 
 

@@ -34,13 +34,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size trades per-batch Python-worker roundtrip
         # overhead (wants bigger) against the kernels' numpy working set
-        # per batch (wants smaller: 32 concurrent workers each holding
-        # codepoint+mask arrays pressure memory bandwidth). 32k rows
-        # measured best end-to-end on 32 cores (64k equivalent within
-        # noise); override via SPARK_ARROW_BATCH
+        # per batch (wants smaller: N concurrent workers each hold
+        # codepoint+mask arrays; past the shared-cache budget throughput
+        # collapses). Measured on 32 cores with 37k-row input partitions:
+        # 32768 → 28k turns/s, 8192 → 164k, 2048 → 178k — the r1 "32k is
+        # best" reading was an artifact of 4.7k-row shuffle partitions
+        # capping the REAL batch size; single-threaded the kernel is only
+        # ~30% slower at 32k, so this is cache pressure, not algorithmic.
+        # 8192 balances roundtrip overhead vs cache. Override via
+        # SPARK_ARROW_BATCH.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_ARROW_BATCH", "32768"),
+            os.environ.get("SPARK_ARROW_BATCH", "8192"),
         )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")

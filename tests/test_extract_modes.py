@@ -114,3 +114,18 @@ def test_span_reconstruction_invariant_on_corpus():
     out = extract_batch(df["text"], df["tool"])
     for _, r in out.iterrows():
         assert _reconstruct(r) == r["clean_text"]
+
+
+def test_html_tag_density_drops_markup_heavy_blocks():
+    """North-star DOM heuristic #3: a block whose raw chars are mostly
+    markup is boilerplate even when its words are numerous and its links
+    few (e.g. styling-wrapper soup)."""
+    heavy = ("<p>" + "".join(
+        f'<b class="x{i}" style="font-weight:bold">w{i}</b> ' for i in range(8)
+    ) + "</p>")
+    clean = "<p>eight plain words of real prose content here</p>"
+    out = extract_batch(
+        pd.Series([heavy, clean]), pd.Series(["html", "html"])
+    )
+    assert out["clean_text"][0] == ""          # dropped: tag-density > 0.7
+    assert "real prose" in out["clean_text"][1]  # kept: tag-density ~ 0
