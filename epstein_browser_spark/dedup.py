@@ -87,17 +87,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        n: int = 5) -> DataFrame:
     """(id, sig: array<long>) — MinHash over char n-gram shingles.
 
-    Shape: explode shingles → n_perms plain min(xxhash64(shingle, i))
-    aggregates → assemble the signature array. Flat aggregates stay inside
-    whole-stage codegen with map-side partial aggregation (the shuffle
-    carries one n_perms-wide row per doc per partition, NOT the exploded
-    shingles). This beats the nested higher-order-function formulation by
-    an order of magnitude: lambda-based transforms are interpreted, not
-    codegen'd, and re-materialize the shingle array per permutation.
+    Shape: explode shingles → ONE xxhash64 of the shingle string → n_perms
+    re-hashes of that 8-byte base value (xxhash64(h, i) — fixed-width
+    input, so each permutation costs a constant ~10ns instead of
+    re-scanning the whole shingle string as r1's xxhash64(shingle, i)
+    did) → n_perms plain min aggregates → assemble the signature array.
+    Flat aggregates stay inside whole-stage codegen with
+    map-side partial aggregation (the shuffle carries one n_perms-wide row
+    per doc per partition, NOT the exploded shingles). This beats the
+    nested higher-order-function formulation by an order of magnitude:
+    lambda-based transforms are interpreted, not codegen'd, and
+    re-materialize the shingle array per permutation.
     """
-    ex = exploded_shingles(df, text_col, id_col, n)
+    ex = exploded_shingles(df, text_col, id_col, n).select(
+        "id", F.xxhash64("_sh").alias("_h")
+    )
     aggs = [
-        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}")
         for i in range(n_perms)
     ]
     return (
@@ -190,9 +196,13 @@ def minhash_dedup_pairs(
 
     from epstein_browser_spark.textstats import exploded_shingles
 
-    ex = exploded_shingles(df, text_col, id_col, shingle)
+    ex = exploded_shingles(df, text_col, id_col, shingle).withColumn(
+        "_h", F.xxhash64("_sh")
+    )
+    # base-hash once per shingle; per-permutation re-hash is fixed-width
+    # (see minhash_signatures)
     sig_aggs = [
-        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}")
         for i in range(n_perms)
     ]
     combined = (
