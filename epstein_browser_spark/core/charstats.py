@@ -56,6 +56,14 @@ _TABLES = {
     "meaningful": T_MEANINGFUL, "special": T_SPECIAL,
 }
 
+# all 8 class tables packed into one uint8 bitmask table: the per-batch
+# ASCII class lookup becomes ONE gather (T_BITS[codes]) shared by every
+# class instead of a full-array gather per class
+_CLASS_BIT = {name: k for k, name in enumerate(_TABLES)}
+T_BITS = np.zeros(128, dtype=np.uint8)
+for _name, _k in _CLASS_BIT.items():
+    T_BITS |= _TABLES[_name].astype(np.uint8) << np.uint8(_k)
+
 
 class BatchChars:
     """Flat codepoint view of a batch of strings with per-row reductions."""
@@ -80,6 +88,7 @@ class BatchChars:
         self._hi_uniq = np.unique(self._hi) if len(self._hi) else None
         self._class_cache: dict[str, np.ndarray] = {}
         self._row_of: np.ndarray | None = None
+        self._bits: np.ndarray | None = None
 
     def row_of(self) -> np.ndarray:
         """Row id of every character (computed once per batch)."""
@@ -95,8 +104,11 @@ class BatchChars:
         m = self._class_cache.get(name)
         if m is not None:
             return m
-        mask = np.zeros(len(self.codes), dtype=bool)
-        mask[self._is_ascii] = _TABLES[name][self.codes[self._is_ascii]]
+        if self._bits is None:
+            bits = np.zeros(len(self.codes), dtype=np.uint8)
+            bits[self._is_ascii] = T_BITS[self.codes[self._is_ascii]]
+            self._bits = bits
+        mask = (self._bits & np.uint8(1 << _CLASS_BIT[name])) != 0
         if self._hi_uniq is not None:
             pred = _PREDS[name]
             ok = np.array([pred(chr(int(c))) for c in self._hi_uniq], dtype=bool)
@@ -173,11 +185,19 @@ class BatchChars:
         lc = self.codes.astype(np.int64)
         upper = (lc >= 65) & (lc <= 90)
         lc[upper] += 32
-        a, b, c, d = lc[:-3], lc[1:-2], lc[2:-1], lc[3:]
-        hit = np.zeros(len(a), dtype=bool)
+        # pack each 4-char window into one int64 word: one compare per
+        # pattern instead of four. Non-ASCII codepoints (up to 21 bits —
+        # they would spill across 16-bit fields) are clamped to 127 (DEL),
+        # which no ASCII pattern contains: windows holding them can never
+        # match, exactly as before; pure-ASCII windows are unaffected.
+        np.minimum(lc, 127, out=lc)
+        packed = (
+            (lc[:-3] << 48) | (lc[1:-2] << 32) | (lc[2:-1] << 16) | lc[3:]
+        )
+        hit = np.zeros(len(packed), dtype=bool)
         for p in patterns:
             p0, p1, p2, p3 = (ord(ch) for ch in p)
-            hit |= (a == p0) & (b == p1) & (c == p2) & (d == p3)
+            hit |= packed == ((p0 << 48) | (p1 << 32) | (p2 << 16) | p3)
         if not hit.any():
             return out
         idx = np.flatnonzero(hit)

@@ -31,25 +31,28 @@ _FAILURE_PATTERN_RE = "|".join(_FAILURE_PATTERNS)  # kept for SQL oracles/tests
 
 def _strip_region(bc: BatchChars):
     """Per-row (first_nonws_idx, last_nonws_idx, strip_len) plus the
-    per-char in-region mask; rows with no non-ws chars get strip_len 0."""
+    per-char in-region mask; rows with no non-ws chars get strip_len 0.
+
+    Segmented min/max via ``reduceat`` over the row-offset boundaries —
+    one pass each, no sorting (the previous flatnonzero + double
+    np.unique formulation cost ~47% of the whole kernel in argsort)."""
     n = bc.n
     total = len(bc.codes)
     first_nw = np.full(n, -1, dtype=np.int64)
     last_nw = np.full(n, -2, dtype=np.int64)
     if total:
         nonws = ~bc.char_class("ws")
-        idx = np.flatnonzero(nonws)
-        if len(idx):
-            rows = bc.row_of()[idx]
-            # idx ascending & rows non-decreasing → first/last occurrence
-            uniq, firsts = np.unique(rows, return_index=True)
-            first_nw[uniq] = idx[firsts]
-            lasts = len(rows) - 1 - np.unique(rows[::-1], return_index=True)[1]
-            last_nw[uniq] = idx[lasts]
-        in_region = np.zeros(total, dtype=bool)
+        idx = np.arange(total, dtype=np.int64)
+        nz = bc.lens > 0
+        starts = bc.offsets[nz]  # strictly increasing: zero-len rows skipped
+        fwd = np.where(nonws, idx, total)  # sentinel: no non-ws in segment
+        bwd = np.where(nonws, idx, -1)
+        f = np.minimum.reduceat(fwd, starts)
+        la = np.maximum.reduceat(bwd, starts)
+        first_nw[nz] = np.where(f < total, f, -1)
+        last_nw[nz] = np.where(la >= 0, la, -2)
         ro = bc.row_of()
-        all_idx = np.arange(total, dtype=np.int64)
-        in_region = (all_idx >= first_nw[ro]) & (all_idx <= last_nw[ro])
+        in_region = (idx >= first_nw[ro]) & (idx <= last_nw[ro])
     else:
         in_region = np.zeros(0, dtype=bool)
     strip_len = np.maximum(last_nw - first_nw + 1, 0)
