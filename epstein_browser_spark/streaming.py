@@ -85,6 +85,68 @@ def start_extraction_stream(
     )
 
 
+PROGRESS_SCHEMA = (
+    "conv_id string, n_turns bigint, n_failed bigint, chars_out bigint, "
+    "max_turn_idx int"
+)
+_PROGRESS_STATE_SCHEMA = (
+    "n_turns bigint, n_failed bigint, chars_out bigint, max_turn_idx int"
+)
+
+
+def conversation_progress_stream(extracted_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-conversation running progress — turns seen, parse failures, chars
+    emitted, highest turn index — carried across micro-batches in the
+    state store. This is the streaming replacement for the reference's
+    mutable per-row status flags and its progress JSON
+    (/root/reference/index_images.py:128 in-place UPDATEs;
+    /root/reference/helpers/ocr_sync/ocr_sync.py:122-144): state lives in
+    the checkpointed store keyed by conv_id, not in overwritten rows, so a
+    restart resumes the counters exactly.
+
+    Each micro-batch emits the UPDATED row per touched conversation
+    ("update" semantics — the latest row per conv_id is current). Arrow-
+    batched like every other Python crossing: the update function receives
+    each conversation's rows as pandas frames.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        n_turns, n_failed, chars_out, max_turn = (
+            state.get if state.exists else (0, 0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_failed += int(pdf["parse_failed"].sum())
+            chars_out += int(pdf["clean_text"].fillna("").str.len().sum())
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_failed, chars_out, max_turn))
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_turns": n_turns,
+                    "n_failed": n_failed,
+                    "chars_out": chars_out,
+                    "max_turn_idx": max_turn,
+                }
+            ]
+        )
+
+    return extracted_stream.select(
+        "conv_id", "turn_idx", "parse_failed", "clean_text"
+    ).groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=PROGRESS_SCHEMA,
+        stateStructType=_PROGRESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def hourly_event_counts_stream(events_stream: DataFrame,
                                watermark: str = "2 hours") -> DataFrame:
     """A7 as a real stream: watermarked tumbling 1-hour window (the batch

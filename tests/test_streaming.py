@@ -98,3 +98,56 @@ def test_stream_resume_picks_up_only_new_files(spark, corpus_sdf, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n1 + half2.count()
     assert os.path.isdir(ckpt)
+
+
+def test_stateful_conversation_progress(spark, corpus_pdf, corpus_sdf, tmp_path):
+    """applyInPandasWithState (§2.11 custom stateful op): per-conversation
+    counters carried across micro-batches must equal the batch groupBy on
+    the same corpus — the latest emitted row per conv_id is the final
+    state, even though the input arrives over several micro-batches."""
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark.streaming import (
+        conversation_progress_stream,
+        extract_stream,
+        read_transcripts_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    # several input files + maxFilesPerTrigger=1 forces multiple
+    # micro-batches, so state genuinely carries across batches
+    corpus_sdf.repartition(4).write.parquet(in_dir)
+
+    stream = read_transcripts_stream(spark, in_dir, max_files_per_trigger=1)
+    progress = conversation_progress_stream(extract_stream(stream, n_buckets=4))
+    q = (
+        progress.writeStream.format("memory")
+        .queryName("conv_progress")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_all = spark.sql("SELECT * FROM conv_progress").toPandas()
+    assert len(got_all) > len(got_all["conv_id"].unique()), \
+        "expected multiple update emissions across micro-batches"
+    # latest emission per conv = running totals after the whole corpus
+    got = (
+        got_all.groupby("conv_id").last()
+        .reset_index().sort_values("conv_id").reset_index(drop=True)
+    )
+    exp = (
+        extract_transcripts(corpus_sdf, n_buckets=4)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("parse_failed"), 1).otherwise(0)).alias("n_failed"),
+            F.sum(F.length(F.coalesce("clean_text", F.lit("")))).alias("chars_out"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
