@@ -301,7 +301,15 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     and produce 64 independent uniform bits."""
     ex = exploded_shingles(df, text_col, id_col, n)
     if hash_mode == "md5":
-        ex = ex.select("id", F.md5("_sh").alias("_h"))
+        # project the 16 hex-digit values ONCE per shingle; the 64 bit
+        # tests below are then cheap int ops instead of 64 conv+substring
+        # evaluations per row
+        digits = [
+            F.conv(F.substring(F.md5("_sh"), d + 1, 1), 16, 10)
+            .cast("int").alias(f"_d{d}")
+            for d in range(16)
+        ]
+        ex = ex.select("id", *digits)
     elif hash_mode == "xxhash":
         ex = ex.select("id", F.xxhash64("_sh").alias("_h"))
     else:
@@ -309,8 +317,7 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     aggs = []
     for b in range(64):
         if hash_mode == "md5":
-            digit = F.conv(F.substring("_h", b // 4 + 1, 1), 16, 10).cast("int")
-            bit_set = digit.bitwiseAND(F.lit(1 << (b % 4))) != 0
+            bit_set = F.col(f"_d{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) != 0
         elif b == 63:
             bit_set = F.col("_h") < 0  # sign bit; 1<<63 overflows a long literal
         else:
