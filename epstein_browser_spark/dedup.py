@@ -283,6 +283,82 @@ def minhash_dedup_pairs_md5(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs`` (id_a, id_b):
+    cluster_id = min id of the connected component — dup-cluster resolution
+    for near-duplicate pairs, so a curation pipeline can keep one canonical
+    document per cluster.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels — converges in O(component
+    diameter) rounds (near-dup clusters are shallow; at adversarial scale
+    swap in the small-star/large-star contraction, which converges in
+    O(log n) with the same join shape). Labels are monotonically
+    non-increasing, so convergence is detected by an unchanged label SUM —
+    one scalar aggregate per round, no row-level driver traffic. Each
+    round's result is localCheckpoint'd: iterative self-joins otherwise
+    stack lineage exponentially (on a cluster use spark.checkpoint with a
+    checkpoint dir instead)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("d"),
+                              F.col("label").alias("d_label")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("d_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease → fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full keep-policy table: every doc gets (id, cluster_id,
+    is_canonical); docs in no near-dup pair are their own singleton
+    cluster, and the kept representative is the min id per cluster."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )
+
+
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
                   hash_mode: str = "xxhash") -> DataFrame:

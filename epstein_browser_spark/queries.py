@@ -1314,6 +1314,48 @@ FROM p WHERE j >= {threshold}
 """
 
 
+def q43_dup_clusters(spark, sf_dir):
+    """Dup-cluster resolution: connected components over the q19 near-dup
+    pairs (iterative min-label propagation — the keep-one-canonical-doc
+    step every curation pipeline needs after near-dup detection). Oracle:
+    DuckDB recursive-CTE reachability closure over the identical pair
+    set."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.dedup_clusters(d, pairs).select(
+        "id", "cluster_id", "is_canonical"
+    )
+
+
+_Q43_SQL = """
+WITH RECURSIVE g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - 2),
+           i -> lower(trim(text))[i:i+2])) AS grams
+  FROM documents WHERE doc_id < 200 AND length(lower(trim(text))) >= 3),
+b AS (SELECT id, grams, list_sort(grams)[1] AS blk FROM g),
+p AS (
+  SELECT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+  WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.5),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT s AS id FROM e),
+walk(id, label) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.s, w.label FROM e JOIN walk w ON e.d = w.id),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT doc.doc_id AS id,
+       coalesce(comp.cluster_id, doc.doc_id) AS cluster_id,
+       doc.doc_id = coalesce(comp.cluster_id, doc.doc_id) AS is_canonical
+FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
+WHERE doc.doc_id < 200
+"""
+
+
 def q40_failures_queue(spark, sf_dir):
     """E7: the reprocessing-queue projection — low-quality rows with the
     reference's priority rule (10 if lq_confidence > 0.8 else 5,
@@ -1406,4 +1448,5 @@ QUERIES: dict[str, tuple] = {
     "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
     "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
+    "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
 }

@@ -333,3 +333,24 @@ def test_merge_into_bucketed_all_skip_is_noop(spark, tmp_path):
     assert stats["buckets_rewritten"] == 0
     assert stats["skipped"] == 50
     assert _snapshot_files(target_dir) == before
+
+
+def test_connected_components_multihop(spark):
+    """Min-label propagation must close transitively: a 5-node chain (all
+    pairwise-adjacent only to neighbors) resolves to one cluster labeled by
+    its min id, independent of edge direction; separate components stay
+    separate; singletons are their own canonical."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 11, 12, 13, 50], "id_b": [11, 12, 13, 14, 51]})
+    )
+    comp = dedup.connected_components(pairs).toPandas().set_index("id")
+    assert set(comp.loc[[10, 11, 12, 13, 14], "cluster_id"]) == {10}
+    assert set(comp.loc[[50, 51], "cluster_id"]) == {50}
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [10, 11, 12, 13, 14, 50, 51, 99]}))
+    out = dedup.dedup_clusters(docs, pairs).toPandas().set_index("id")
+    assert out.loc[99, "cluster_id"] == 99 and bool(out.loc[99, "is_canonical"])
+    assert bool(out.loc[10, "is_canonical"]) and not bool(out.loc[14, "is_canonical"])
+    # exactly one canonical per cluster
+    can = out[out["is_canonical"]]
+    assert sorted(can.index) == [10, 50, 99]
