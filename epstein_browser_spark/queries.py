@@ -1401,6 +1401,92 @@ FROM orders
 """
 
 
+def q44_sessions(spark, sf_dir):
+    """Event-time sessionization: per-user session windows with a
+    30-minute inactivity gap (F.session_window — the batch form of the
+    streaming session operator; training-data pipelines sessionize
+    interaction logs exactly like this). Oracle: gaps-and-islands with
+    lag + running sum. Session end = last event + gap (Spark
+    session_window semantics, mirrored in the SQL)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_Q44_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q45_length_quantiles(spark, sf_dir):
+    """Exact distributional stats for curation decisions: continuous
+    percentiles of document length per source (Spark `percentile` — exact,
+    linear interpolation; DuckDB quantile_cont is the same estimator)."""
+    d = _t(spark, sf_dir, "documents")
+    aggs = [
+        F.round(F.expr(f"percentile(n_chars, {q})"), 4).alias(f"p{int(q * 100)}")
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return d.groupBy("source").agg(F.count("*").alias("n_docs"), *aggs)
+
+
+_Q45_SQL = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY source
+"""
+
+
+def q46_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) from md5(doc_id) —
+    stable across runs, engines, and row order (textstats.
+    deterministic_split); plus the realized distribution."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.deterministic_split(F.col("doc_id")).alias("split")
+    )
+
+
+_Q46_SQL = """
+SELECT doc_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+           AS b
+  FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1449,4 +1535,7 @@ QUERIES: dict[str, tuple] = {
     "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
+    "q44_sessions": (q44_sessions, _Q44_SQL),
+    "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
+    "q46_split_assign": (q46_split_assign, _Q46_SQL),
 }

@@ -99,6 +99,28 @@ def predicted_lang(col: Column) -> Column:
     ).otherwise(F.lit("und"))
 
 
+SPLIT_NAMES = ["train", "val", "test"]
+
+
+def deterministic_split(id_col: Column, train_pct: int = 80,
+                        val_pct: int = 10) -> Column:
+    """Stable train/val/test assignment from the id alone: bucket 0-99 from
+    the first two hex digits of md5(id) — reproducible in any engine (no
+    RNG, no row order dependence), so a re-run or a different system
+    assigns every document identically. The curation counterpart of
+    `DataFrame.randomSplit`, which is neither stable across runs nor
+    restatable in SQL."""
+    h = F.md5(id_col.cast("string"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(100)
+    )
+    return (
+        F.when(bucket < train_pct, SPLIT_NAMES[0])
+        .when(bucket < train_pct + val_pct, SPLIT_NAMES[1])
+        .otherwise(SPLIT_NAMES[2])
+    )
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-gram shingles (JVM-side via sequence+transform)."""
     t = F.lower(F.trim(col))
