@@ -1445,7 +1445,10 @@ FROM s GROUP BY user_id, session_id
 def q45_length_quantiles(spark, sf_dir):
     """Exact distributional stats for curation decisions: continuous
     percentiles of document length per source (Spark `percentile` — exact,
-    linear interpolation; DuckDB quantile_cont is the same estimator)."""
+    linear interpolation; DuckDB quantile_cont is the same estimator).
+    Scale note: exact percentile buffers the group's values; at 100 TB use
+    `approx_percentile` (t-digest sketch, partial-aggregable, bounded
+    memory) — the exact form here is what gives the value oracle."""
     d = _t(spark, sf_dir, "documents")
     aggs = [
         F.round(F.expr(f"percentile(n_chars, {q})"), 4).alias(f"p{int(q * 100)}")
