@@ -289,23 +289,26 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     for near-duplicate pairs, so a curation pipeline can keep one canonical
     document per cluster.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels — converges in O(component
-    diameter) rounds (near-dup clusters are shallow; at adversarial scale
-    swap in the small-star/large-star contraction, which converges in
-    O(log n) with the same join shape). Labels are monotonically
-    non-increasing, so convergence is detected by an unchanged label SUM —
-    one scalar aggregate per round, no row-level driver traffic. Each
-    round's result is localCheckpoint'd: iterative self-joins otherwise
-    stack lineage exponentially (on a cluster use spark.checkpoint with a
-    checkpoint dir instead)."""
-    edges = (
-        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-        )
-        .distinct()
-    )
+    Iterative min-label propagation WITH pointer jumping: each round every
+    node takes the min of its own and its neighbors' labels, then labels
+    are chased one hop (label(x) := label(label(x))) — the doubling step
+    turns O(diameter) convergence into O(log diameter), which is also why
+    adversarial chain-shaped components don't blow the round count at
+    scale. Labels are monotonically non-increasing, so convergence is
+    detected by an unchanged label SUM — one scalar aggregate per round,
+    no row-level driver traffic. Each round's result is localCheckpoint'd:
+    iterative self-joins otherwise stack lineage exponentially (on a
+    cluster use spark.checkpoint with a checkpoint dir instead). Duplicate
+    edges are NOT deduped — min() absorbs them, and the distinct would
+    cost an extra shuffle every run."""
+    edges = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    ).localCheckpoint(eager=True)
+    # ^ materialized ONCE: `pairs` is typically an expensive near-dup
+    # pipeline, and every iteration below would otherwise recompute its
+    # whole lineage
     labels = (
         edges.select(F.col("s").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -322,13 +325,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("s")
             .agg(F.min("d_label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["s"], "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label(x) := label(label(x)) — halves remaining depth
+        jump = stepped.select(F.col("id").alias("_jid"),
+                              F.col("label").alias("_jlabel"))
         labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            stepped.join(jump, stepped["label"] == jump["_jid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
+                F.coalesce("_jlabel", F.col("label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
