@@ -94,3 +94,22 @@ def test_row_count_offsets_with_empty_rows():
     got = bc.count_class("alpha")
     assert list(got) == [0, 2, 0, 1, 0]
     assert np.array_equal(bc.lens, [0, 2, 0, 1, 0])
+
+
+def test_contains_4gram_astral_codepoints_no_false_positive():
+    """The packed-int64 matcher clamps non-ASCII codepoints to an
+    unmatchable sentinel: astral chars whose low 16 bits equal an ASCII
+    pattern char (e.g. U+1F061 & 0xFFFF == 0x61 'a') must NOT create a
+    match, and real matches adjacent to astral chars must survive."""
+    from epstein_browser_spark.core.charstats import BatchChars
+
+    sneaky = "\U0001F073\U0001F064\U0001F066\U0001F073"  # low bytes spell 'sdfs'-ish
+    rows = [
+        "x" + sneaky + "x",            # no ASCII 'asdf' anywhere
+        "\U0001F061sdf",               # astral + 'sdf' — not a 4-gram match
+        "ok asdf ok \U0001F061",       # genuine match beside astral char
+        "QweR",                        # case-insensitive genuine match
+    ]
+    bc = BatchChars(rows)
+    got = bc.contains_any_4gram(["asdf", "qwer"])
+    assert list(got) == [False, False, True, True]

@@ -354,3 +354,12 @@ def test_connected_components_multihop(spark):
     # exactly one canonical per cluster
     can = out[out["is_canonical"]]
     assert sorted(can.index) == [10, 50, 99]
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup.connected_components(pairs).count() == 0
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2]}))
+    out = dedup.dedup_clusters(docs, pairs).toPandas()
+    assert list(out["cluster_id"]) == [1, 2]
+    assert out["is_canonical"].all()
