@@ -90,6 +90,56 @@ def extract_media_features(media_df):
     return media_df.mapInPandas(media_features_map_in_pandas, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, ts_ms int, frame_hash string, "
+    "decode_status string"
+)
+
+
+def frames_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N frame sampling through Arrow: each video row expands to
+    ceil-capped ``max(1, duration_ms // 1000)`` frame records at 1 fps.
+    The decode itself is stubbed (no video libs in this container) — the
+    frame identity is a deterministic hash of (payload, frame_idx) — but
+    the Spark-side plumbing is real: binary payloads in, row-expansion
+    out, vectorized with numpy repeat (no per-row Python loop over
+    frames)."""
+    import hashlib
+
+    for pdf in batches:
+        pdf = pdf[pdf["kind"] == "video"].reset_index(drop=True)
+        if not len(pdf):
+            continue
+        n_frames = np.maximum(
+            1, pdf["duration_ms"].to_numpy(dtype=np.int64) // 1000
+        )
+        row_of = np.repeat(np.arange(len(pdf)), n_frames)
+        # frame_idx = position within each row's run
+        starts = np.cumsum(n_frames) - n_frames
+        frame_idx = np.arange(len(row_of)) - starts[row_of]
+        payloads = pdf["payload"].to_numpy(dtype=object)
+        hashes = [
+            hashlib.md5(
+                bytes(payloads[r]) + b":" + str(i).encode()
+            ).hexdigest()
+            for r, i in zip(row_of, frame_idx)
+        ]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].to_numpy()[row_of],
+                "frame_idx": frame_idx.astype("int32"),
+                "ts_ms": (frame_idx * 1000).astype("int32"),
+                "frame_hash": hashes,
+                "decode_status": "stubbed",
+            }
+        )
+
+
+def sample_frames(media_df):
+    """video rows of a media table → frame records (FRAME_SCHEMA)."""
+    return media_df.mapInPandas(frames_map_in_pandas, schema=FRAME_SCHEMA)
+
+
 def synth_media_spark(spark, n: int = 100):
     """Deterministic binary test fixtures built with column expressions:
     payload = md5 hex of the id, cast to binary."""
@@ -106,5 +156,6 @@ def synth_media_spark(spark, n: int = 100):
         F.lit("application/octet-stream").alias("mime"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
-        F.lit(1000).alias("duration_ms"),
+        # variable durations so frame sampling expands to 1..2 frames
+        (F.lit(500) * (F.pmod("id", F.lit(5)) + 1)).cast("int").alias("duration_ms"),
     )

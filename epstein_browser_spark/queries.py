@@ -1401,6 +1401,39 @@ FROM orders
 """
 
 
+def q47_frame_sample(spark, sf_dir):
+    """Multimodal 1→N row expansion through Arrow: frame sampling of video
+    payloads at 1 fps (decode stubbed — frame identity is a deterministic
+    (payload, idx) hash — but the mapInPandas row-expansion plumbing is
+    real and value-oracle-checked over the same synthetic media)."""
+    from epstein_browser_spark import multimodal
+
+    media = multimodal.synth_media_spark(spark, 200)
+    return multimodal.sample_frames(media)
+
+
+_Q47_SQL = """
+WITH m AS (
+  SELECT range AS media_id,
+         CASE CAST(range % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(500 * (range % 5 + 1) AS INT) AS duration_ms,
+         repeat(md5(CAST(range AS VARCHAR)), 4) AS payload
+  FROM range(200)),
+v AS (SELECT * FROM m WHERE kind = 'video'),
+f AS (SELECT media_id, payload,
+             unnest(generate_series(
+               0, CAST(greatest(1, duration_ms // 1000) AS INT) - 1))
+               AS frame_idx
+      FROM v)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1000 AS INT) AS ts_ms,
+       md5(payload || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash,
+       'stubbed' AS decode_status
+FROM f
+"""
+
+
 def q44_sessions(spark, sf_dir):
     """Event-time sessionization: per-user session windows with a
     30-minute inactivity gap (F.session_window — the batch form of the
@@ -1541,4 +1574,5 @@ QUERIES: dict[str, tuple] = {
     "q44_sessions": (q44_sessions, _Q44_SQL),
     "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
     "q46_split_assign": (q46_split_assign, _Q46_SQL),
+    "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
 }
