@@ -18,10 +18,16 @@ Layout:
   ordering.py stable (conv_id, turn_idx) navigation windows (W1-W5)
   queries.py  relational query surface (stats/search/analytics) with
               DuckDB-oracle-checkable SQL equivalents
-  dedup.py    exact / minhash-LSH / simhash / n-gram-jaccard dedup
+  dedup.py    exact / minhash-LSH / simhash / n-gram-jaccard dedup +
+              dup-cluster resolution (connected components)
   similarity.py  embedding ANN (brute-force cosine top-k + LSH buckets)
   textstats.py   language-id, quality scoring, token counts, fingerprints
-  multimodal.py  binary-column plumbing (decode stubbed; schema real)
+  multimodal.py  binary-column plumbing + frame sampling (decode stubbed)
+  merge.py    content-hash merge classification + the real per-bucket
+              merge/upsert sinks (dynamic partition overwrite)
+  streaming.py   checkpointed streaming variant + stateful per-conversation
+              progress (applyInPandasWithState)
+  fsutil.py   Hadoop-FS small-file I/O (manifests work on hdfs://s3a://)
   synth.py    deterministic synthetic transcripts generator (seed=42)
 """
 
