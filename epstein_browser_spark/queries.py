@@ -1434,6 +1434,46 @@ FROM f
 """
 
 
+def q48_ivf_topk(spark, sf_dir):
+    """IVF ANN (nprobe=1): sampled-centroid coarse quantizer → nearest-cell
+    assignment → exact cosine top-k inside the query's cell. Deterministic
+    end-to-end (no k-means float ambiguity), so the ENTIRE index +
+    search is value-oracle-checked; at 100 TB the assigned table is stored
+    PARTITIONED BY (cell) and a probe is a pruned scan of ~1/n_centroids
+    of the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, _Q23_QVEC, n_centroids=16, k=10)
+
+
+def _q48_sql() -> str:
+    qlit = "[" + ", ".join(f"{x:.1f}" for x in _Q23_QVEC) + "]"
+    cos = (
+        f"list_dot_product(a.v, {qlit}) / (sqrt(list_dot_product(a.v, a.v))"
+        f" * sqrt(list_dot_product({qlit}, {qlit})))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+p AS (SELECT e.vec_id, e.v, c.cid,
+        list_dot_product(e.v, e.v) + list_dot_product(c.cvec, c.cvec)
+          - 2 * list_dot_product(e.v, c.cvec) AS d
+      FROM e CROSS JOIN c),
+m AS (SELECT vec_id, min(d) AS mind FROM p GROUP BY vec_id),
+a AS (SELECT p.vec_id, p.v, min(p.cid) AS cell
+      FROM p JOIN m ON p.vec_id = m.vec_id AND p.d = m.mind
+      GROUP BY p.vec_id, p.v),
+qc AS (SELECT cid AS q_cell FROM (
+         SELECT cid,
+                list_dot_product({qlit}, {qlit})
+                  + list_dot_product(cvec, cvec)
+                  - 2 * list_dot_product({qlit}, cvec) AS d
+         FROM c) ORDER BY d ASC, cid ASC LIMIT 1)
+SELECT a.vec_id, round({cos}, 6) AS cosine_sim
+FROM a JOIN qc ON a.cell = qc.q_cell
+ORDER BY {cos} DESC, a.vec_id ASC LIMIT 10
+"""
+
+
 def q44_sessions(spark, sf_dir):
     """Event-time sessionization: per-user session windows with a
     30-minute inactivity gap (F.session_window — the batch form of the
@@ -1575,4 +1615,5 @@ QUERIES: dict[str, tuple] = {
     "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
     "q46_split_assign": (q46_split_assign, _Q46_SQL),
     "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
+    "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
 }

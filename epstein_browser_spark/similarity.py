@@ -152,6 +152,78 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def dist2(a: Column, b: Column) -> Column:
+    """Squared L2 via |a|² + |b|² − 2a·b — three sequential-fold dot
+    products, so the float result is bit-identical in any engine that
+    folds left-to-right (the oracle uses the same decomposition)."""
+    return dot(a, a) + dot(b, b) - 2 * dot(a, b)
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sampled-centroid coarse quantizer: centroid c = the corpus vector
+    with id c. The no-refinement IVF flavor — deterministic (no k-means
+    float-accumulation-order ambiguity, so the whole index is
+    value-oracle-checkable); swap in k-means|| centroids when recall
+    matters more than reproducibility."""
+    return embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id_col…, cell) — nearest centroid by squared L2, ties to the lower
+    centroid id. The centroid table is tiny and broadcast; per vector the
+    candidate rows are n_centroids wide, then a min + equality join-back
+    picks the argmin (float equality is safe: both sides are the same
+    deterministic expression). At 100 TB the assigned table is written
+    ``PARTITIONED BY (cell)`` so a probe is a partition-pruned scan —
+    same layout story as the LSH bucket."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    pairs = embeddings.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col),
+        "cid", dist2(F.col(vec_col), F.col("cvec")).alias("_d"),
+    )
+    mins = pairs.groupBy(id_col).agg(F.min("_d").alias("_mind"))
+    return (
+        pairs.join(mins, id_col)
+        .filter(F.col("_d") == F.col("_mind"))
+        .groupBy(id_col, vec_col)
+        .agg(F.min("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search, nprobe=1: find the query's nearest centroid, score only
+    that cell's vectors by cosine, take top-k. The scan cost is ~1/n_centroids
+    of the corpus (a pruned partition read once the assigned table is
+    stored partitioned by cell)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    qcell = (
+        cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("cid"))
+        .limit(1)
+        .select(F.col("cid").alias("q_cell"))
+    )
+    return (
+        assigned.join(F.broadcast(qcell), F.col("cell") == F.col("q_cell"))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_c", 6).alias("cosine_sim"))
+    )
+
+
 def lsh_topk_df(
     spark,
     embeddings_with_bucket: DataFrame,

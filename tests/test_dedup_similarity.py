@@ -363,3 +363,20 @@ def test_connected_components_empty_pairs(spark):
     out = dedup.dedup_clusters(docs, pairs).toPandas()
     assert list(out["cluster_id"]) == [1, 2]
     assert out["is_canonical"].all()
+
+
+def test_ivf_assignment_and_self_query(spark, sf_dir):
+    """IVF sanity: every vector gets exactly one cell; centroid vectors
+    are assigned to their own cell (distance 0, tie→min cid); querying
+    with an in-corpus vector returns that vector as top-1 (it lives in
+    the probed cell by construction)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    assigned = similarity.ivf_assign(e, n_centroids=16)
+    assert assigned.count() == n
+    cents = assigned.filter(F.col("vec_id") < 16).toPandas()
+    assert (cents["cell"] == cents["vec_id"]).all()
+    row = e.filter(F.col("vec_id") == 7).select("embedding").head()
+    q = [float(x) for x in row["embedding"]]
+    top = similarity.ivf_topk(e, q, n_centroids=16, k=1).toPandas()
+    assert list(top["vec_id"]) == [7]
