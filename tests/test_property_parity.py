@@ -84,3 +84,33 @@ def test_span_reconstruction_always_holds(texts, tools):
             assert 0 <= s < e <= len(ct)
             assert s > prev_end
             prev_end = e
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                           blacklist_categories=("Cs",)),
+    max_size=40), min_size=1, max_size=30))
+def test_4gram_matcher_matches_python_in(texts):
+    """The packed-int64 4-gram matcher must agree with Python's
+    `pat in text.lower()` on arbitrary unicode, including astral chars
+    adjacent to real matches (the clamp-to-sentinel path)."""
+    from epstein_browser_spark.core.charstats import BatchChars
+
+    patterns = ["asdf", "qwer", "0000"]
+    bc = BatchChars(texts)
+    got = list(bc.contains_any_4gram(patterns))
+    exp = [any(p in t.lower() for p in patterns) for t in texts]
+    assert got == exp
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=40))
+def test_strip_region_matches_python_strip(texts):
+    """reduceat strip-region must agree with Python str.strip() lengths."""
+    from epstein_browser_spark.core.charstats import BatchChars
+    from epstein_browser_spark.core.quality import _strip_region
+
+    bc = BatchChars(texts)
+    _in_region, strip_len = _strip_region(bc)
+    assert list(strip_len) == [len(t.strip()) for t in texts]
