@@ -181,4 +181,5 @@ def upsert_into_bucketed(
     )
     n_up = updates.count()
     _rewrite_buckets(spark, target_dir, new_rows, changed_buckets)
-    return {"upserted": n_up, "buckets_rewritten": len(changed_buckets)}
+    return {"upserted": n_up, "buckets_rewritten": len(changed_buckets),
+            "buckets": changed_buckets}

@@ -230,12 +230,16 @@ def run_reprocessing(
             n_buckets=n_buckets,
         )
         res["buckets_rewritten"] = stats["buckets_rewritten"]
+        # queue rewrite SCOPED to the rewritten buckets: only their rows
+        # changed, so other buckets' queue entries are already correct —
+        # at 100 TB this avoids a full-table rescan per re-drive
+        affected = stats["buckets"]
+        post = spark.read.parquet(data_dir).filter(
+            F.col("bucket").isin(affected)
+        )
+        _write_failures(spark, post, out_dir, scope_buckets=set(affected))
     else:
         res["buckets_rewritten"] = 0
-    # rewrite the queue from the post-merge data table (source of truth);
-    # scope=None: the queue is recomputed for every bucket
-    post = spark.read.parquet(f"{out_dir}/data")
-    _write_failures(spark, post, out_dir, scope_buckets=None)
     res["still_failing"] = read_failures(spark, out_dir).count()
     return res
 

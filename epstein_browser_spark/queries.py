@@ -1474,6 +1474,36 @@ ORDER BY {cos} DESC, a.vec_id ASC LIMIT 10
 """
 
 
+def q49_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: probe the query's bucket plus its 1-bit-flip
+    neighborhood (the standard recall recovery for near-hyperplane
+    queries) — still an IN-list of literal buckets, so still a pruned
+    scan of n_planes+1 partitions at scale. Full value oracle: the probe
+    set is computed driver-side from the literal hyperplanes and embedded
+    in the SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucketed = similarity.with_lsh_bucket(e, dim=64, n_planes=6)
+    top = similarity.lsh_topk_df(spark, bucketed, _Q23_QVEC, dim=64, k=10,
+                                 n_planes=6, n_flip=1)
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _q49_sql() -> str:
+    qlit = "[" + ", ".join(f"{x:.1f}" for x in _Q23_QVEC) + "]"
+    probes = similarity.lsh_probe_buckets(64, 6, _Q23_QVEC, n_flip=1)
+    cos = (
+        f"list_dot_product(v, {qlit}) / (sqrt(list_dot_product(v, v))"
+        f" * sqrt(list_dot_product({qlit}, {qlit})))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v FROM e
+      WHERE ({_lsh_bucket_sql(64, 6)}) IN ({", ".join(map(str, probes))}))
+SELECT vec_id, round({cos}, 6) AS cosine_sim
+FROM b ORDER BY {cos} DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q44_sessions(spark, sf_dir):
     """Event-time sessionization: per-user session windows with a
     30-minute inactivity gap (F.session_window — the batch form of the
@@ -1616,4 +1646,5 @@ QUERIES: dict[str, tuple] = {
     "q46_split_assign": (q46_split_assign, _Q46_SQL),
     "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
     "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
+    "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
 }

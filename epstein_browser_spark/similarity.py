@@ -152,6 +152,33 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def lsh_probe_buckets(dim: int, n_planes: int, query_vec: list[float],
+                      n_flip: int = 1) -> list[int]:
+    """Multi-probe bucket set for a query: its own bucket plus every bucket
+    within ``n_flip`` sign-bit flips. Near-threshold dot products are the
+    dominant LSH failure mode — a vector just across one hyperplane lands
+    one bit away — so probing the 1-flip neighborhood recovers most lost
+    recall for (n_planes + 1)× the probe cost instead of 2× the planes.
+    Computed driver-side from the literal hyperplanes (sequential fold,
+    identical arithmetic to the engine expressions), so the probe set can
+    be embedded as literals in both the Spark plan and the SQL oracle."""
+    bits = []
+    for i in range(n_planes):
+        comps = hyperplane_components(dim, i)
+        acc = 0.0
+        for x, p in zip(query_vec, comps):
+            acc += float(x) * p
+        bits.append(1 if acc >= 0 else 0)
+    base = 0
+    for b in bits:
+        base = base * 2 + b
+    buckets = {base}
+    if n_flip >= 1:
+        for i in range(n_planes):
+            buckets.add(base ^ (1 << (n_planes - 1 - i)))
+    return sorted(buckets)
+
+
 def dist2(a: Column, b: Column) -> Column:
     """Squared L2 via |a|² + |b|² − 2a·b — three sequential-fold dot
     products, so the float result is bit-identical in any engine that
@@ -233,21 +260,31 @@ def lsh_topk_df(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_flip: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only the query's LSH bucket. The query signature is
     computed by the same Spark expression as the corpus signatures (single
     hash implementation). At 100 TB the bucketed table is written
     partitioned by `bucket`, so this becomes a partition-pruned scan of
-    ~1/2^n_planes of the corpus instead of a full pass."""
+    ~1/2^n_planes of the corpus instead of a full pass.
+
+    ``n_flip`` > 0 enables multi-probe: the 1-bit-flip bucket
+    neighborhood is probed too (still a literal IN-list → still partition
+    pruning, just over n_planes+1 partitions)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qdf = with_lsh_bucket(
-        spark.range(1).select(q.alias(vec_col)), dim, n_planes, vec_col
-    ).select(F.col("bucket").alias("q_bucket"), F.col(vec_col).alias("q_vec"))
-    return (
-        embeddings_with_bucket.join(
+    if n_flip > 0:
+        probes = lsh_probe_buckets(dim, n_planes, query_vec, n_flip)
+        matched = embeddings_with_bucket.filter(F.col("bucket").isin(probes))
+    else:
+        qdf = with_lsh_bucket(
+            spark.range(1).select(q.alias(vec_col)), dim, n_planes, vec_col
+        ).select(F.col("bucket").alias("q_bucket"))
+        matched = embeddings_with_bucket.join(
             F.broadcast(qdf), F.col("bucket") == F.col("q_bucket")
         )
-        .select(F.col(id_col), cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"))
+    return (
+        matched
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )

@@ -380,3 +380,26 @@ def test_ivf_assignment_and_self_query(spark, sf_dir):
     q = [float(x) for x in row["embedding"]]
     top = similarity.ivf_topk(e, q, n_centroids=16, k=1).toPandas()
     assert list(top["vec_id"]) == [7]
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Multi-probe (1-bit flips) must recall at least as much of the
+    brute-force top-k as the single-bucket probe, and its candidate set
+    strictly contains the single probe's."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = e.filter(F.col("vec_id") == 3).select("embedding").head()
+    q = [float(x) for x in row["embedding"]]
+    bucketed = similarity.with_lsh_bucket(e, dim=64, n_planes=6)
+    exact = set(
+        similarity.brute_force_topk(e, q, k=10).toPandas()["vec_id"]
+    )
+    single = set(
+        similarity.lsh_topk_df(spark, bucketed, q, dim=64, k=10,
+                               n_planes=6, n_flip=0).toPandas()["vec_id"]
+    )
+    multi = set(
+        similarity.lsh_topk_df(spark, bucketed, q, dim=64, k=10,
+                               n_planes=6, n_flip=1).toPandas()["vec_id"]
+    )
+    assert len(multi & exact) >= len(single & exact)
+    assert 3 in multi  # the query vector itself always recalled
