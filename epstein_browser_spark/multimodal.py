@@ -140,6 +140,48 @@ def sample_frames(media_df):
     return media_df.mapInPandas(frames_map_in_pandas, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id bigint, src_w int, src_h int, out_w int, out_h int, "
+    "scale double, resize_status string"
+)
+
+
+def resize_map_in_pandas(target: int = 32):
+    """Aspect-fit resize planning for image rows: scale = min(t/w, t/h)
+    capped at 1.0 (never upscale), output dims = max(1, floor(dim*scale)).
+    The pixel resample itself is stubbed (no image libs here) — the
+    geometry math, vectorized numpy over the Arrow batch, is the real
+    plumbing a decode-capable worker would share."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"].reset_index(drop=True)
+            if not len(pdf):
+                continue
+            w = pdf["width"].to_numpy(dtype=np.float64)
+            h = pdf["height"].to_numpy(dtype=np.float64)
+            scale = np.minimum(1.0, np.minimum(target / w, target / h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "src_w": pdf["width"].astype("int32"),
+                    "src_h": pdf["height"].astype("int32"),
+                    "out_w": np.maximum(1, np.floor(w * scale)).astype("int32"),
+                    "out_h": np.maximum(1, np.floor(h * scale)).astype("int32"),
+                    "scale": scale,
+                    "resize_status": "stubbed",
+                }
+            )
+
+    return fn
+
+
+def resize_media(media_df, target: int = 32):
+    """image rows of a media table → resize plan records (RESIZE_SCHEMA)."""
+    return media_df.mapInPandas(resize_map_in_pandas(target),
+                                schema=RESIZE_SCHEMA)
+
+
 def synth_media_spark(spark, n: int = 100):
     """Deterministic binary test fixtures built with column expressions:
     payload = md5 hex of the id, cast to binary."""
@@ -154,8 +196,9 @@ def synth_media_spark(spark, n: int = 100):
         ).alias("kind"),
         F.encode(F.repeat(F.md5(F.col("id").cast("string")), 4), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        F.lit(64).alias("width"),
-        F.lit(64).alias("height"),
+        # varied dims so the resize geometry is non-trivial
+        (F.lit(32) * (F.pmod("id", F.lit(4)) + 1)).cast("int").alias("width"),
+        (F.lit(24) * (F.pmod("id", F.lit(3)) + 1)).cast("int").alias("height"),
         # variable durations so frame sampling expands to 1..2 frames
         (F.lit(500) * (F.pmod("id", F.lit(5)) + 1)).cast("int").alias("duration_ms"),
     )

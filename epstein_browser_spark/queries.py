@@ -1504,6 +1504,38 @@ FROM b ORDER BY {cos} DESC, vec_id ASC LIMIT 10
 """
 
 
+def q50_resize_plan(spark, sf_dir):
+    """Multimodal resize plumbing (the pixel resample is stubbed — no
+    image libs): aspect-fit geometry into a 32px box, never upscaling,
+    vectorized numpy over Arrow batches. Oracle restates the math over the
+    same synthetic media."""
+    from epstein_browser_spark import multimodal
+
+    media = multimodal.synth_media_spark(spark, 200)
+    return multimodal.resize_media(media, target=32).select(
+        "media_id", "src_w", "src_h", "out_w", "out_h",
+        F.round("scale", 6).alias("scale"), "resize_status",
+    )
+
+
+_Q50_SQL = """
+WITH m AS (
+  SELECT range AS media_id,
+         CASE CAST(range % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(32 * (range % 4 + 1) AS INT) AS w,
+         CAST(24 * (range % 3 + 1) AS INT) AS h
+  FROM range(200)),
+i AS (SELECT *, least(1.0, least(32.0 / w, 32.0 / h)) AS scale
+      FROM m WHERE kind = 'image')
+SELECT media_id, w AS src_w, h AS src_h,
+       CAST(greatest(1, floor(w * scale)) AS INT) AS out_w,
+       CAST(greatest(1, floor(h * scale)) AS INT) AS out_h,
+       round(scale, 6) AS scale, 'stubbed' AS resize_status
+FROM i
+"""
+
+
 def q44_sessions(spark, sf_dir):
     """Event-time sessionization: per-user session windows with a
     30-minute inactivity gap (F.session_window — the batch form of the
@@ -1647,4 +1679,5 @@ QUERIES: dict[str, tuple] = {
     "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
     "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
     "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
+    "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
 }
