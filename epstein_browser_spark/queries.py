@@ -1536,6 +1536,40 @@ FROM i
 """
 
 
+def q51_langid_ngram(spark, sf_dir):
+    """Char-trigram-profile language ID (the n-gram flavor of q25's
+    marker-word heuristic): argmax over languages of the doc's distinct
+    trigram overlap with literal per-language profiles, explode path."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.langid_ngram_table(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "predicted_lang"
+    )
+
+
+def _q51_sql() -> str:
+    parts = []
+    for lang, profile in textstats.LANG_TRIGRAMS.items():
+        lst = ", ".join("'" + g.replace("'", "''") + "'" for g in profile)
+        parts.append(
+            f"printf('%010d', len(list_intersect(grams, [{lst}]))) || '{lang}'"
+        )
+    best = "greatest(" + ", ".join(parts) + ")"
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - 2),
+           i -> lower(trim(text))[i:i+2])) AS grams
+  FROM documents WHERE length(lower(trim(text))) >= 3),
+s AS (SELECT d.doc_id, coalesce(g.grams, []) AS grams
+      FROM documents d LEFT JOIN g ON g.id = d.doc_id)
+SELECT doc_id,
+  CASE WHEN CAST(substring({best}, 1, 10) AS INTEGER) > 0
+       THEN substring({best}, 11, 10) ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
 def q44_sessions(spark, sf_dir):
     """Event-time sessionization: per-user session windows with a
     30-minute inactivity gap (F.session_window — the batch form of the
@@ -1680,4 +1714,5 @@ QUERIES: dict[str, tuple] = {
     "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
     "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
     "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
+    "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
 }

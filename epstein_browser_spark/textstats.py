@@ -99,6 +99,65 @@ def predicted_lang(col: Column) -> Column:
     ).otherwise(F.lit("und"))
 
 
+# tiny per-language character-trigram profiles (most frequent trigrams of
+# each language, spaces included) for the n-gram language heuristic
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "ing", "ng ", "and", "nd ", " an",
+           "ion", "ed ", " of", "of ", "tio", " to", "er "],
+    "es": [" de", "de ", "os ", " la", "la ", "ue ", "que", " qu",
+           "el ", " el", "ión", "ció", " co", "as ", "es "],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "nt ", " la",
+           "la ", "et ", " et", "les", "ion", " pa", "re "],
+    "de": ["er ", "en ", " de", "der", "ie ", " di", "die", "ein",
+           "ich", "sch", "ch ", "nd ", "und", " un", "ten"],
+}
+
+
+def predicted_lang_ngram(col: Column, n: int = 3) -> Column:
+    """Char-n-gram-profile language ID: argmax over languages of the
+    overlap between the document's distinct trigram set and each
+    language's top-trigram profile; 'und' when nothing overlaps. The
+    profile arrays are plan literals; the whole heuristic is JVM set ops
+    (same sortable-string argmax trick as predicted_lang, so the
+    tie-break is deterministic and SQL-restatable)."""
+    grams = char_ngrams(col, n)
+    scores = []
+    for lang, profile in LANG_TRIGRAMS.items():
+        arr = F.array(*[F.lit(g) for g in profile])
+        hits = F.size(F.array_intersect(grams, arr))
+        scores.append(F.concat(F.format_string("%010d", hits), F.lit(lang)))
+    best = F.greatest(*scores)
+    return F.when(
+        F.substring(best, 1, 10).cast("int") > 0, F.substring(best, 11, 10)
+    ).otherwise(F.lit("und"))
+
+
+def langid_ngram_table(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, predicted_lang) for a whole corpus via the explode shingle
+    path (the scale form — the Column helper above re-normalizes per
+    lambda element, O(len²) per doc). Docs too short to shingle get
+    'und'."""
+    sets = shingle_sets(df, text_col, id_col, n)
+    grams = F.coalesce(
+        F.col("grams"), F.array().cast("array<string>")
+    )
+    scores = []
+    for lang, profile in LANG_TRIGRAMS.items():
+        arr = F.array(*[F.lit(g) for g in profile])
+        hits = F.size(F.array_intersect(grams, arr))
+        scores.append(F.concat(F.format_string("%010d", hits), F.lit(lang)))
+    best = F.greatest(*scores)
+    lang = F.when(
+        F.substring(best, 1, 10).cast("int") > 0, F.substring(best, 11, 10)
+    ).otherwise(F.lit("und"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sets, "id", "left")
+        .select("id", lang.alias("predicted_lang"))
+    )
+
+
 SPLIT_NAMES = ["train", "val", "test"]
 
 

@@ -403,3 +403,24 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     )
     assert len(multi & exact) >= len(single & exact)
     assert 3 in multi  # the query vector itself always recalled
+
+
+def test_langid_ngram_basics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the thing and the other thing of importance",
+                    "el gato que vive en la casa de los vecinos",
+                    "der hund und die katze sind nicht ein problem",
+                    "zz",  # too short to shingle
+                ],
+            }
+        )
+    )
+    out = textstats.langid_ngram_table(df).toPandas().set_index("id")
+    assert out.loc[0, "predicted_lang"] == "en"
+    assert out.loc[1, "predicted_lang"] == "es"
+    assert out.loc[2, "predicted_lang"] == "de"
+    assert out.loc[3, "predicted_lang"] == "und"
