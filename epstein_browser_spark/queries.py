@@ -1645,16 +1645,19 @@ def q46_split_assign(spark, sf_dir):
     )
 
 
-_Q46_SQL = """
+# bucket = int(first 4 hex digits of md5) % 100 — mirrors
+# textstats.deterministic_split (4 digits: bias 36/65536, vs 56/256 for one
+# byte). The digit-value sum restates Spark's conv(substring(h,1,4),16,10).
+_Q46_BUCKET = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_Q46_SQL = f"""
 SELECT doc_id,
   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
 FROM (
-  SELECT doc_id,
-         ((strpos('0123456789abcdef',
-                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-          + strpos('0123456789abcdef',
-                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
-           AS b
+  SELECT doc_id, ({_Q46_BUCKET}) % 100 AS b
   FROM documents)
 """
 

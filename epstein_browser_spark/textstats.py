@@ -164,14 +164,18 @@ SPLIT_NAMES = ["train", "val", "test"]
 def deterministic_split(id_col: Column, train_pct: int = 80,
                         val_pct: int = 10) -> Column:
     """Stable train/val/test assignment from the id alone: bucket 0-99 from
-    the first two hex digits of md5(id) — reproducible in any engine (no
+    the first FOUR hex digits of md5(id) — reproducible in any engine (no
     RNG, no row order dependence), so a re-run or a different system
     assigns every document identically. The curation counterpart of
     `DataFrame.randomSplit`, which is neither stable across runs nor
-    restatable in SQL."""
+    restatable in SQL.
+
+    Four digits, not two: 65536 % 100 = 36, so the per-bucket bias is
+    36/65536 ≈ 0.05% — a single byte (256 % 100 = 56) skews the realized
+    split to ~84.4/7.8/7.8 instead of 80/10/10 (round-2 ADVICE finding)."""
     h = F.md5(id_col.cast("string"))
     bucket = F.pmod(
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(100)
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int"), F.lit(100)
     )
     return (
         F.when(bucket < train_pct, SPLIT_NAMES[0])
