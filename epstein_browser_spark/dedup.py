@@ -177,6 +177,7 @@ def minhash_dedup_pairs(
     n_bands: int = 8,
     shingle: int = 5,
     threshold: float = 0.7,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup path: MinHash → LSH candidates → exact-Jaccard verify.
 
@@ -185,12 +186,24 @@ def minhash_dedup_pairs(
 
     One shingling pass feeds everything: the exploded distinct (id, shingle)
     frame is computed ONCE (it is the dominant cost — explode + distinct
-    shuffle over every character position) and persisted; signatures and
-    shingle-set arrays are two cheap aggregations over it, themselves
-    persisted because each feeds two join branches (the LSH self-join /
-    both sides of the verify join) — an unmaterialized branch referenced
-    twice gets recomputed per side. At full scale these intermediates
-    would be written to a scratch table instead (same reuse, disk-backed).
+    shuffle over every character position); signatures and shingle-set
+    arrays are two cheap aggregations over it, materialized because each
+    feeds two join branches (the LSH self-join / both sides of the verify
+    join) — an unmaterialized branch referenced twice gets recomputed per
+    side.
+
+    ``scratch_dir`` selects the materialization backend:
+
+    * ``None`` (default) — in-memory persist (MEMORY_AND_DISK). Fine while
+      the (id, sig, grams) table fits the executors' storage fraction.
+    * a path — the table is WRITTEN TO PARQUET at ``scratch_dir`` and every
+      downstream branch reads from disk. This is the 10^9-doc form: the
+      gram-set arrays never ride executor memory as cached blocks, each
+      join branch is an independent columnar scan (the verify join reads
+      only (id, grams); the LSH branch only (id, sig) — column pruning the
+      cache path cannot do), and a failed stage re-reads files instead of
+      recomputing the shingling lineage. Equality with the in-memory path
+      is pinned by tests/test_dedup_similarity.py.
     """
     from pyspark import StorageLevel
 
@@ -213,9 +226,13 @@ def minhash_dedup_pairs(
             F.array(*[f"_h{i}" for i in range(n_perms)]).alias("sig"),
             "grams",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    combined.count()  # materialize BEFORE the joins fan out (see above)
+    if scratch_dir is not None:
+        combined.write.mode("overwrite").parquet(scratch_dir)
+        combined = df.sparkSession.read.parquet(scratch_dir)
+    else:
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        combined.count()  # materialize BEFORE the joins fan out (see above)
     sigs = combined.select("id", "sig")
     cands = minhash_lsh_candidates(sigs, n_bands)
     grams = combined.select("id", "grams")

@@ -1445,15 +1445,17 @@ def q48_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, _Q23_QVEC, n_centroids=16, k=10)
 
 
-def _q48_sql() -> str:
+def _q48_sql(nprobe: int = 1) -> str:
     qlit = "[" + ", ".join(f"{x:.1f}" for x in _Q23_QVEC) + "]"
     cos = (
         f"list_dot_product(a.v, {qlit}) / (sqrt(list_dot_product(a.v, a.v))"
         f" * sqrt(list_dot_product({qlit}, {qlit})))"
     )
+    # rank-based centroid pick (ORDER BY id LIMIT n) — mirrors
+    # similarity.ivf_centroids, correct on sparse/non-zero-based id spaces
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
 p AS (SELECT e.vec_id, e.v, c.cid,
         list_dot_product(e.v, e.v) + list_dot_product(c.cvec, c.cvec)
           - 2 * list_dot_product(e.v, c.cvec) AS d
@@ -1467,11 +1469,21 @@ qc AS (SELECT cid AS q_cell FROM (
                 list_dot_product({qlit}, {qlit})
                   + list_dot_product(cvec, cvec)
                   - 2 * list_dot_product({qlit}, cvec) AS d
-         FROM c) ORDER BY d ASC, cid ASC LIMIT 1)
+         FROM c) ORDER BY d ASC, cid ASC LIMIT {nprobe})
 SELECT a.vec_id, round({cos}, 6) AS cosine_sim
 FROM a JOIN qc ON a.cell = qc.q_cell
 ORDER BY {cos} DESC, a.vec_id ASC LIMIT 10
 """
+
+
+def q53_ivf_topk_multiprobe(spark, sf_dir):
+    """IVF ANN at nprobe=4: probe the 4 nearest cells instead of 1 — the
+    cell-boundary recall recovery (q48's scale shape, 4 pruned partitions
+    instead of 1; recall-dominance over nprobe=1 is pinned by pytest).
+    Fully value-oracle-checked like q48: centroid choice, assignment,
+    probe set, and scores are all deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, _Q23_QVEC, n_centroids=16, k=10, nprobe=4)
 
 
 def q49_ann_lsh_multiprobe(spark, sf_dir):
@@ -1635,6 +1647,44 @@ FROM documents GROUP BY source
 """
 
 
+def q52_length_quantiles_approx(spark, sf_dir):
+    """The 100 TB percentile path (q45's scale twin): `approx_percentile`
+    — a Greenwald-Khanna sketch, partial-aggregable with bounded memory
+    (O(1/eps * log(eps*n)) samples per group), so one hot source over 10^12
+    turns streams through map-side partial aggregation instead of buffering
+    every value like exact `percentile` does. Value oracle: at accuracy
+    10000 the rank error n/accuracy < 1 for driver-scale groups, so the
+    sketch returns exactly the discrete percentile (DuckDB quantile_disc) —
+    the operator under test is still the sketch, only its error budget is
+    below one element. tests/test_dedup_similarity.py pins the GK rank-error
+    bound vs the exact form at accuracy where approximation really kicks in."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(
+                "approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("_p"),
+        )
+        .select(
+            "source", "n_docs",
+            F.col("_p")[0].cast("long").alias("p50"),
+            F.col("_p")[1].cast("long").alias("p90"),
+            F.col("_p")[2].cast("long").alias("p99"),
+        )
+    )
+
+
+_Q52_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY source
+"""
+
+
 def q46_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (80/10/10) from md5(doc_id) —
     stable across runs, engines, and row order (textstats.
@@ -1718,4 +1768,6 @@ QUERIES: dict[str, tuple] = {
     "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
     "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
     "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
+    "q52_length_quantiles_approx": (q52_length_quantiles_approx, _Q52_SQL),
+    "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
 }

@@ -188,13 +188,20 @@ def dist2(a: Column, b: Column) -> Column:
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sampled-centroid coarse quantizer: centroid c = the corpus vector
-    with id c. The no-refinement IVF flavor — deterministic (no k-means
-    float-accumulation-order ambiguity, so the whole index is
+    """Sampled-centroid coarse quantizer: the n_centroids corpus vectors
+    with the LOWEST ids (rank-based — orderBy + limit compiles to
+    TakeOrderedAndProject, no global-window exchange), labeled by their own
+    id. Rank-based selection works on sparse / non-zero-based id spaces
+    where a `id < n` filter silently yields too few or zero centroids
+    (round-2 ADVICE finding). The no-refinement IVF flavor — deterministic
+    (no k-means float-accumulation-order ambiguity, so the whole index is
     value-oracle-checkable); swap in k-means|| centroids when recall
     matters more than reproducibility."""
-    return embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    return (
+        embeddings.select(F.col(id_col).alias("cid"),
+                          F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
     )
 
 
@@ -228,22 +235,30 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search, nprobe=1: find the query's nearest centroid, score only
-    that cell's vectors by cosine, take top-k. The scan cost is ~1/n_centroids
-    of the corpus (a pruned partition read once the assigned table is
-    stored partitioned by cell)."""
+    """IVF search: find the query's ``nprobe`` nearest centroids, score only
+    those cells' vectors by cosine, take top-k. The scan cost is
+    ~nprobe/n_centroids of the corpus (a pruned read of nprobe partitions
+    once the assigned table is stored partitioned by cell).
+
+    nprobe > 1 is the IVF recall-recovery story (the cell-boundary analog
+    of multi-probe LSH's bit flips): a true neighbor assigned to the
+    second-nearest cell is invisible at nprobe=1 and found at nprobe=2 —
+    recall grows monotonically in nprobe because the candidate set is a
+    superset (tests pin this dominance), reaching exact brute force at
+    nprobe = n_centroids."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
-    qcell = (
+    qcells = (
         cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("cid"))
-        .limit(1)
+        .limit(nprobe)
         .select(F.col("cid").alias("q_cell"))
     )
     return (
-        assigned.join(F.broadcast(qcell), F.col("cell") == F.col("q_cell"))
+        assigned.join(F.broadcast(qcells), F.col("cell") == F.col("q_cell"))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("_c"))
         .orderBy(F.desc("_c"), F.asc(id_col))
         .limit(k)

@@ -49,6 +49,31 @@ def test_minhash_lsh_recovers_exact_dups(spark):
     assert (out["jaccard"] >= 0.9).all()
 
 
+def test_minhash_scratch_dir_parity(spark, sf_dir, tmp_path):
+    """VERDICT r2 item 4: the disk-backed scratch-table variant (the
+    10^9-doc memory story) must produce exactly the in-memory path's pairs,
+    and must actually have written the (id, sig, grams) table to disk."""
+    import glob
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 250
+    )
+    mem = dedup.minhash_dedup_pairs(d, threshold=0.5).toPandas()
+    scratch = str(tmp_path / "minhash_scratch")
+    disk = dedup.minhash_dedup_pairs(
+        d, threshold=0.5, scratch_dir=scratch
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        mem.sort_values(key).reset_index(drop=True),
+        disk.sort_values(key).reset_index(drop=True),
+    )
+    files = glob.glob(f"{scratch}/*.parquet")
+    assert files, "scratch table was not written"
+    cols = set(spark.read.parquet(scratch).columns)
+    assert cols == {"id", "sig", "grams"}
+
+
 def test_simhash_identical_and_near(spark):
     d = _docs(spark)
     h = dedup.simhash_table(d).toPandas()
@@ -382,6 +407,35 @@ def test_ivf_assignment_and_self_query(spark, sf_dir):
     assert list(top["vec_id"]) == [7]
 
 
+def test_ivf_nprobe_recall_dominance(spark, sf_dir):
+    """VERDICT r2 item 6: IVF recall vs brute force must be monotonically
+    non-decreasing in nprobe (candidate supersets), and at
+    nprobe = n_centroids the result must EQUAL brute force (every cell
+    probed). Also covers the rank-based centroid fix: a sparse id space
+    (all ids shifted +1000) still yields exactly n_centroids centroids."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = e.filter(F.col("vec_id") == 42).select("embedding").head()
+    q = [float(x) for x in row["embedding"]]
+    exact = list(
+        similarity.brute_force_topk(e, q, k=10).toPandas()["vec_id"]
+    )
+    prev_recall = -1
+    for nprobe in (1, 2, 4, 16):
+        got = set(
+            similarity.ivf_topk(e, q, n_centroids=16, k=10,
+                                nprobe=nprobe).toPandas()["vec_id"]
+        )
+        recall = len(got & set(exact))
+        assert recall >= prev_recall, (nprobe, recall, prev_recall)
+        prev_recall = recall
+    assert got == set(exact)  # nprobe = n_centroids ≡ brute force
+
+    sparse = e.withColumn("vec_id", F.col("vec_id") + 1000)
+    cents = similarity.ivf_centroids(sparse, n_centroids=16).toPandas()
+    assert len(cents) == 16
+    assert list(cents["cid"].sort_values()) == list(range(1000, 1016))
+
+
 def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     """Multi-probe (1-bit flips) must recall at least as much of the
     brute-force top-k as the single-bucket probe, and its candidate set
@@ -462,6 +516,29 @@ def test_deterministic_split_uniform(spark):
     assert abs(frac["train"] - 0.80) < 0.015, frac
     assert abs(frac["val"] - 0.10) < 0.015, frac
     assert abs(frac["test"] - 0.10) < 0.015, frac
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """VERDICT r2 item 3: the declared 100 TB percentile path must honor
+    the Greenwald-Khanna guarantee — at accuracy a, each estimate's rank is
+    within n/a of the target rank — at an accuracy where the sketch really
+    approximates (n=20000, a=100 → up to 200 ranks off, vs q52's
+    driver-scale setting where the error budget is below one element)."""
+    import bisect
+
+    n, acc = 20000, 100
+    df = spark.range(n).select(F.pmod(F.xxhash64("id"), F.lit(10 ** 6)).alias("v"))
+    qs = (0.5, 0.9, 0.99)
+    est = df.agg(
+        F.expr(f"approx_percentile(v, array{qs}, {acc})").alias("p")
+    ).head()["p"]
+    vals = sorted(r["v"] for r in df.collect())
+    for q, a in zip(qs, est):
+        lo = bisect.bisect_left(vals, a)
+        hi = bisect.bisect_right(vals, a)
+        target = q * n
+        # the estimate's rank interval must overlap [target ± n/acc]
+        assert lo - n / acc <= target <= hi + n / acc, (q, a, lo, hi)
 
 
 def test_langid_ngram_basics(spark):
