@@ -317,7 +317,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     iterative self-joins otherwise stack lineage exponentially (on a
     cluster use spark.checkpoint with a checkpoint dir instead). Duplicate
     edges are NOT deduped — min() absorbs them, and the distinct would
-    cost an extra shuffle every run."""
+    cost an extra shuffle every run.
+
+    Exhausting ``max_iter`` without reaching the fixpoint emits a
+    RuntimeWarning (ADVICE r2: silently-unconverged labels would make
+    dedup_clusters mark several canonicals inside one true cluster) —
+    callers that must not proceed on partial labels can promote it with
+    ``warnings.simplefilter('error', RuntimeWarning)``."""
+    import warnings
     edges = pairs.select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
     ).unionByName(
@@ -332,6 +339,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -361,8 +369,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease → fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged and max_iter > 0 and prev_sum is not None:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before the "
+            "label fixpoint — returned cluster ids may be unconverged "
+            "(several labels inside one true component)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -9,12 +9,36 @@ session's Hadoop configuration, so ``file:``, ``hdfs:`` and object stores
 behave identically (ADVICE r1: manifest I/O used local-FS APIs).
 
 All files handled here are tiny (KB-scale JSON / directory listings); the
-data path never goes through this module.
+data path never goes through this module — except
+:func:`write_partition_overwrite`, the ONE shared sink helper that scopes
+dynamic partition overwrite to a single write (ADVICE r2: the sinks used to
+mutate the session's partitionOverwriteMode as a side effect).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partition_overwrite(df: DataFrame, path: str,
+                              partition_col: str = "bucket") -> None:
+    """The repo's single partition-overwrite code path: every sink
+    (extraction data, failures queue, merge/upsert rewrites) overwrites
+    per-partition, NEVER the whole table — with Spark's default static
+    mode, mode("overwrite").partitionBy(...) truncates the entire
+    directory, so a resume would silently delete every completed bucket.
+
+    The dynamic mode is passed as a PER-WRITE DataFrameWriter option, which
+    overrides the session conf for this write only — the caller's
+    spark.sql.sources.partitionOverwriteMode is never mutated (round-2
+    ADVICE: the sinks used to spark.conf.set it globally, silently changing
+    overwrite semantics for subsequent caller writes)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def _fs_path(spark: SparkSession, path_str: str):
@@ -60,8 +84,19 @@ def read_text(spark: SparkSession, path_str: str) -> str | None:
 
 
 def write_text(spark: SparkSession, path_str: str, text: str) -> None:
-    """Atomic-for-readers write: create <path>.tmp, then rename over the
-    target (a reader never observes a half-written manifest)."""
+    """Write-then-rename: create <path>.tmp, then rename over the target,
+    so a reader never observes a HALF-WRITTEN manifest.
+
+    Overwrite atomicity is filesystem-dependent (ADVICE r2): the plain
+    rename is tried FIRST — on posix-backed local filesystems Hadoop's
+    RawLocalFileSystem renameTo overwrites atomically, so the common case
+    has no window at all. Filesystems whose rename refuses an existing
+    destination (HDFS without FileContext OVERWRITE, some object stores)
+    fall back to delete-then-rename, which leaves a window where the
+    manifest is briefly absent and a crash between the two ops loses the
+    OLD manifest (the new content survives at <path>.tmp). For the resume
+    protocol this failure mode is safe-by-design: a missing/partial
+    manifest merely marks the bucket incomplete and it is recomputed."""
     fs, path, jvm = _fs_path(spark, path_str)
     tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
     stream = fs.create(tmp, True)
@@ -69,6 +104,10 @@ def write_text(spark: SparkSession, path_str: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
-    if fs.exists(path):
-        fs.delete(path, False)
-    fs.rename(tmp, path)
+    if not fs.rename(tmp, path):
+        # dest exists and this FS won't overwrite on rename: documented
+        # non-atomic window (see docstring)
+        if fs.exists(path):
+            fs.delete(path, False)
+        if not fs.rename(tmp, path):
+            raise IOError(f"rename {path_str}.tmp -> {path_str} failed")

@@ -90,9 +90,8 @@ def _rewrite_buckets(
     a real deployment this staging is the table format's job (Iceberg/Delta
     MERGE snapshots); for parquet-native, checkpoint-then-rewrite keeps the
     changed-bucket working set (not the table) as the memory bound."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     new_rows = new_rows.localCheckpoint(eager=True)
-    new_rows.write.mode("overwrite").partitionBy("bucket").parquet(target_dir)
+    fsutil.write_partition_overwrite(new_rows, target_dir)
     spark.catalog.refreshByPath(target_dir)
     written = {
         int(r["bucket"])

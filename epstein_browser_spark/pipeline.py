@@ -255,8 +255,7 @@ def _write_failures(spark: SparkSession, extracted: DataFrame, out_dir: str,
 
     fdir = f"{out_dir}/{FAILURES_DIR}"
     fails = failures_table(extracted)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    fails.write.mode("overwrite").partitionBy("bucket").parquet(fdir)
+    fsutil.write_partition_overwrite(fails, fdir)
     written = {int(r["bucket"]) for r in fails.select("bucket").distinct().collect()}
     for name in fsutil.list_names(spark, fdir):
         if name.startswith("bucket="):
@@ -322,35 +321,33 @@ def run_extraction(
       <out_dir>/data/bucket=N/*.parquet   (dynamic-overwrite per bucket)
       <out_dir>/_manifests/bucket-N.json  (lineage + metrics + status)
     """
+    from epstein_browser_spark import fsutil
+
     t0 = time.time()
-    # Resume safety is NOT left to the caller's session config: with Spark's
-    # default static overwrite mode, mode("overwrite").partitionBy("bucket")
-    # truncates the whole data dir — a resume would silently delete every
-    # completed bucket. Dynamic mode overwrites only the buckets present in
-    # this run's output.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_buckets(out_dir, input_snapshot, spark) if resume else set()
     src = with_bucket(transcripts, n_buckets)
     if done:
         src = src.filter(~F.col("bucket").isin(sorted(done)))
     src = src.drop("bucket")
 
-    extracted = extract_transcripts(src, n_buckets=n_buckets, salt=salt,
-                                    n_partitions=n_partitions)
+    # localCheckpoint the extracted frame ONCE: the data write, the failures
+    # queue, and the per-bucket metrics below all consume it — without the
+    # checkpoint each consumer would re-run the whole extraction, and the
+    # previous read-back-from-parquet approach re-scanned everything just
+    # written (VERDICT r2: a second full scan of the output at 100 TB).
+    # Resume safety note: dynamic partition overwrite is scoped per-write
+    # via fsutil.write_partition_overwrite (never session-global).
+    extracted = extract_transcripts(
+        src, n_buckets=n_buckets, salt=salt, n_partitions=n_partitions
+    ).localCheckpoint(eager=True)
     data_dir = f"{out_dir}/data"
-    (
-        extracted.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(data_dir)
-    )
+    fsutil.write_partition_overwrite(extracted, data_dir)
 
-    # per-bucket metrics + lineage manifest (A9/S9/S10). One row per bucket —
-    # tiny aggregate, safe to collect. Completed buckets are pruned from the
-    # scan (partition filter on the bucket= directory layout), so a resumed
-    # run never re-reads finished output.
-    post = spark.read.parquet(data_dir)
-    if done:
-        post = post.filter(~F.col("bucket").isin(sorted(done)))
+    # per-bucket metrics + lineage manifest (A9/S9/S10) from the PRE-WRITE
+    # frame. One row per bucket — tiny aggregate, safe to collect. The frame
+    # already contains only this run's buckets, so a resumed run never
+    # recomputes finished output.
+    post = extracted
     # E7 failures/priority queue for the next re-drive, same bucket layout
     # as the data sink; cleanup scoped to this run's recomputed buckets
     _write_failures(spark, post, out_dir,
@@ -369,8 +366,6 @@ def run_extraction(
         )
         .collect()
     )
-    from epstein_browser_spark import fsutil
-
     fsutil.mkdirs(spark, f"{out_dir}/{MANIFEST_DIR}")
     wrote = 0
     for r in stats:

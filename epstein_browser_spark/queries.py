@@ -1211,11 +1211,15 @@ def q39_search_page(spark, sf_dir):
     (/root/reference/app.py:920-1095): two match families (source-match ≈
     filename-match, content-match with excerpt F1), anti-join dedup (J4),
     relevance-class ordering (W6: exact class first), then window
-    pagination (O2/O3) — page 2, 10 per page. The reference does this with
-    two SQL queries plus Python list merge/sort/slice; here it is one plan
-    with no driver-side merging."""
+    pagination (O2/O3) — page 2, 10 per page — plus the response's
+    pagination METADATA (total match count and page count,
+    /root/reference/app.py:1070-1074), broadcast-joined onto the page rows
+    (a scalar aggregate: map-side partial counts, one row crosses the
+    wire). The reference does this with two SQL queries plus Python list
+    merge/sort/slice; here it is one plan with no driver-side merging."""
     d = _t(spark, sf_dir, "documents")
     q = "join"
+    per_page = 10
     src = d.filter(F.col("source") == "src1").select(
         "doc_id", "n_chars",
         F.lit("source").alias("match_type"),
@@ -1233,12 +1237,17 @@ def q39_search_page(spark, sf_dir):
         )
     )
     unioned = src.unionByName(txt)
+    meta = unioned.agg(
+        F.count("*").alias("total_count"),
+        F.ceil(F.count("*") / per_page).alias("n_pages"),
+    )
     rank_cls = F.when(F.col("match_type") == "source", 1).otherwise(2)
-    return _paginate(
+    page = _paginate(
         unioned.select("doc_id", "match_type", "excerpt", "n_chars",
                        rank_cls.alias("_rank_cls")),
         [F.asc("_rank_cls"), F.desc("n_chars"), F.asc("doc_id")], 11, 20,
     ).select("doc_id", "match_type", "excerpt", "rn")
+    return page.crossJoin(F.broadcast(meta))
 
 
 _Q39_SQL = """
@@ -1254,12 +1263,15 @@ txt AS (
   WHERE lower(d.text) LIKE '%join%'
     AND d.doc_id NOT IN (SELECT doc_id FROM src)),
 u AS (SELECT * FROM src UNION ALL SELECT * FROM txt),
+meta AS (SELECT count(*) AS total_count,
+                CAST(ceil(count(*) / 10.0) AS BIGINT) AS n_pages FROM u),
 r AS (SELECT doc_id, match_type, excerpt,
              row_number() OVER (
                ORDER BY CASE WHEN match_type = 'source' THEN 1 ELSE 2 END ASC,
                         n_chars DESC, doc_id ASC) AS rn
       FROM u)
-SELECT doc_id, match_type, excerpt, rn FROM r WHERE rn BETWEEN 11 AND 20
+SELECT doc_id, match_type, excerpt, rn, total_count, n_pages
+FROM r CROSS JOIN meta WHERE rn BETWEEN 11 AND 20
 """
 
 

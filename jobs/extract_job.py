@@ -43,8 +43,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # no session-level overwrite-mode mutation: every sink scopes dynamic
+    # partition overwrite per-write (fsutil.write_partition_overwrite)
     spark = SparkSession.builder.appName("epstein_browser_spark.extract").getOrCreate()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     from epstein_browser_spark.pipeline import run_extraction
 

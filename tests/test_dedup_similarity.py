@@ -381,6 +381,20 @@ def test_connected_components_multihop(spark):
     assert sorted(can.index) == [10, 50, 99]
 
 
+def test_connected_components_warns_on_max_iter(spark):
+    """ADVICE r2: exhausting max_iter before the fixpoint must WARN, not
+    silently return partial labels. A 6-node chain needs ≥2 rounds even
+    with pointer jumping; max_iter=1 cannot converge (the fixpoint check
+    needs one extra unchanged round)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2, 3, 4], "id_b": [1, 2, 3, 4, 5]})
+    )
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        dedup.connected_components(chain, max_iter=1).count()
+
+
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dedup.connected_components(pairs).count() == 0
