@@ -43,6 +43,9 @@ EXTRACT_PARTITIONS = int(os.environ.get("BENCH_EXTRACT_PARTITIONS", "256"))
 # setup, scheduler) amortize and the measurement reflects the parallel
 # fraction — the quantity the 0.8 efficiency bar is about
 SCALING_TURNS = int(os.environ.get("BENCH_SCALING_TURNS", "4800000"))
+# curation-job slice: bounded because the near-dup stage shingles every doc
+# (~45k gate-passed docs ≈ 70s of minhash+LSH+verify at local[32])
+CURATE_TURNS = int(os.environ.get("BENCH_CURATE_TURNS", "50000"))
 
 
 def _materialize(df) -> int:
@@ -85,6 +88,39 @@ def bench_extraction(spark, corpus_path: str, n_buckets: int = None) -> dict:
     sec = time.time() - t0
     return {"turns": n, "sec": round(sec, 3),
             "turns_per_sec": round(n / sec, 1)}
+
+
+def bench_curation(spark, n_turns: int = None) -> dict:
+    """End-to-end curation job (extract → exact+near dedup keep policy →
+    stats/langid → split → manifests) — the flagship composed pipeline,
+    timed as one unit. Runs on its own DIVERSIFIED corpus: the extraction
+    bench corpus has only ~|vocab| distinct prose bodies (fine for kernel
+    throughput, collapses to nothing under dedup)."""
+    import shutil
+
+    from epstein_browser_spark.curation import run_curation
+    from epstein_browser_spark.synth import synth_transcripts_spark
+
+    n_turns = n_turns or CURATE_TURNS
+    corpus = f"/tmp/bench_curation_corpus_{n_turns}.parquet"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        synth_transcripts_spark(spark, n_turns, diversify=True).repartition(
+            64
+        ).write.mode("overwrite").parquet(corpus)
+    out = f"/tmp/bench_curation_{n_turns}"
+    shutil.rmtree(out, ignore_errors=True)
+    tr = spark.read.parquet(corpus)
+    t0 = time.time()
+    m = run_curation(spark, tr, out, n_buckets=64,
+                     n_partitions=EXTRACT_PARTITIONS, resume=False)
+    sec = time.time() - t0
+    return {
+        "turns_in": n_turns,
+        "docs_out": m["curate"]["n_docs"],
+        "sec": round(sec, 3),
+        "turns_per_sec": round(n_turns / sec, 1),
+        "stage_sec": m["curate"]["stage_sec"],
+    }
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -238,17 +274,24 @@ def main() -> None:
         spark.stop()
         return
 
+    cur = bench_curation(spark)
+    print(f"  bench curation: {cur['sec']}s ({cur['turns_per_sec']} turns/s)",
+          file=sys.stderr)
     qt = bench_queries(spark, args.sf_dir)
     spark.stop()
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
-    total = round(sum(qt.values()) + ext["sec"], 3)
+    total = round(sum(qt.values()) + ext["sec"] + cur["sec"], 3)
     print(json.dumps({
-        "metric": f"headline suite wall time (extraction + {len(qt)} queries)",
+        "metric": (
+            f"headline suite wall time (extraction + curation job + "
+            f"{len(qt)} queries)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": qt,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction": ext,
+        "curation": cur,
         "cpus": args.cpus,
     }))
 

@@ -338,7 +338,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    # convergence metric: labels only decrease, so an unchanged SUM means
+    # fixpoint. Summed as decimal(38,0): ids may be full-range 64-bit
+    # hashes (e.g. xxhash64 doc uids) whose long sum overflows under ANSI
+    def _label_sum(lbl):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -367,7 +376,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:  # labels only decrease → fixpoint
             converged = True
             break

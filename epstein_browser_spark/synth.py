@@ -146,10 +146,18 @@ def make_transcripts_pdf(
     return df
 
 
-def synth_transcripts_spark(spark, n_turns: int, n_convs: int | None = None):
+def synth_transcripts_spark(spark, n_turns: int, n_convs: int | None = None,
+                            diversify: bool = False):
     """Distributed deterministic corpus: pure column expressions over
     ``spark.range`` — generation parallelizes with the input partitioning
     and never funnels through the driver.
+
+    ``diversify=False`` (default, the extraction-bench corpus) rotates the
+    vocabulary from a hashed start — only ~|vocab| distinct prose bodies
+    exist, which is fine for the extraction kernel but collapses under
+    dedup. ``diversify=True`` picks every word position independently by
+    hash (plus a unique id token), so texts are essentially unique with low
+    pairwise jaccard — the corpus the curation-job bench needs.
     """
     from pyspark.sql import functions as F
 
@@ -160,14 +168,32 @@ def synth_transcripts_spark(spark, n_turns: int, n_convs: int | None = None):
     mode = F.pmod(F.col("id"), F.lit(10))
     w = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(len(_WORDS)))
     base_words = F.array(*[F.lit(x) for x in _WORDS])
-    # ~40-word deterministic prose: rotate through the vocab from a hashed start
-    prose = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(39)),
-            lambda i: F.element_at(base_words, (F.pmod(w + i * 7, F.lit(len(_WORDS))) + 1).cast("int")),
-        ),
-    )
+    if diversify:
+        # per-position hashed word choice + per-doc unique token
+        prose = F.concat(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.element_at(
+                        base_words,
+                        (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(_WORDS)))
+                         + 1).cast("int"),
+                    ),
+                ),
+            ),
+            F.lit(" uid"), F.conv(F.xxhash64("id").cast("string"), 10, 16),
+        )
+    else:
+        # ~40-word deterministic prose: rotate through the vocab from a
+        # hashed start
+        prose = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.element_at(base_words, (F.pmod(w + i * 7, F.lit(len(_WORDS))) + 1).cast("int")),
+            ),
+        )
     spanful = F.concat(
         F.lit("0.9|"), prose, F.lit("\n0.1|dropped low confidence\n0.55|"),
         F.substring(prose, 1, 80),
