@@ -1724,6 +1724,236 @@ FROM (
 """
 
 
+def _pii_augmented(d):
+    """documents.text with deterministic planted PII (the synthetic corpus
+    contains none) — the SAME augmentation is restated in the oracle SQL,
+    so the redaction itself is what's value-checked."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(3)) == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.concat(F.lit(" call 555-010-"),
+                         F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"),
+                                4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit(" from 10.0.0.1"))
+            .otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+           AS text
+  FROM documents
+"""
+
+
+def q54_pii_redaction(spark, sf_dir):
+    """PII redaction audit: per-doc redacted text (md5'd for compactness)
+    plus per-class match counts — email / SSN / IPv4 / phone regexes, all
+    JVM-side `regexp_replace`/`regexp_count` (RE2-compatible patterns, so
+    DuckDB restates them verbatim). The curation compliance pass a web/
+    transcript corpus needs before training."""
+    from epstein_browser_spark import redaction
+
+    aug = _pii_augmented(_t(spark, sf_dir, "documents"))
+    out = redaction.pii_counts(aug)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("redacted_text").alias("redacted_md5"),
+        *[F.col(f"n_{name}").cast("long").alias(f"n_{name}")
+          for name, _p, _t2 in redaction.REDACTIONS],
+        F.col("n_pii").cast("long").alias("n_pii"),
+    )
+
+
+def _q54_sql() -> str:
+    from epstein_browser_spark import redaction
+
+    red = "text"
+    for _name, pat, tag in redaction.REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _tag in redaction.REDACTIONS
+    )
+    total = " + ".join(f"n_{name}" for name, _p, _t in redaction.REDACTIONS)
+    return f"""
+WITH aug AS ({_PII_AUG_SQL}),
+c AS (SELECT doc_id, md5({red}) AS redacted_md5, {counts} FROM aug)
+SELECT doc_id, redacted_md5, n_email, n_ssn, n_ipv4, n_phone,
+       ({total}) AS n_pii
+FROM c
+"""
+
+
+def _lines_augmented(d):
+    """documents.text reshaped into multi-line docs with known duplicate
+    lines, bullets, symbols, and a terminal sentence (the corpus is
+    single-line word soup) — same transform in the oracle SQL."""
+    multi = F.replace(F.col("text"), F.lit(" table "), F.lit(".\ntable "))
+    return d.select(
+        "doc_id",
+        F.concat(
+            multi,
+            F.lit("\n- bullet item\n- bullet item\nEnd of the document."),
+            F.when(F.pmod("doc_id", F.lit(6)) == 0, F.lit(" ####"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_LINES_AUG_SQL = """
+  SELECT doc_id,
+         replace(text, ' table ', '.' || chr(10) || 'table ')
+         || chr(10) || '- bullet item' || chr(10) || '- bullet item'
+         || chr(10) || 'End of the document.'
+         || CASE WHEN doc_id % 6 = 0 THEN ' ####' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q55_quality_rules(spark, sf_dir):
+    """C4/Gopher web-corpus quality rules as pure column expressions:
+    word-count and mean-word-length bounds, within-doc duplicate-line
+    fraction, symbol-to-word ratio, terminal-punctuation line ratio,
+    bullet-line fraction, and the composite keep flag. Per-doc bounded
+    work, no shuffle, no Python — the standard pre-training document
+    filters (C4: Raffel et al. 2020; Gopher rules: Rae et al. 2021)."""
+    from epstein_browser_spark import redaction
+
+    aug = _lines_augmented(_t(spark, sf_dir, "documents"))
+    out = redaction.quality_rule_flags(aug)
+    return out.select(F.col("id").alias("doc_id"), "n_words", "mean_word_len",
+                      "dup_line_frac", "symbol_word_ratio",
+                      "terminal_punct_ratio", "bullet_line_frac", "keep")
+
+
+def _q55_sql() -> str:
+    words = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
+             "s -> trim(s)), s -> s <> '')")
+    return f"""
+WITH aug AS ({_LINES_AUG_SQL}),
+m AS (
+  SELECT doc_id,
+         len({words}) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS total_wc,
+         length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+           AS n_symbols,
+         {lines} AS lines
+  FROM aug),
+r AS (
+  SELECT doc_id, n_words,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(total_wc AS DOUBLE) / n_words ELSE 0 END, 6)
+           AS mean_word_len,
+         round(CASE WHEN len(lines) > 0
+                    THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines) ELSE 0 END, 6) AS dup_line_frac,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(n_symbols AS DOUBLE) / n_words
+                    ELSE 0 END, 6) AS symbol_word_ratio,
+         round(CASE WHEN len(lines) > 0
+                    THEN CAST(len(list_filter(lines,
+                         s -> right(s, 1) IN ('.', '!', '?', '"'))) AS DOUBLE)
+                         / len(lines) ELSE 0 END, 6) AS terminal_punct_ratio,
+         round(CASE WHEN len(lines) > 0
+                    THEN CAST(len(list_filter(lines,
+                         s -> left(s, 1) IN ('-', '*', '•'))) AS DOUBLE)
+                         / len(lines) ELSE 0 END, 6) AS bullet_line_frac
+  FROM m)
+SELECT *,
+       (n_words BETWEEN 5 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND dup_line_frac <= 0.3
+        AND symbol_word_ratio <= 0.1) AS keep
+FROM r
+"""
+
+
+def _url_augmented(d):
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 0,
+                F.concat(F.lit(" see https://w"),
+                         F.pmod("doc_id", F.lit(20)).cast("string"),
+                         F.lit(".example.org/p/"),
+                         F.col("doc_id").cast("string"), F.lit("?x=1")),
+            ).otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                   F.lit(" http://CDN.example.net/asset.js"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_URL_AUG_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' see https://w' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '?x=1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' http://CDN.example.net/asset.js' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q56_url_domains(spark, sf_dir):
+    """Web-corpus URL hygiene: extract every URL occurrence
+    (regexp_extract_all + explode — the corpus-scale shape), normalize to
+    lowercase domains, and aggregate the per-domain census (occurrences +
+    distinct docs) a blocklist/allowlist filtering pass runs on."""
+    from epstein_browser_spark import redaction
+
+    aug = _url_augmented(_t(spark, sf_dir, "documents"))
+    urls = redaction.url_domains(aug)
+    return (
+        urls.groupBy("domain")
+        .agg(F.count("*").alias("n_urls"),
+             F.countDistinct("id").alias("n_docs"))
+        .orderBy(F.desc("n_urls"), F.asc("domain"))
+    )
+
+
+def _q56_sql() -> str:
+    from epstein_browser_spark.redaction import DOMAIN_RE, URL_RE
+
+    url_re = URL_RE.replace("'", "''")  # the pattern's char class has a quote
+    return f"""
+WITH aug AS ({_URL_AUG_SQL}),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{url_re}')) AS url
+      FROM aug)
+SELECT lower(regexp_extract(url, '{DOMAIN_RE}', 1)) AS domain,
+       count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM u GROUP BY 1 ORDER BY n_urls DESC, domain ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1782,4 +2012,7 @@ QUERIES: dict[str, tuple] = {
     "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
     "q52_length_quantiles_approx": (q52_length_quantiles_approx, _Q52_SQL),
     "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
+    "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
+    "q55_quality_rules": (q55_quality_rules, _q55_sql()),
+    "q56_url_domains": (q56_url_domains, _q56_sql()),
 }

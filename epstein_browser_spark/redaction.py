@@ -1,0 +1,171 @@
+"""PII redaction + web-corpus hygiene operators for training-data curation.
+
+All JVM-side regex (`regexp_replace` / `regexp_count` /
+`regexp_extract_all` — whole-stage codegen, no Python): the patterns are
+deliberately RE2-compatible (no backrefs/lookaround) so every operator is
+restatable verbatim in the DuckDB oracle.
+
+These generalize the reference's "scrub before indexing" discipline (the
+quality/cleanup gate before content enters the search table,
+/root/reference/index_images.py:194-232) to the redaction and URL hygiene
+a 100 TB web/transcript corpus needs before LLM training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe patterns (shared verbatim with the SQL oracles)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*)?"
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+# redaction order matters: SSN/IP before PHONE (their digit shapes are
+# disjoint from the phone pattern, but a redacted-first longer match can
+# never be re-broken by a later pattern; emails first so user@host.tld
+# never leaks a host into the URL/domain pass)
+REDACTIONS = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ssn", SSN_RE, "<SSN>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+
+def redact(col: Column) -> Column:
+    """Text with every PII class replaced by its tag, applied in
+    REDACTIONS order."""
+    out = col
+    for _name, pat, tag in REDACTIONS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, redacted_text, n_<class>..., n_pii): per-doc redaction with
+    per-class match counts — the audit trail a compliance pass needs
+    alongside the redacted corpus."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _tag in REDACTIONS
+    ]
+    out = df.select(
+        F.col(id_col).alias("id"), redact(c).alias("redacted_text"), *counts
+    )
+    total = None
+    for name, _p, _t in REDACTIONS:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("n_pii", total)
+
+
+def url_domains(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per URL occurrence: (id, url, domain). Explode-shaped —
+    the corpus-scale form for domain-level filtering/blocklists (the
+    downstream groupBy('domain') is an ordinary partial-aggregable
+    count)."""
+    c = F.col(text_col)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.regexp_extract_all(c, F.lit(URL_RE), 0)).alias("url"),
+        )
+        .withColumn("domain", F.lower(F.regexp_extract("url", DOMAIN_RE, 1)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 / Gopher-style document quality rules (Raffel et al. 2020 "C4";
+# Rae et al. 2021 "Gopher" §A1.1) — the standard web-corpus repetition and
+# shape filters, as pure column expressions.
+# ---------------------------------------------------------------------------
+
+TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def _lines(col: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def quality_rule_flags(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_words: int = 5, max_words: int = 100000,
+                       min_mean_word_len: float = 3.0,
+                       max_mean_word_len: float = 10.0,
+                       max_dup_line_frac: float = 0.3,
+                       max_symbol_word_ratio: float = 0.1) -> DataFrame:
+    """Per-doc C4/Gopher rule metrics + keep flag:
+
+    * ``n_words`` in [min_words, max_words]           (Gopher word count)
+    * ``mean_word_len`` in [3, 10]                    (Gopher)
+    * ``dup_line_frac`` ≤ 0.3 — duplicate lines within the doc (C4's
+      three-sentence dedup, at line granularity)
+    * ``symbol_word_ratio`` ≤ 0.1 — '#'/'…'-style symbols per word (Gopher)
+    * ``terminal_punct_ratio`` — fraction of lines ending in terminal
+      punctuation (C4 keeps only such lines; reported as a ratio here)
+    * ``bullet_line_frac`` — lines starting with a bullet (Gopher ≤ 0.9)
+
+    Everything is split/array expressions over the doc's own words and
+    lines — per-doc bounded work, no shuffle, no Python."""
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    # total word chars = chars minus whitespace — avoids an aggregate() HOF
+    # (interpreted, re-evaluates the captured split per element: O(len²))
+    total_wc = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wl = F.when(
+        n_words > 0, total_wc.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = _lines(c)
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))
+    )
+    sym_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    term = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda s: F.substring(s, -1, 1).isin(*TERMINAL_PUNCT),
+            )
+        ).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    bullet = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda s: F.substring(s, 1, 1).isin("-", "*", "•"))
+        ).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(term, 6).alias("terminal_punct_ratio"),
+        F.round(bullet, 6).alias("bullet_line_frac"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+    )
+    return out.withColumn("keep", keep)

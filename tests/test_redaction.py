@@ -1,0 +1,95 @@
+"""PII redaction, URL/domain extraction, C4/Gopher quality rules."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from epstein_browser_spark import redaction
+
+
+def test_pii_redaction_classes(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b+c@ex-ample.co.uk or call 555-010-1234 "
+                "from 192.168.0.1 ssn 123-45-6789",
+                "no pii here at all",
+                "two mails x@y.io z@w.ai and ip 10.0.0.255",
+            ],
+        }
+    )
+    out = redaction.pii_counts(spark.createDataFrame(pdf)).toPandas().set_index("id")
+    r0 = out.loc[0]
+    assert r0["n_email"] == 1 and r0["n_phone"] == 1
+    assert r0["n_ipv4"] == 1 and r0["n_ssn"] == 1 and r0["n_pii"] == 4
+    t0 = r0["redacted_text"]
+    assert "<EMAIL>" in t0 and "<PHONE>" in t0 and "<IP>" in t0 and "<SSN>" in t0
+    for leak in ("a.b+c@", "555-010", "192.168", "123-45-6789"):
+        assert leak not in t0
+    assert out.loc[1, "n_pii"] == 0
+    assert out.loc[1, "redacted_text"] == "no pii here at all"
+    assert out.loc[2, "n_email"] == 2 and out.loc[2, "n_ipv4"] == 1
+
+
+def test_url_domains(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "see https://Docs.Example.org/a/b?q=1 and http://cdn.net/x.js done",
+                "plain text without links",
+            ],
+        }
+    )
+    out = redaction.url_domains(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 2  # doc 1 contributes nothing
+    assert set(out["domain"]) == {"docs.example.org", "cdn.net"}
+    assert out[out["domain"] == "docs.example.org"]["url"].iloc[0].endswith("?q=1")
+
+
+def test_quality_rule_flags(spark):
+    good = "this is a perfectly normal document with reasonable words.\n" \
+           "it has several distinct lines of content in it.\n" \
+           "each line ends with terminal punctuation."
+    duppy = "same line repeated\n" * 10 + "tail"
+    symbols = "word " * 10 + "#### #### ####"
+    short = "too short"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [good, duppy, symbols, short, ""],
+        }
+    )
+    out = (
+        redaction.quality_rule_flags(spark.createDataFrame(pdf))
+        .toPandas().set_index("id")
+    )
+    assert bool(out.loc[0, "keep"])
+    assert out.loc[0, "terminal_punct_ratio"] == 1.0
+    assert out.loc[0, "dup_line_frac"] == 0.0
+
+    assert not bool(out.loc[1, "keep"])  # 9/11 duplicate lines
+    assert out.loc[1, "dup_line_frac"] > 0.5
+
+    assert not bool(out.loc[2, "keep"])  # symbol ratio 12/13 words
+    assert out.loc[2, "symbol_word_ratio"] > 0.1
+
+    assert not bool(out.loc[3, "keep"])  # word count below min
+    assert out.loc[4, "n_words"] == 0 and not bool(out.loc[4, "keep"])
+
+
+def test_quality_bullet_lines(spark):
+    text = "intro line.\n- first bullet\n- second bullet\n* third\nclosing."
+    out = redaction.quality_rule_flags(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    ).toPandas()
+    assert abs(out["bullet_line_frac"][0] - 3 / 5) < 1e-9
+
+
+def test_redaction_order_email_before_url_class(spark):
+    # an email inside a URL-ish context must not leave the host exposed
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["ping admin@internal.example.com now"]})
+    )
+    out = df.select(redaction.redact(F.col("text")).alias("t")).toPandas()
+    assert out["t"][0] == "ping <EMAIL> now"
