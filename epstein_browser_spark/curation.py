@@ -91,12 +91,19 @@ def curate_documents(
     extracted: DataFrame,
     near_threshold: float = 0.7,
     scratch_dir: str | None = None,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """The curation transform (no I/O): extraction output → curated docs.
 
     Steps: quality gate → exact dedup → near-dup keep policy → stats +
-    language ID → conversation-level split. Returns one row per KEPT turn
-    with curation columns appended."""
+    language ID → conversation-level split → (optional) PII redaction.
+    Returns one row per KEPT turn with curation columns appended.
+
+    ``redact_pii=True`` replaces email/SSN/IPv4/phone matches in
+    ``clean_text`` with tags and records the per-doc match count
+    (``n_pii``). Applied AFTER dedup so identity decisions (hashes,
+    shingles) are made on the original text; the redacted form is what
+    lands in the training table."""
     docs = extracted.filter(
         (~F.col("is_low_quality")) & (~F.col("parse_failed"))
         & (F.col("quality_score") > 0)
@@ -126,11 +133,22 @@ def curate_documents(
     lang = langid_ngram_table(canonical, "clean_text", "doc_uid").select(
         F.col("id").alias("doc_uid"), "predicted_lang"
     )
-    return (
+    out = (
         canonical.join(lang, "doc_uid", "left")
         .withColumn("n_tokens", token_count(F.col("clean_text")))
         .withColumn("split", deterministic_split(F.col("conv_id")))
     )
+    if redact_pii:
+        from epstein_browser_spark import redaction
+
+        n_pii = None
+        for _name, pat, _tag in redaction.REDACTIONS:
+            c = F.regexp_count("clean_text", F.lit(pat))
+            n_pii = c if n_pii is None else n_pii + c
+        out = out.withColumn("n_pii", n_pii).withColumn(
+            "clean_text", redaction.redact(F.col("clean_text"))
+        )
+    return out
 
 
 def run_curation(
@@ -141,6 +159,7 @@ def run_curation(
     salt: int = 1,
     n_partitions: int | None = None,
     near_threshold: float = 0.7,
+    redact_pii: bool = False,
     resume: bool = True,
     input_snapshot: str = "unversioned",
 ) -> dict:
@@ -183,6 +202,7 @@ def run_curation(
     curated = curate_documents(
         extracted, near_threshold=near_threshold,
         scratch_dir=f"{out_dir}/_scratch/minhash",
+        redact_pii=redact_pii,
     ).drop("bucket")
     # curate_documents runs the near-dup pairs + connected components
     # eagerly (CC is an iterative collect loop); everything after is lazy

@@ -1954,6 +1954,80 @@ FROM u GROUP BY 1 ORDER BY n_urls DESC, domain ASC
 """
 
 
+def q57_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/The-Pile style): training docs
+    sharing any 8-word window with an evaluation set. The eval set is
+    derived deterministically from the corpus itself (a 16-word excerpt of
+    every 25th doc, re-keyed +10000) so there ARE true contaminations to
+    find and the whole check is value-oracled. One equi-join on the gram,
+    benchmark side broadcast — never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.lower(F.col("text")))
+    bench = d.filter(F.pmod("doc_id", F.lit(25)) == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 5, 16)).alias("text"),
+    )
+    rep = textstats.contamination_report(d, bench, n=8)
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        F.col("n_benchmark_docs").cast("long").alias("n_benchmark_docs"),
+    )
+
+
+_Q57_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+bench AS (
+  SELECT doc_id + 10000 AS doc_id, toks[5:20] AS toks
+  FROM tok WHERE doc_id % 25 = 0),
+cg AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM tok WHERE len(toks) >= 8),
+bg AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM bench WHERE len(toks) >= 8)
+SELECT cg.id AS doc_id,
+       count(DISTINCT cg.gram) AS n_shared_grams,
+       count(DISTINCT bg.bench_id) AS n_benchmark_docs
+FROM cg JOIN bg ON cg.gram = bg.gram
+GROUP BY cg.id
+"""
+
+
+def q58_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary census: top-20 tokens by occurrence count with
+    document frequency — explode + partial-aggregable groupBy +
+    TakeOrderedAndProject. What stopword/boilerplate-token discovery runs
+    corpus-wide."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.vocab_stats(d, "text", "doc_id", k=20)
+    return out.select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+_Q58_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> w <> '')) AS token
+  FROM documents)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2015,4 +2089,6 @@ QUERIES: dict[str, tuple] = {
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
     "q55_quality_rules": (q55_quality_rules, _q55_sql()),
     "q56_url_domains": (q56_url_domains, _q56_sql()),
+    "q57_decontamination": (q57_decontamination, _Q57_SQL),
+    "q58_vocab_stats": (q58_vocab_stats, _Q58_SQL),
 }

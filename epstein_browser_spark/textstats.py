@@ -184,6 +184,69 @@ def deterministic_split(id_col: Column, train_pct: int = 80,
     )
 
 
+def word_ngrams_exploded(df: DataFrame, text_col: str, id_col: str,
+                         n: int = 13) -> DataFrame:
+    """(id, gram) — one row per DISTINCT n-word window per doc (lowercased,
+    whitespace-tokenized, single-space joined). The unit of benchmark
+    decontamination: GPT-3/The-Pile-style filtering drops training docs
+    sharing any 13-gram with an evaluation set. Explode-shaped — the
+    downstream overlap join shuffles on the gram hash, never all-pairs.
+
+    The token array is materialized in a projection BELOW the transform so
+    the window lambda captures a column reference — capturing the split
+    expression itself re-evaluates it per element (the interpreted-HOF
+    O(len²) trap, see exploded_shingles)."""
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= n)  # sequence(1, 0) would run DESCENDING
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+    )
+    return norm.select("id", F.explode(grams).alias("gram")).distinct()
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 13) -> DataFrame:
+    """Training-set docs that share any n-word window with a benchmark/eval
+    set: (id, n_shared_grams, n_benchmark_docs). The standard
+    pre-training decontamination pass; both sides go through the exploded
+    distinct-gram form, so the overlap is ONE equi-join on gram followed by
+    a partial-aggregable groupBy — at 100 TB the benchmark side is tiny and
+    broadcast."""
+    cg = word_ngrams_exploded(corpus, text_col, id_col, n)
+    bg = word_ngrams_exploded(benchmark, text_col, id_col, n).select(
+        F.col("id").alias("bench_id"), "gram"
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 20) -> DataFrame:
+    """Corpus-wide top-k vocabulary census: (token, n_occurrences, n_docs)
+    ordered by count — explode + groupBy (map-side partial agg) +
+    TakeOrderedAndProject. The doc-frequency column is what stopword/
+    boilerplate-token discovery reads at corpus scale."""
+    toks = tokens(F.lower(F.col(text_col)))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct("id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-gram shingles (JVM-side via sequence+transform)."""
     t = F.lower(F.trim(col))

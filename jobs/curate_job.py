@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--salt", type=int, default=1)
     ap.add_argument("--near-threshold", type=float, default=0.7)
+    ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--snapshot", default="unversioned")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -49,6 +50,7 @@ def main() -> None:
         salt=args.salt,
         n_partitions=args.partitions,
         near_threshold=args.near_threshold,
+        redact_pii=args.redact_pii,
         resume=not args.no_resume,
         input_snapshot=args.snapshot,
     )

@@ -86,6 +86,79 @@ def test_quality_bullet_lines(spark):
     assert abs(out["bullet_line_frac"][0] - 3 / 5) < 1e-9
 
 
+def test_contamination_report(spark):
+    from epstein_browser_spark import textstats
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                    "totally different words one two three four five six seven",
+                    "prefix alpha beta gamma delta epsilon zeta eta theta suffix",
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [100],
+             "text": ["alpha beta gamma delta epsilon zeta eta theta"]}
+        )
+    )
+    rep = (
+        textstats.contamination_report(corpus, bench, n=8)
+        .toPandas().set_index("id")
+    )
+    # docs 0 and 2 contain the benchmark 8-gram; doc 1 does not
+    assert sorted(rep.index) == [0, 2]
+    assert (rep["n_benchmark_docs"] == 1).all()
+    assert (rep["n_shared_grams"] >= 1).all()
+
+
+def test_vocab_stats(spark):
+    from epstein_browser_spark import textstats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["the cat the dog the end", "the bird and cat"],
+            }
+        )
+    )
+    out = textstats.vocab_stats(df, k=3).toPandas()
+    assert list(out["token"])[0] == "the"
+    assert out["n_occurrences"][0] == 4 and out["n_docs"][0] == 2
+    assert out[out["token"] == "cat"]["n_docs"].iloc[0] == 2
+
+
+def test_curation_redact_pii(spark):
+    from epstein_browser_spark import curation
+    from epstein_browser_spark.pipeline import extract_transcripts
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": [0, 0],
+            "role": ["user", "user"],
+            "tool": [None, None],
+            "ts": pd.Timestamp("2025-01-01"),
+            "text": [
+                "please email results to analyst@example.com before the meeting",
+                "a completely clean message about flight schedules and records",
+            ],
+        }
+    )
+    extracted = extract_transcripts(spark.createDataFrame(pdf), n_buckets=2)
+    cur = curation.curate_documents(extracted, redact_pii=True).toPandas()
+    by_conv = cur.set_index("conv_id")
+    assert "<EMAIL>" in by_conv.loc["a", "clean_text"]
+    assert "analyst@" not in by_conv.loc["a", "clean_text"]
+    assert by_conv.loc["a", "n_pii"] == 1 and by_conv.loc["b", "n_pii"] == 0
+
+
 def test_redaction_order_email_before_url_class(spark):
     # an email inside a URL-ish context must not leave the host exposed
     df = spark.createDataFrame(
