@@ -21,7 +21,12 @@ Layout:
   dedup.py    exact / minhash-LSH / simhash / n-gram-jaccard dedup +
               dup-cluster resolution (connected components)
   similarity.py  embedding ANN (brute-force cosine top-k + LSH buckets)
-  textstats.py   language-id, quality scoring, token counts, fingerprints
+  textstats.py   language-id, quality scoring, token counts, fingerprints,
+              deterministic splits, decontamination, vocabulary census
+  redaction.py   PII redaction (email/SSN/IP/phone), URL/domain census,
+              C4/Gopher document-quality rules
+  curation.py    the composed end-to-end curation job: extract → dedup
+              keep-policy → stats/langid → split → manifests (resumable)
   multimodal.py  binary-column plumbing + frame sampling (decode stubbed)
   merge.py    content-hash merge classification + the real per-bucket
               merge/upsert sinks (dynamic partition overwrite)

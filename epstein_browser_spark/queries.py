@@ -2028,6 +2028,51 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20
 """
 
 
+def q59_sequence_packing(spark, sf_dir):
+    """Training-sequence packing: assign every doc to a 512-token training
+    sequence via a sharded running token sum (GPT concat-and-chunk; the
+    window is per shard, so no task sorts the corpus — sequences never
+    span shards and the assignment is layout-independent). The shard here
+    is md5-derived (deterministic_split's bucket arithmetic mod 8) so the
+    ENTIRE packing — shard, cumulative sum, sequence id — is
+    value-oracled; production runs use the cheaper default xxhash64
+    shard (same semantics, pinned by the unit test)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", textstats.token_count(F.col("text")).alias("n_tokens"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int"), F.lit(8)
+    )
+    packed = textstats.pack_sequences(toks, budget=512, shard_col=shard)
+    return packed.select(
+        "doc_id", "n_tokens", "shard",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("seq_in_shard").cast("long").alias("seq_in_shard"),
+    )
+
+
+_Q59_SHARD = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_Q59_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '')) AS n_tokens,
+         CAST(({_Q59_SHARD}) % 8 AS INT) AS shard
+  FROM documents)
+SELECT doc_id, n_tokens, shard,
+       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / 512.0) AS BIGINT) AS seq_in_shard
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2091,4 +2136,5 @@ QUERIES: dict[str, tuple] = {
     "q56_url_domains": (q56_url_domains, _q56_sql()),
     "q57_decontamination": (q57_decontamination, _Q57_SQL),
     "q58_vocab_stats": (q58_vocab_stats, _Q58_SQL),
+    "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
 }

@@ -247,6 +247,44 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def pack_sequences(df: DataFrame, token_col: str = "n_tokens",
+                   budget: int = 2048, shard_col: Column | None = None,
+                   order_cols: tuple = ("doc_id",),
+                   n_shards: int = 16) -> DataFrame:
+    """GPT-style concat-and-chunk packing assignment: each doc gets the
+    fixed-token-budget training sequence it STARTS in, via a running token
+    sum over a deterministic order — ``seq_in_shard =
+    floor((cum - n_tokens) / budget)`` (docs may straddle a boundary; the
+    loader chunks them, the standard pretraining concatenation).
+
+    Scale shape: the window is partitioned by a SHARD key (default
+    pmod(xxhash64(first order col), n_shards)), so no task ever sorts the
+    whole corpus — each shard packs independently (sequences never span
+    shards, which is also what keeps packing deterministic under any
+    cluster layout). At 10^12 docs pick n_shards ≈ total cores × 4."""
+    from pyspark.sql import Window
+
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(order_cols[0]), F.lit(n_shards)).cast("int")
+    )
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return (
+        out.withColumn("cum_tokens", cum)
+        .withColumn(
+            "seq_in_shard",
+            F.floor((F.col("cum_tokens") - F.col(token_col)) / budget),
+        )
+    )
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-gram shingles (JVM-side via sequence+transform)."""
     t = F.lower(F.trim(col))

@@ -159,6 +159,34 @@ def test_curation_redact_pii(spark):
     assert by_conv.loc["a", "n_pii"] == 1 and by_conv.loc["b", "n_pii"] == 0
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: within a shard, cum_tokens is the running sum in
+    doc order; a doc starts in sequence floor(preceding_tokens/budget);
+    sequence ids are non-decreasing; assignment is identical across input
+    partitionings (layout independence)."""
+    from epstein_browser_spark import textstats
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(90)) + 10).alias("n_tokens"),
+    )
+    packed = textstats.pack_sequences(df, budget=100, n_shards=4).toPandas()
+    for _shard, grp in packed.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        assert list(grp["cum_tokens"]) == list(grp["n_tokens"].cumsum())
+        assert (grp["seq_in_shard"].diff().fillna(0) >= 0).all()
+        starts = (grp["cum_tokens"] - grp["n_tokens"]) // 100
+        assert list(starts) == list(grp["seq_in_shard"])
+    repart = textstats.pack_sequences(
+        df.repartition(7), budget=100, n_shards=4
+    ).toPandas()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        packed.sort_values(key).reset_index(drop=True),
+        repart.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_redaction_order_email_before_url_class(spark):
     # an email inside a URL-ish context must not leave the host exposed
     df = spark.createDataFrame(
