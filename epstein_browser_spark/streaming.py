@@ -147,6 +147,23 @@ def conversation_progress_stream(extracted_stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(extracted_stream: DataFrame,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: the streaming form of the content-hash
+    idempotency contract (/root/reference/index_images.py:194-232 and
+    batch q18) via ``dropDuplicatesWithinWatermark`` — the first turn with
+    a given content_hash passes, any duplicate arriving within the
+    watermark is dropped, and hash state older than the watermark is
+    EVICTED from the state store. That eviction is what makes the operator
+    viable at 10^12 turns: unbounded `dropDuplicates` state would grow with
+    the corpus, while here the store holds only the active watermark
+    window (global cross-time dedup stays a batch merge job — see
+    merge.py)."""
+    return extracted_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def hourly_event_counts_stream(events_stream: DataFrame,
                                watermark: str = "2 hours") -> DataFrame:
     """A7 as a real stream: watermarked tumbling 1-hour window (the batch

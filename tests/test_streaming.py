@@ -100,6 +100,61 @@ def test_stream_resume_picks_up_only_new_files(spark, corpus_sdf, tmp_path):
     assert os.path.isdir(ckpt)
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates of a content hash arriving in a
+    LATER micro-batch (within the watermark) are dropped; distinct texts
+    all pass. maxFilesPerTrigger=1 over two files forces the duplicate to
+    arrive in a different micro-batch than the original, so the drop
+    really exercises the state store, not intra-batch dedup."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import (
+        dedup_stream,
+        extract_stream,
+        read_transcripts_stream,
+    )
+
+    def mk(conv, texts, t0):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(texts),
+                "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+                "role": ["user"] * len(texts),
+                "text": texts,
+                "tool": pd.array([None] * len(texts), dtype="string"),
+                "ts": pd.to_datetime([t0] * len(texts)),
+            }
+        )
+
+    in_dir = str(tmp_path / "in")
+    a = "the first unique document body with plenty of words inside"
+    b = "a second distinct document body about something entirely else"
+    c = "the third distinct body mentioning flights and manifests today"
+    spark.createDataFrame(mk("c1", [a, b], "2024-01-01 00:00")).coalesce(1) \
+        .write.parquet(in_dir)
+    spark.createDataFrame(mk("c2", [a, c], "2024-01-01 00:10")).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    stream = read_transcripts_stream(spark, in_dir, max_files_per_trigger=1)
+    deduped = dedup_stream(extract_stream(stream, n_buckets=2))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, clean_text FROM dedup_stream_t"
+    ).toPandas()
+    texts = sorted(got["clean_text"])
+    assert texts == sorted([a, b, c])  # duplicate of `a` dropped
+    # the surviving copy of `a` is the FIRST arrival (conv c1)
+    assert got[got["clean_text"] == a]["conv_id"].iloc[0] == "c1"
+
+
 def test_stateful_conversation_progress(spark, corpus_pdf, corpus_sdf, tmp_path):
     """applyInPandasWithState (§2.11 custom stateful op): per-conversation
     counters carried across micro-batches must equal the batch groupBy on
