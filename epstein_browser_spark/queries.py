@@ -2073,6 +2073,243 @@ FROM t
 """
 
 
+def q60_bm25_rank(spark, sf_dir):
+    """BM25 relevance ranking over the document corpus for a multi-term
+    query — the principled form of the reference's relevance ordering
+    (/root/reference/app.py:967-974 ranks by match class + recency; BM25
+    is what a search engine over the same corpus would actually score
+    with, and it composes from the same explode/agg/broadcast primitives
+    as the rest of the registry).
+
+    Scale shape: tokens are exploded ONCE; the term-frequency branch
+    filters to the query terms BEFORE its groupBy (the shuffle carries
+    only matching (doc, term) rows); document frequency (|terms| rows)
+    and the corpus stats (one row: N, avgdl) are broadcast; final top-20
+    is TakeOrderedAndProject. Ordering is by the 6dp-ROUNDED score then
+    doc_id, so the ranking is reproducible across engines whose float
+    summation orders differ."""
+    d = _t(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "vector"]
+    k1, b = 1.2, 0.75
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    w = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(w), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+_Q60_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            w -> w <> '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'merge', 'vector') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))),
+               6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM s ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+_MIXTURE = {"en": 600, "de": 350, "fr": 350, "es": 350, "zh": 100}
+
+
+def q61_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling against a data-mixture spec —
+    the operator a training pipeline uses to rebalance languages/domains
+    (keep 60% of en, 35% of de/fr/es, 10% of zh here). The keep decision
+    is ``md5-bucket(doc_id) mod 1000 < rate`` — a pure column expression:
+    no RNG state, stable across runs/engines/partitionings (same
+    hash-bucket arithmetic as deterministic_split, ADVICE r2's unbiased
+    4-hex-digit form), and resampling at a new rate keeps prior decisions
+    nested (a doc sampled at 10% is also sampled at 60%), which makes
+    mixture re-weighting reproducible downstream. One narrow scan, no
+    shuffle, no sampleBy (whose seeded RNG is partitioning-dependent)."""
+    d = _t(spark, sf_dir, "documents")
+    rate = None
+    for lang, r in _MIXTURE.items():
+        c = F.when(F.col("lang") == lang, F.lit(r))
+        rate = c if rate is None else rate.when(F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(0))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    return d.select(
+        "doc_id", "lang", bucket.cast("long").alias("bucket"),
+        rate.cast("long").alias("rate_permille"),
+    ).filter(F.col("bucket") < F.col("rate_permille"))
+
+
+def _q61_sql() -> str:
+    shard = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(({shard}) % 1000 AS BIGINT) AS bucket,
+         CAST(CASE lang {cases} ELSE 0 END AS BIGINT) AS rate_permille
+  FROM documents)
+SELECT * FROM t WHERE bucket < rate_permille
+"""
+
+
+def q62_asof_join(spark, sf_dir):
+    """As-of join: for every purchase event, the most recent view event
+    of the same user at-or-before the purchase (the canonical
+    point-in-time enrichment a feature/training pipeline needs; Spark has
+    no built-in ASOF JOIN). Implemented WITHOUT a join: both event
+    families ride one window partitioned by user and ordered by
+    (ts, is_probe, event_id) — views sort before purchases at equal
+    timestamps, so ``last(view, ignorenulls)`` over the running frame is
+    exactly the <= match, and ties on ts resolve to the max view
+    event_id deterministically. One shuffle on user_id, partition-local
+    sort, zero join: at 10^12 events this is the merge-scan shape an
+    interval tree would hand-build, with skew handled by AQE. The oracle
+    restates it as the O(per-user²) join+row_number form."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_probe = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", is_probe, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    return (
+        ev.withColumn("view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .withColumn("view_id", F.last(view_id, ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "purchase")
+                & F.col("view_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"), "view_ts", "view_id",
+        )
+    )
+
+
+_Q62_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+l AS (SELECT * FROM events WHERE event_type = 'view'),
+pl AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         l.ts AS view_ts, l.event_id AS view_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY l.ts DESC, l.event_id DESC) AS rn
+  FROM p JOIN l ON l.user_id = p.user_id AND l.ts <= p.ts)
+SELECT purchase_id, user_id, purchase_ts, view_ts, view_id
+FROM pl WHERE rn = 1
+"""
+
+
+def q63_range_join(spark, sf_dir):
+    """Bin-bucketed range join: events aggregated into time INTERVALS of
+    the same user (intervals derived deterministically from orders:
+    start = o_orderdate's time-of-month mapped into the event window,
+    length 1..72 h). A naive user-equality join explodes — every user's
+    events × every user's intervals — and a pure range join is a
+    cartesian scan; instead each interval is exploded into the hour bins
+    it covers (≤73 rows, bounded by max interval length) and events join
+    on the compound (user, hour-bin) key with the exact range predicate
+    as a post-filter. Each event lives in exactly one bin, so no
+    dedup pass is needed; join fan-out is proportional to TRUE matches,
+    the shuffle key is high-cardinality (user × hour), and the oracle is
+    the plain O(n·m) range join restated in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    # deterministic synthetic intervals inside the events' time window
+    iv = o.filter(F.col("o_orderkey") % 100 < 5).select(
+        F.col("o_orderkey").alias("interval_id"),
+        F.pmod(F.col("o_custkey"), F.lit(150)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)  # 2024-01-01 00:00:00 UTC
+            + F.pmod(F.col("o_orderkey") * 7919, F.lit(29 * 24)) * 3600
+        ).alias("start_ts"),
+        (F.pmod(F.col("o_orderkey") * 104729, F.lit(72)) + 1).alias("_len_h"),
+    ).withColumn(
+        "end_ts", F.timestamp_add("HOUR", F.col("_len_h"), F.col("start_ts"))
+    ).drop("_len_h")
+    bins = iv.select(
+        "interval_id", "user_id", "start_ts", "end_ts",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp("start_ts") / 3600).cast("long"),
+                ((F.unix_timestamp("end_ts") - 1) / 3600).cast("long"),
+            )
+        ).alias("hour_bin"),
+    )
+    evb = ev.select(
+        "event_id", "user_id", "ts", "value",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bin"),
+    )
+    joined = bins.join(evb, ["user_id", "hour_bin"]).filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_Q63_SQL = """
+WITH iv AS (
+  SELECT o_orderkey AS interval_id,
+         o_custkey % 150 AS user_id,
+         to_timestamp(1704067200
+                      + ((o_orderkey * 7919) % (29 * 24)) * 3600) AS start_ts,
+         to_timestamp(1704067200
+                      + ((o_orderkey * 7919) % (29 * 24)) * 3600
+                      + ((o_orderkey * 104729) % 72 + 1) * 3600) AS end_ts
+  FROM orders WHERE o_orderkey % 100 < 5)
+SELECT iv.interval_id, count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY iv.interval_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2137,4 +2374,8 @@ QUERIES: dict[str, tuple] = {
     "q57_decontamination": (q57_decontamination, _Q57_SQL),
     "q58_vocab_stats": (q58_vocab_stats, _Q58_SQL),
     "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
+    "q60_bm25_rank": (q60_bm25_rank, _Q60_SQL),
+    "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
+    "q62_asof_join": (q62_asof_join, _Q62_SQL),
+    "q63_range_join": (q63_range_join, _Q63_SQL),
 }
