@@ -244,9 +244,11 @@ def run_layout(args) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--curation-scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--layout", action="store_true")
     ap.add_argument("--extraction-only", action="store_true")
+    ap.add_argument("--curation-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument(
         "--corpus",
@@ -257,6 +259,15 @@ def main() -> None:
 
     if args.scaling:
         run_scaling(args)
+        return
+    if args.curation_scaling:
+        run_curation_scaling(args)
+        return
+    if args.curation_only:
+        spark = _get_spark(args.cpus)
+        cur = bench_curation(spark)
+        spark.stop()
+        print(json.dumps({"cpus": args.cpus, "curation": cur}))
         return
     if args.skew:
         run_skew(args)
@@ -408,6 +419,77 @@ def run_scaling(args) -> None:
         "value": max(round(r[5], 3) for r in rows),
         "unit": "efficiency",
         "pairs": summary,
+    }))
+
+
+def run_curation_scaling(args) -> None:
+    """N->4N scaling of the COMPOSED curation job (extract -> dedup keep
+    policy -> stats/split -> partitioned write + manifests) at local[2] ->
+    local[8] — the stable pair on this one-socket box (see the variance
+    note in BENCH/BASELINE.md). Unlike the extraction kernel (one shuffle,
+    embarrassingly parallel map), this job chains several shuffles, two
+    iterative collect loops, and a partitioned sink — the harder scaling
+    shape. APPENDS a section to BENCH/BASELINE.md."""
+    n, n4 = 2, 8
+    # pre-create the shared corpus once so no side pays synth cost
+    spark = _get_spark(8)
+    bench_curation(spark)
+    spark.stop()
+
+    ceiling = _burn_calibration(((n, n4),))[f"{n}->{n4}"]
+
+    def measure(cpus: int, repeats: int = 2) -> dict:
+        best = None
+        for _ in range(repeats):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--curation-only", "--cpus", str(cpus)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)["curation"]
+            if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
+                best = r
+        return best
+
+    lo, hi = measure(n), measure(n4)
+    speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
+    raw_eff = speedup / (n4 / n)
+    norm_eff = speedup / ceiling
+    # Amdahl fit wall = F + P/cores: F is the per-job fixed cost (plan
+    # compile, iterative-round latency, sink setup) that amortizes with
+    # corpus size; P is the parallel core-seconds
+    p_work = (lo["sec"] - hi["sec"]) / (1 / n - 1 / n4)
+    fixed = lo["sec"] - p_work / n
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## Composed curation-job scaling (local[{n}] -> "
+            f"local[{n4}], {lo['turns_in']}-turn corpus)\n\n"
+            "Same criterion applied to the END-TO-END curation job "
+            "(extract -> quality gate -> exact + minhash near-dup keep "
+            "policy -> langid/token stats -> split -> partitioned write + "
+            "manifests): multiple shuffles, two iterative collect loops "
+            "(connected components), a parquet scratch table and a "
+            "partitioned sink — the adversarial scaling shape, vs the "
+            "extraction kernel's single-shuffle map.\n\n"
+            "| side | wall sec | turns/s |\n|---|---|---|\n"
+            f"| local[{n}] | {lo['sec']} | {lo['turns_per_sec']} |\n"
+            f"| local[{n4}] | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
+            f"Speedup {speedup:.2f}x, raw efficiency {raw_eff:.3f}, "
+            f"pure-CPU ceiling {ceiling:.2f}x, ceiling-normalized "
+            f"{norm_eff:.3f}.\n"
+        )
+    print(json.dumps({
+        "metric": f"curation-job scaling efficiency ({n}->{n4})",
+        "value": round(raw_eff, 3),
+        "unit": "efficiency",
+        "thr_lo": lo["turns_per_sec"], "thr_hi": hi["turns_per_sec"],
+        "speedup": round(speedup, 2),
+        "cpu_ceiling_speedup": round(ceiling, 2),
+        "normalized_eff": round(norm_eff, 3),
+        "amdahl_fixed_sec": round(fixed, 1),
+        "amdahl_parallel_core_sec": round(p_work, 1),
     }))
 
 
