@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks as built-ins: as-of (point-in-time)
+and range (point-in-interval) joins, in shapes that survive 10^12-row
+inputs.
+
+Both avoid the naive formulations that die at scale: an as-of join as a
+join-then-rank is O(per-key probes × refs); a range join without an
+equality key plans a cartesian/BroadcastNestedLoop scan. Here:
+
+* :func:`asof_join` is ZERO joins — both inputs ride one window
+  partitioned by the key, ordered so reference rows sort before probe
+  rows at equal timestamps, and ``last(payload, ignorenulls)`` over the
+  running frame is exactly the <= match. One shuffle on the key, then a
+  partition-local sort: the merge-scan shape, with AQE handling key skew.
+* :func:`range_join_binned` explodes each interval into the fixed-width
+  time bins it covers and equi-joins points on (key, bin), keeping the
+  exact range predicate as a post-filter. Join fan-out is proportional to
+  true matches (plus bin-boundary slop), the shuffle key is
+  high-cardinality, and a point lives in exactly one bin so no dedup pass
+  is needed.
+
+Query-surface instances with DuckDB value oracles: q62 (as-of) and q63
+(range) in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: list[str],
+    tiebreak: list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each probe row, the ``payload`` columns of the LATEST ref row
+    with ``ref.ts_col <= probe.ts_col`` in the same ``on`` key group.
+
+    Ties: refs sharing the match timestamp resolve to the greatest
+    ``tiebreak`` tuple (default: the payload columns), deterministically.
+    ``how='inner'`` drops probes with no preceding ref; ``'left'`` keeps
+    them with null payload. Probe and payload column names must be
+    disjoint; both inputs must carry ``on`` + ``ts_col``.
+    """
+    tiebreak = payload if tiebreak is None else tiebreak
+    overlap = set(payload) & set(probes.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with probe columns: {overlap}")
+    u = probes.withColumn("_is_probe", F.lit(1)).unionByName(
+        refs.select(*on, ts_col, *dict.fromkeys([*payload, *tiebreak]))
+        .withColumn("_is_probe", F.lit(0)),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_is_probe").asc(),  # refs before probes at equal ts => <=
+            *[F.col(c).asc() for c in tiebreak],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in payload:
+        out = out.withColumn(
+            c + suffix,
+            F.last(
+                F.when(F.col("_is_probe") == 0, F.col(c)), ignorenulls=True
+            ).over(w),
+        )
+    out_names = {c + suffix for c in payload}
+    helpers = [
+        c for c in dict.fromkeys([*payload, *tiebreak])
+        if c not in probes.columns and c not in out_names
+    ]
+    out = out.filter(F.col("_is_probe") == 1).drop("_is_probe", *helpers)
+    if how == "inner":
+        out = out.filter(F.col(payload[0] + suffix).isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of point rows to every interval row containing them:
+    same ``on`` key and ``start_col <= ts_col < end_col`` (end-exclusive).
+
+    Each interval explodes into the ``bin_seconds``-wide bins it covers
+    (bounded by max interval length / bin width; pick ``bin_seconds`` so
+    that bound is small), points land in exactly one bin, and the exact
+    range predicate runs as a post-filter on the (key, bin) equi-join.
+    Empty intervals (``end <= start``) match nothing — they are filtered
+    before the bin explode, which also guards Spark's descending
+    ``sequence(hi, lo)`` surprise. Point/interval column names must be
+    disjoint apart from ``on``.
+    """
+    iv = intervals.filter(F.col(end_col) > F.col(start_col))
+    bins = iv.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / bin_seconds).cast("long"),
+                ((F.unix_timestamp(end_col) - 1) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bin", (F.unix_timestamp(ts_col) / bin_seconds).cast("long")
+    )
+    return (
+        bins.join(pts, [*on, "_bin"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -2206,26 +2206,22 @@ def q62_asof_join(spark, sf_dir):
     sort, zero join: at 10^12 events this is the merge-scan shape an
     interval tree would hand-build, with skew handled by AQE. The oracle
     restates it as the O(per-user²) join+row_number form."""
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "purchase")
+    from epstein_browser_spark.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    is_probe = (F.col("event_type") == "purchase").cast("int")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", is_probe, "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"),
     )
-    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
-    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
-    return (
-        ev.withColumn("view_ts", F.last(view_ts, ignorenulls=True).over(w))
-        .withColumn("view_id", F.last(view_id, ignorenulls=True).over(w))
-        .filter((F.col("event_type") == "purchase")
-                & F.col("view_ts").isNotNull())
-        .select(
-            F.col("event_id").alias("purchase_id"), "user_id",
-            F.col("ts").alias("purchase_ts"), "view_ts", "view_id",
-        )
+    return asof_join(
+        probes, refs, on=["user_id"], ts_col="ts",
+        payload=["view_ts", "view_id"], how="inner", suffix="",
+    ).select(
+        "purchase_id", "user_id",
+        F.col("ts").alias("purchase_ts"), "view_ts", "view_id",
     )
 
 
@@ -2255,7 +2251,9 @@ def q63_range_join(spark, sf_dir):
     as a post-filter. Each event lives in exactly one bin, so no
     dedup pass is needed; join fan-out is proportional to TRUE matches,
     the shuffle key is high-cardinality (user × hour), and the oracle is
-    the plain O(n·m) range join restated in SQL."""
+    the plain O(n·m) range join restated in SQL (operator:
+    joins.range_join_binned; boundary semantics pinned by
+    tests/test_joins.py)."""
     ev = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
     # deterministic synthetic intervals inside the events' time window
@@ -2270,21 +2268,12 @@ def q63_range_join(spark, sf_dir):
     ).withColumn(
         "end_ts", F.timestamp_add("HOUR", F.col("_len_h"), F.col("start_ts"))
     ).drop("_len_h")
-    bins = iv.select(
-        "interval_id", "user_id", "start_ts", "end_ts",
-        F.explode(
-            F.sequence(
-                (F.unix_timestamp("start_ts") / 3600).cast("long"),
-                ((F.unix_timestamp("end_ts") - 1) / 3600).cast("long"),
-            )
-        ).alias("hour_bin"),
-    )
-    evb = ev.select(
-        "event_id", "user_id", "ts", "value",
-        (F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bin"),
-    )
-    joined = bins.join(evb, ["user_id", "hour_bin"]).filter(
-        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    from epstein_browser_spark.joins import range_join_binned
+
+    pts = ev.select("event_id", "user_id", "ts", "value")
+    joined = range_join_binned(
+        pts, iv, on=["user_id"], ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bin_seconds=3600,
     )
     return joined.groupBy("interval_id").agg(
         F.count("*").alias("n_events"),

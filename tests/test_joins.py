@@ -1,0 +1,172 @@
+"""Semantic pins for the temporal join operators (joins.py): tie-breaking
+and boundary cases that the q62/q63 DuckDB oracles exercise only
+statistically."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from epstein_browser_spark.joins import asof_join, range_join_binned
+
+
+def _ts(s):
+    return pd.to_datetime(s, format="mixed")
+
+
+def _asof_frames(spark):
+    refs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "a", "b"],
+                "ts": _ts([
+                    "2024-01-01 00:10", "2024-01-01 00:30",
+                    "2024-01-01 00:30", "2024-01-01 01:00",
+                    "2024-01-01 00:05",
+                ]),
+                "v_ts": _ts([
+                    "2024-01-01 00:10", "2024-01-01 00:30",
+                    "2024-01-01 00:30", "2024-01-01 01:00",
+                    "2024-01-01 00:05",
+                ]),
+                "v_id": pd.array([1, 2, 3, 4, 9], dtype="int64"),
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "a", "b", "c"],
+                "ts": _ts([
+                    "2024-01-01 00:05",  # before any ref -> no match
+                    "2024-01-01 00:20",  # -> ref id 1
+                    "2024-01-01 00:30",  # TIE with two refs -> max id 3
+                    "2024-01-01 02:00",  # -> latest ref id 4
+                    "2024-01-01 00:05",  # equal-ts ref on key b -> id 9 (<=)
+                    "2024-01-01 00:30",  # key with no refs at all
+                ]),
+                "p_id": pd.array([10, 11, 12, 13, 14, 15], dtype="int64"),
+            }
+        )
+    )
+    return probes, refs
+
+
+def test_asof_inner_matches_ties_and_boundaries(spark):
+    probes, refs = _asof_frames(spark)
+    out = (
+        asof_join(probes, refs, on=["k"], ts_col="ts",
+                  payload=["v_ts", "v_id"], how="inner", suffix="")
+        .toPandas().set_index("p_id").sort_index()
+    )
+    # probe before any ref and keyless probe are dropped under inner
+    assert sorted(out.index) == [11, 12, 13, 14]
+    assert out.loc[11, "v_id"] == 1
+    # tie at 00:30: the GREATER v_id among equal-ts refs wins
+    assert out.loc[12, "v_id"] == 3
+    assert out.loc[13, "v_id"] == 4
+    # ref at exactly the probe ts matches (<=, not <)
+    assert out.loc[14, "v_id"] == 9
+
+
+def test_asof_left_keeps_unmatched_with_null_payload(spark):
+    probes, refs = _asof_frames(spark)
+    out = (
+        asof_join(probes, refs, on=["k"], ts_col="ts",
+                  payload=["v_ts", "v_id"], how="left", suffix="")
+        .toPandas().set_index("p_id").sort_index()
+    )
+    assert sorted(out.index) == [10, 11, 12, 13, 14, 15]
+    assert pd.isna(out.loc[10, "v_id"]) and pd.isna(out.loc[15, "v_id"])
+
+
+def test_asof_suffix_and_collision_guard(spark):
+    probes, refs = _asof_frames(spark)
+    out = asof_join(probes, refs, on=["k"], ts_col="ts",
+                    payload=["v_ts", "v_id"], how="inner")
+    assert {"v_ts_asof", "v_id_asof"} <= set(out.columns)
+    assert not {"v_ts", "v_id"} & set(out.columns)
+    bad_probes = probes.withColumn("v_id", F.lit(0))
+    try:
+        asof_join(bad_probes, refs, on=["k"], ts_col="ts",
+                  payload=["v_ts", "v_id"], suffix="")
+        raise AssertionError("collision not detected")
+    except ValueError:
+        pass
+
+
+def test_range_join_binned_boundaries(spark):
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "iid": pd.array([100, 101, 102], dtype="int64"),
+                "start_ts": _ts([
+                    "2024-01-01 00:30",  # crosses an hour boundary
+                    "2024-01-01 03:00",
+                    "2024-01-01 00:00",  # empty: end == start
+                ]),
+                "end_ts": _ts([
+                    "2024-01-01 01:30",
+                    "2024-01-01 03:00:01",  # 1-second interval
+                    "2024-01-01 00:00",
+                ]),
+            }
+        )
+    )
+    points = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "a", "a", "b"],
+                "pid": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+                "ts": _ts([
+                    "2024-01-01 00:30",  # == start -> included
+                    "2024-01-01 01:29:59",  # inside, second hour bin
+                    "2024-01-01 01:30",  # == end -> EXCLUDED
+                    "2024-01-01 00:29:59",  # just before start, same bin
+                    "2024-01-01 03:00",  # inside the 1-second interval
+                    "2024-01-01 00:00",  # empty interval matches nothing
+                ]),
+            }
+        )
+    )
+    out = range_join_binned(points, intervals, on=["k"], ts_col="ts",
+                            start_col="start_ts", end_col="end_ts")
+    got = sorted(map(tuple, out.select("iid", "pid").toPandas().values))
+    assert got == [(100, 1), (100, 2), (101, 5)]
+
+
+def test_range_join_matches_naive_join(spark):
+    """Randomized-ish (deterministic hash) parity: binned result ==
+    plain range join on a small corpus, including multi-day intervals."""
+    base = spark.range(200).select(
+        F.pmod(F.col("id"), F.lit(5)).alias("k"),
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64("id"), F.lit(86400 * 3))
+        ).alias("ts"),
+    )
+    iv = spark.range(40).select(
+        F.pmod(F.col("id"), F.lit(5)).alias("k"),
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64("id", F.lit(1)),
+                                       F.lit(86400 * 3))
+        ).alias("start_ts"),
+    ).withColumn(
+        "end_ts",
+        F.timestamp_add(
+            "SECOND",
+            F.pmod(F.xxhash64("iid", F.lit(2)), F.lit(86400)).cast("int"),
+            F.col("start_ts"),
+        ),
+    )
+    binned = sorted(map(tuple, range_join_binned(
+        base, iv, on=["k"], ts_col="ts",
+        start_col="start_ts", end_col="end_ts",
+    ).select("iid", "pid").toPandas().values))
+    naive = sorted(map(tuple, iv.alias("i").join(
+        base.alias("p"),
+        (F.col("i.k") == F.col("p.k"))
+        & (F.col("p.ts") >= F.col("i.start_ts"))
+        & (F.col("p.ts") < F.col("i.end_ts")),
+    ).select("iid", "pid").toPandas().values))
+    assert binned == naive and len(binned) > 0
