@@ -2299,6 +2299,66 @@ GROUP BY iv.interval_id
 """
 
 
+def q64_repetition_signals(spark, sf_dir):
+    """Gopher within-doc repetition: most-frequent word 2-gram (+ the
+    fraction of the token stream its occurrences cover) and the char
+    fraction covered by word 3-grams occurring ≥2 times — the
+    boilerplate/keyword-stuffing signals that complement q55's line-level
+    rules. Operator: textstats.repetition_signals (explode → partial-agg
+    counts keyed (doc, gram), lexicographic tie-break so the top gram is
+    engine-independent)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.repetition_signals(d).select(
+        F.col("id").alias("doc_id"), "n_words", "top_bigram",
+        "top_bigram_count", "top_bigram_frac", "dup_trigram_frac",
+    )
+
+
+_Q64_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+den AS (
+  SELECT doc_id, len(toks) AS n_words,
+         len(array_to_string(toks, ' ')) AS denom
+  FROM norm),
+bg AS (
+  SELECT doc_id, array_to_string(toks[g.g:g.g+1], ' ') AS gram
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS g) g
+  WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY doc_id, gram),
+topc AS (SELECT doc_id, max(cnt) AS top_bigram_count FROM c2 GROUP BY doc_id),
+top2 AS (
+  SELECT c2.doc_id, t.top_bigram_count, min(c2.gram) AS top_bigram
+  FROM c2 JOIN topc t ON c2.doc_id = t.doc_id AND c2.cnt = t.top_bigram_count
+  GROUP BY c2.doc_id, t.top_bigram_count),
+tg AS (
+  SELECT doc_id, array_to_string(toks[g.g:g.g+2], ' ') AS gram
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS g) g
+  WHERE len(toks) >= 3),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM tg GROUP BY doc_id, gram),
+dup3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) ELSE 0 END) AS dup_chars
+  FROM c3 GROUP BY doc_id)
+SELECT den.doc_id, den.n_words, top2.top_bigram,
+       coalesce(top2.top_bigram_count, 0) AS top_bigram_count,
+       CASE WHEN den.denom > 0
+            THEN round(coalesce(top2.top_bigram_count * len(top2.top_bigram),
+                                0) / CAST(den.denom AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN den.denom > 0
+            THEN round(coalesce(dup3.dup_chars, 0)
+                       / CAST(den.denom AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM den
+LEFT JOIN top2 ON den.doc_id = top2.doc_id
+LEFT JOIN dup3 ON den.doc_id = dup3.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2367,4 +2427,5 @@ QUERIES: dict[str, tuple] = {
     "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
     "q63_range_join": (q63_range_join, _Q63_SQL),
+    "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
 }

@@ -207,6 +207,82 @@ def word_ngrams_exploded(df: DataFrame, text_col: str, id_col: str,
     return norm.select("id", F.explode(grams).alias("gram")).distinct()
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals, per doc:
+
+    * ``top_bigram`` / ``top_bigram_count`` — the most frequent word
+      2-gram (ties broken to the lexicographically smallest, so the
+      answer is engine-independent) and its occurrence count;
+    * ``top_bigram_frac`` — characters covered by those occurrences
+      (count × gram length, overlapping windows counted as Gopher does)
+      over the length of the single-space-joined lowercase token stream;
+    * ``dup_trigram_frac`` — same numerator summed over every word
+      3-gram occurring ≥2 times.
+
+    High values flag boilerplate/spam (lyrics, keyword stuffing, scraped
+    menus) that per-line rules (quality_rule_flags) miss. Shape: one
+    tokenization, two explode→groupBy counts keyed by (doc, gram) —
+    partial-aggregable, no corpus-wide state, joins back on doc id.
+    Docs with fewer words than the gram width get count 0 / null gram.
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    den = norm.select(
+        "id", F.size("_toks").alias("n_words"),
+        F.length(F.concat_ws(" ", "_toks")).alias("_denom"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        g = norm.filter(F.size("_toks") >= n).select(  # sequence() descends
+            "id",                                      # below size n
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+                )
+            ).alias("gram"),
+        )
+        return g.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
+
+    c2 = gram_counts(2)
+    top_cnt = c2.groupBy("id").agg(F.max("cnt").alias("top_bigram_count"))
+    top2 = (
+        c2.join(top_cnt, "id")
+        .filter(F.col("cnt") == F.col("top_bigram_count"))
+        .groupBy("id", "top_bigram_count")
+        .agg(F.min("gram").alias("top_bigram"))
+    )
+    dup3 = gram_counts(3).groupBy("id").agg(
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+            .otherwise(F.lit(0))
+        ).alias("_dup_chars")
+    )
+    return (
+        den.join(top2, "id", "left").join(dup3, "id", "left")
+        .select(
+            F.col("id"), "n_words", "top_bigram",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.when(
+                F.col("_denom") > 0,
+                F.round(
+                    F.coalesce(
+                        F.col("top_bigram_count") * F.length("top_bigram"),
+                        F.lit(0),
+                    ) / F.col("_denom"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            F.when(
+                F.col("_denom") > 0,
+                F.round(F.coalesce("_dup_chars", F.lit(0)) / F.col("_denom"),
+                        6),
+            ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def contamination_report(corpus: DataFrame, benchmark: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          n: int = 13) -> DataFrame:

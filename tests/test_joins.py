@@ -170,3 +170,37 @@ def test_range_join_matches_naive_join(spark):
         & (F.col("p.ts") < F.col("i.end_ts")),
     ).select("iid", "pid").toPandas().values))
     assert binned == naive and len(binned) > 0
+
+
+def test_repetition_signals_planted(spark):
+    """Planted repeats: 'x y' dominates doc 0; doc 1 has a repeated
+    trigram; doc 2 has no repeats; doc 3 is a single word (no bigrams)."""
+    import pandas as pd
+
+    from epstein_browser_spark.textstats import repetition_signals
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "x y x y x y z",          # bigram 'x y' occurs 3x (overlap)
+                "a b c a b c q r s t",    # trigram 'a b c' occurs 2x
+                "p q r s t u v",          # all grams unique
+                "solo",
+            ],
+        }
+    )
+    out = (
+        repetition_signals(spark.createDataFrame(pdf))
+        .toPandas().set_index("id").sort_index()
+    )
+    assert out.loc[0, "top_bigram"] == "x y"
+    assert out.loc[0, "top_bigram_count"] == 3
+    # denom = len("x y x y x y z") = 13; covered = 3 * len("x y") = 9
+    assert abs(out.loc[0, "top_bigram_frac"] - 9 / 13) < 1e-6
+    # doc 1: trigram 'a b c' twice -> 2 * 5 chars / len 19
+    assert abs(out.loc[1, "dup_trigram_frac"] - 10 / 19) < 1e-6
+    assert out.loc[2, "dup_trigram_frac"] == 0.0
+    assert out.loc[2, "top_bigram_count"] == 1
+    assert out.loc[3, "top_bigram_count"] == 0
+    assert pd.isna(out.loc[3, "top_bigram"])
