@@ -384,6 +384,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ).collect()[0][0]
 
     prev_sum = _label_sum(labels)
+    if prev_sum is None:
+        # no edges at all (clean corpus — the common case after exact
+        # dedup): every iteration below would shuffle/checkpoint empty
+        # frames; skip straight to the empty labeling
+        return labels.select("id", F.col("label").alias("cluster_id"))
     converged = False
     for _ in range(max_iter):
         nbr_min = (
