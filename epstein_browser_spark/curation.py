@@ -47,7 +47,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epstein_browser_spark import fsutil
-from epstein_browser_spark.dedup import dedup_clusters, minhash_dedup_pairs
+from epstein_browser_spark.dedup import (
+    dedup_clusters,
+    minhash_candidates_between,
+    minhash_dedup_pairs,
+    minhash_features,
+    minhash_lsh_candidates,
+    verify_pairs,
+)
 from epstein_browser_spark.pipeline import run_extraction
 from epstein_browser_spark.textstats import (
     SPLIT_NAMES,
@@ -129,7 +136,12 @@ def curate_documents(
         "doc_uid", "left_semi",
     )
 
-    # single-pass stats + explode-path language ID + conv-level split
+    return _annotate(canonical, redact_pii)
+
+
+def _annotate(canonical: DataFrame, redact_pii: bool) -> DataFrame:
+    """Shared curation tail: stats + explode-path language ID +
+    conversation-level split + optional PII redaction."""
     lang = langid_ngram_table(canonical, "clean_text", "doc_uid").select(
         F.col("id").alias("doc_uid"), "predicted_lang"
     )
@@ -268,3 +280,182 @@ def run_curation(
     )
     metrics["elapsed_sec"] = time.time() - t0
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest: curate a NEW transcript batch against the existing
+# corpus without re-running dedup over it
+# ---------------------------------------------------------------------------
+
+CURATED_INCR = "curated_incr"
+SCRATCH_INCR = "_scratch/minhash_incr"
+
+
+def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The full curated table: the base run's ``curated/`` plus every
+    incremental batch under ``curated_incr/snap=*/``. Readers use this —
+    the increments are kept in a sibling partition tree so the base
+    table's partition discovery never sees mixed depths, and each
+    increment stays an independently re-writable (idempotent) unit."""
+    base = spark.read.parquet(f"{out_dir}/curated")
+    try:
+        incr = spark.read.parquet(f"{out_dir}/{CURATED_INCR}").drop("snap")
+    except Exception:  # no increments yet
+        return base
+    return base.unionByName(incr.select(base.columns))
+
+
+def _existing_features(spark: SparkSession, out_dir: str,
+                       exclude_snap: str) -> DataFrame:
+    """The corpus near-dup index: the base scratch table plus prior
+    increments' (id, sig, grams) rows — the current snapshot's partition
+    is excluded so a retried run never probes against itself."""
+    feats = spark.read.parquet(f"{out_dir}/_scratch/minhash")
+    try:
+        incr = spark.read.parquet(f"{out_dir}/{SCRATCH_INCR}").filter(
+            F.col("snap") != exclude_snap
+        ).drop("snap")
+    except Exception:
+        return feats
+    return feats.unionByName(incr.select(feats.columns))
+
+
+def run_curation_increment(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    snapshot: str,
+    n_buckets: int = 32,
+    salt: int = 1,
+    n_partitions: int | None = None,
+    near_threshold: float = 0.7,
+    redact_pii: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Curate a NEW batch of transcripts against an existing
+    ``run_curation`` output — the incremental-ingest form of the job:
+    the increment is extracted, gated, and deduplicated BOTH within
+    itself and against the whole existing corpus, but nothing old is
+    re-extracted, re-shingled, or re-paired.
+
+    How the against-corpus dedup stays O(increment): the base run left
+    its (id, sig, grams) minhash scratch table on disk; the increment's
+    bands PROBE those buckets (`minhash_candidates_between`) — one
+    banded join keyed (band, band_hash), corpus-side bucket cap — and
+    exact content hashes anti-join against the curated table's
+    content_hash column (a pruned single-column scan). New docs
+    surviving both gates run the normal within-batch near-dup keep
+    policy, get annotated (stats/langid/split/PII), and land in
+    ``curated_incr/snap=<snapshot>/split=S/`` via dynamic partition
+    overwrite — a retried snapshot rewrites exactly its own partitions,
+    so the operation is idempotent and the base table is never touched.
+    The increment's features are appended to the index under
+    ``_scratch/minhash_incr/snap=<snapshot>/`` so FUTURE increments
+    dedup against this one too. Reference analog: the reference's
+    incremental content-hash indexing contract
+    (/root/reference/index_images.py:194-232), lifted from per-file
+    SQLite checks to corpus-scale probing.
+
+    Limitations (documented, not silent): a re-sent (conv_id, turn_idx)
+    with CHANGED text is treated as a new doc only if its doc_uid is
+    unseen — uid collisions with the existing index are dropped
+    (replacement/update flows belong to the merge sinks, merge.py)."""
+    t0 = time.time()
+    stage = f"incr-{snapshot}"
+    done = resume and stage_completed(spark, out_dir, stage, snapshot)
+    if done:
+        return {"curate": {**done, "skipped": True},
+                "elapsed_sec": time.time() - t0}
+
+    from epstein_browser_spark.pipeline import extract_transcripts
+
+    extracted = extract_transcripts(
+        transcripts, n_buckets=n_buckets, salt=salt, n_partitions=n_partitions
+    ).localCheckpoint(eager=True)
+
+    docs = extracted.filter(
+        (~F.col("is_low_quality")) & (~F.col("parse_failed"))
+        & (F.col("quality_score") > 0)
+    ).withColumn("doc_uid", F.xxhash64("conv_id", "turn_idx"))
+
+    # exact dedup: within the increment, then against the existing corpus
+    keep = docs.groupBy("content_hash").agg(F.min("doc_uid").alias("_k"))
+    new0 = docs.join(keep, "content_hash").filter(
+        F.col("doc_uid") == F.col("_k")
+    ).drop("_k")
+    existing = read_curated(spark, out_dir)
+    new0 = new0.join(
+        existing.select("content_hash"), "content_hash", "left_anti"
+    )
+    old_feats = _existing_features(spark, out_dir, exclude_snap=snapshot)
+    new0 = new0.join(
+        old_feats.select(F.col("id").alias("doc_uid")), "doc_uid", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    # near-dup features for the increment → disk (they ARE the index rows
+    # this snapshot contributes; a retry overwrites the same partition)
+    feats_dir = f"{out_dir}/{SCRATCH_INCR}"
+    fsutil.write_partition_overwrite(
+        minhash_features(new0, "clean_text", "doc_uid")
+        .withColumn("snap", F.lit(snapshot)),
+        feats_dir, partition_col="snap",
+    )
+    new_feats = spark.read.parquet(feats_dir).filter(
+        F.col("snap") == snapshot
+    ).drop("snap")
+
+    # increment-vs-corpus: probe old buckets, verify, drop matching new docs
+    vs_old = minhash_candidates_between(
+        new_feats.select("id", "sig"), old_feats.select("id", "sig")
+    )
+    all_feats = new_feats.unionByName(old_feats)
+    dup_of_old = verify_pairs(
+        vs_old, all_feats, near_threshold, n_perms=32,
+        a_col="id_probe", b_col="id_corpus",
+    ).select(F.col("id_probe").alias("doc_uid")).distinct()
+    survivors = new0.join(dup_of_old, "doc_uid", "left_anti")
+
+    # within-increment near-dup keep policy (the batch path, small input)
+    surv_feats = new_feats.join(
+        survivors.select(F.col("doc_uid").alias("id")), "id", "left_semi"
+    )
+    within = verify_pairs(
+        minhash_lsh_candidates(surv_feats.select("id", "sig"), n_bands=8),
+        surv_feats, near_threshold, n_perms=32,
+    )
+    clusters = dedup_clusters(survivors, within, id_col="doc_uid")
+    canonical = survivors.join(
+        clusters.filter("is_canonical").select(F.col("id").alias("doc_uid")),
+        "doc_uid", "left_semi",
+    )
+
+    out = _annotate(canonical, redact_pii).drop("bucket").withColumn(
+        "snap", F.lit(snapshot)
+    ).localCheckpoint(eager=True)
+    fsutil.write_partition_overwrite(
+        out, f"{out_dir}/{CURATED_INCR}", partition_col=["snap", "split"]
+    )
+
+    split_stats = (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("conv_id").alias("n_convs"),
+             F.sum("n_tokens").alias("total_tokens"))
+        .collect()
+    )
+    fsutil.mkdirs(spark, f"{out_dir}/manifests")
+    split_counts = {}
+    for r in split_stats:
+        man = {"split": r["split"], "snapshot": snapshot,
+               "n_docs": int(r["n_docs"]), "n_convs": int(r["n_convs"]),
+               "total_tokens": int(r["total_tokens"] or 0)}
+        fsutil.write_text(
+            spark, f"{out_dir}/manifests/incr-{snapshot}-{r['split']}.json",
+            json.dumps(man),
+        )
+        split_counts[r["split"]] = man["n_docs"]
+
+    metrics = _mark_stage(spark, out_dir, stage, snapshot,
+                          {"n_docs": sum(split_counts.values()),
+                           "splits": split_counts})
+    return {"curate": metrics, "elapsed_sec": time.time() - t0}

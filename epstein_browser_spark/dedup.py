@@ -129,6 +129,24 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
     O(n²) pairs; a real run should log the dropped-bucket count from the
     returned plan's metrics).
     """
+    banded = _banded(sigs, n_bands, max_bucket)
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _banded(sigs: DataFrame, n_bands: int,
+            max_bucket: int | None = None) -> DataFrame:
+    """(id, band, band_hash) — one row per signature band. When
+    ``max_bucket`` is given, mega-buckets are dropped via a window count —
+    the same (band, band_hash) shuffle key as any downstream bucket join,
+    so the partitioning is reused and nothing is broadcast (bucket stats
+    scale with the corpus)."""
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -150,22 +168,69 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
             )
         ).alias("band", "band_hash"),
     )
-    # drop mega-buckets via a window count — same (band, band_hash) shuffle
-    # key as the self-join below, so the partitioning is reused, and nothing
-    # is broadcast (bucket stats scale with the corpus)
-    bw = Window.partitionBy("band", "band_hash")
-    banded = (
-        banded.withColumn("_bucket_n", F.count("*").over(bw))
-        .filter(F.col("_bucket_n") <= max_bucket)
-        .drop("_bucket_n")
+    if max_bucket is not None:
+        bw = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(bw))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+    return banded
+
+
+def minhash_candidates_between(probe_sigs: DataFrame, corpus_sigs: DataFrame,
+                               n_bands: int = 8,
+                               max_bucket: int = 200) -> DataFrame:
+    """Asymmetric banded LSH: (id_probe, id_corpus) candidate pairs between
+    a (small) probe set and the full corpus — the incremental-ingest shape:
+    only the increment's bands probe the corpus's buckets, nothing
+    corpus×corpus is ever re-paired. The bucket cap is evaluated on the
+    CORPUS side (its buckets are what can explode); the probe side rides
+    the same (band, band_hash) shuffle key."""
+    p = _banded(probe_sigs, n_bands).select(
+        F.col("id").alias("id_probe"), "band", "band_hash"
     )
-    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    c = _banded(corpus_sigs, n_bands, max_bucket).select(
+        F.col("id").alias("id_corpus"), "band", "band_hash"
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        p.join(c, ["band", "band_hash"])
+        .filter(F.col("id_probe") != F.col("id_corpus"))
+        .select("id_probe", "id_corpus")
         .distinct()
+    )
+
+
+def verify_pairs(cands: DataFrame, features: DataFrame, threshold: float,
+                 n_perms: int, prefilter_margin: float = 0.3,
+                 a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a
+    (id, sig, grams) feature table: signature-agreement prefilter first
+    (see minhash_dedup_pairs), gram-set jaccard on the survivors. Returns
+    (a_col, b_col, jaccard) for pairs at/above ``threshold``."""
+    sigs = features.select("id", "sig")
+    if prefilter_margin < 1:
+        sa = sigs.select(F.col("id").alias(a_col), F.col("sig").alias("_sa"))
+        sb = sigs.select(F.col("id").alias(b_col), F.col("sig").alias("_sb"))
+        est = F.aggregate(
+            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(n_perms))
+        cands = (
+            cands.join(sa, a_col).join(sb, b_col)
+            .filter(est >= F.lit(threshold - prefilter_margin))
+            .select(a_col, b_col)
+        )
+    grams = features.select("id", "grams")
+    ga = grams.select(F.col("id").alias(a_col), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("id").alias(b_col), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        cands.join(ga, a_col).join(gb, b_col)
+        .select(a_col, b_col, (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -228,6 +293,26 @@ def minhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
+    combined = minhash_features(df, text_col, id_col, n_perms, shingle)
+    if scratch_dir is not None:
+        combined.write.mode("overwrite").parquet(scratch_dir)
+        combined = df.sparkSession.read.parquet(scratch_dir)
+    else:
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        combined.count()  # materialize BEFORE the joins fan out (see above)
+    cands = minhash_lsh_candidates(combined.select("id", "sig"), n_bands)
+    return verify_pairs(cands, combined, threshold, n_perms, prefilter_margin)
+
+
+def minhash_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_perms: int = 32,
+                     shingle: int = 5) -> DataFrame:
+    """(id, sig: array<long>, grams: array<long>) — the minhash signature
+    and the hashed distinct-shingle set, from ONE shingling pass (the
+    dominant cost) and ONE groupBy. This frame is the near-dup index: the
+    LSH branch reads (id, sig), the verify branch (id, grams), and an
+    incremental ingest appends new rows and probes old ones
+    (minhash_candidates_between)."""
     from epstein_browser_spark.textstats import exploded_shingles
 
     ex = exploded_shingles(df, text_col, id_col, shingle).withColumn(
@@ -239,7 +324,7 @@ def minhash_dedup_pairs(
         F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}")
         for i in range(n_perms)
     ]
-    combined = (
+    return (
         ex.groupBy("id")
         .agg(*sig_aggs, F.collect_list("_h").alias("grams"))
         .select(
@@ -247,39 +332,6 @@ def minhash_dedup_pairs(
             F.array(*[f"_h{i}" for i in range(n_perms)]).alias("sig"),
             "grams",
         )
-    )
-    if scratch_dir is not None:
-        combined.write.mode("overwrite").parquet(scratch_dir)
-        combined = df.sparkSession.read.parquet(scratch_dir)
-    else:
-        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
-        combined.count()  # materialize BEFORE the joins fan out (see above)
-    sigs = combined.select("id", "sig")
-    cands = minhash_lsh_candidates(sigs, n_bands)
-    if prefilter_margin < 1:
-        sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
-        sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
-        # matches/n_perms — 32-element HOF per candidate pair, far cheaper
-        # than shuffling + intersecting the full gram sets
-        est = F.aggregate(
-            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ) / F.lit(float(n_perms))
-        cands = (
-            cands.join(sa, "id_a").join(sb, "id_b")
-            .filter(est >= F.lit(threshold - prefilter_margin))
-            .select("id_a", "id_b")
-        )
-    grams = combined.select("id", "grams")
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
-    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
-    union = F.size(F.array_union("_ga", "_gb")).cast("double")
-    return (
-        cands.join(ga, "id_a").join(gb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

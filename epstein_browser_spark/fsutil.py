@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partition_overwrite(df: DataFrame, path: str,
-                              partition_col: str = "bucket") -> None:
+                              partition_col: str | list[str] = "bucket"
+                              ) -> None:
     """The repo's single partition-overwrite code path: every sink
     (extraction data, failures queue, merge/upsert rewrites) overwrites
     per-partition, NEVER the whole table — with Spark's default static
@@ -33,10 +34,11 @@ def write_partition_overwrite(df: DataFrame, path: str,
     spark.sql.sources.partitionOverwriteMode is never mutated (round-2
     ADVICE: the sinks used to spark.conf.set it globally, silently changing
     overwrite semantics for subsequent caller writes)."""
+    cols = [partition_col] if isinstance(partition_col, str) else partition_col
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
+        .partitionBy(*cols)
         .parquet(path)
     )
 

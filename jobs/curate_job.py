@@ -13,6 +13,12 @@ Cluster usage:
 
 Resumable: rerunning with the same --output and --snapshot skips completed
 stages (and, inside the extract stage, completed buckets).
+
+Incremental ingest: ``--increment`` curates ONLY the --input batch against
+the existing --output corpus (content-hash + minhash-index probing; see
+curation.run_curation_increment) and appends it under
+curated_incr/snap=<snapshot>/; --snapshot is required and identifies the
+batch (a retry of the same snapshot is idempotent).
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ def main() -> None:
     ap.add_argument("--near-threshold", type=float, default=0.7)
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--snapshot", default="unversioned")
+    ap.add_argument("--increment", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -40,20 +47,39 @@ def main() -> None:
         "epstein_browser_spark.curate"
     ).getOrCreate()
 
-    from epstein_browser_spark.curation import run_curation
-
-    metrics = run_curation(
-        spark,
-        spark.read.parquet(args.input),
-        args.output,
-        n_buckets=args.buckets,
-        salt=args.salt,
-        n_partitions=args.partitions,
-        near_threshold=args.near_threshold,
-        redact_pii=args.redact_pii,
-        resume=not args.no_resume,
-        input_snapshot=args.snapshot,
+    from epstein_browser_spark.curation import (
+        run_curation,
+        run_curation_increment,
     )
+
+    if args.increment:
+        if args.snapshot == "unversioned":
+            ap.error("--increment requires an explicit --snapshot")
+        metrics = run_curation_increment(
+            spark,
+            spark.read.parquet(args.input),
+            args.output,
+            snapshot=args.snapshot,
+            n_buckets=args.buckets,
+            salt=args.salt,
+            n_partitions=args.partitions,
+            near_threshold=args.near_threshold,
+            redact_pii=args.redact_pii,
+            resume=not args.no_resume,
+        )
+    else:
+        metrics = run_curation(
+            spark,
+            spark.read.parquet(args.input),
+            args.output,
+            n_buckets=args.buckets,
+            salt=args.salt,
+            n_partitions=args.partitions,
+            near_threshold=args.near_threshold,
+            redact_pii=args.redact_pii,
+            resume=not args.no_resume,
+            input_snapshot=args.snapshot,
+        )
     print(json.dumps(metrics))
     spark.stop()
 

@@ -126,3 +126,101 @@ def test_curate_documents_near_dup_policy(spark):
     # the two unrelated docs survive
     assert len(cur) == 3
     assert set(cur["split"]) <= {"train", "val", "test"}
+
+
+def _incr_rows(rows):
+    """Transcript-schema frame for an increment batch."""
+    return pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array([0] * len(rows), dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": [r[1] for r in rows],
+            "tool": pd.array([None] * len(rows), dtype="string"),
+            "ts": pd.to_datetime(["2024-02-01 00:00:00"] * len(rows)),
+        }
+    )
+
+
+def test_incremental_curation(spark, corpus_sdf, tmp_path):
+    """A new batch dedups against the EXISTING corpus via the persisted
+    minhash scratch index + content hashes: exact and near dups of old
+    docs are dropped, novel docs are appended, a second increment dedups
+    against the first, the base table is never rewritten, and a retried
+    snapshot is idempotent."""
+    out = str(tmp_path / "cur")
+    curation.run_curation(spark, corpus_sdf, out, n_buckets=8,
+                          input_snapshot="base")
+    spark.catalog.refreshByPath(f"{out}/curated")
+    base = spark.read.parquet(f"{out}/curated")
+    n_base = base.count()
+    # a long quality-passing doc from the base corpus to duplicate
+    seed_text = (
+        base.filter(F.length("clean_text") > 200)
+        .select("clean_text").first()[0]
+    )
+    novel1 = ("the committee reviewed forty novel exhibits about migratory "
+              "seabirds nesting along basalt cliffs and recorded wingspan "
+              "measurements for each tagged individual during the survey")
+    novel2 = ("quarterly reconciliation of the harbor ledger revealed three "
+              "misfiled invoices relating to rope purchases and a credit "
+              "for returned lanterns processed after the audit window")
+    pair_a = ("deterministic replay of the ingestion log reproduced the "
+              "checkpoint divergence on the seventh shard exactly as the "
+              "operators reported during the overnight incident review")
+    pair_b = pair_a + " with two extra trailing words"
+    incr1 = spark.createDataFrame(_incr_rows([
+        ("inc_exact", seed_text),            # exact dup of base -> dropped
+        ("inc_near", seed_text + " padded"), # near dup of base -> dropped
+        ("inc_novel1", novel1),
+        ("inc_novel2", novel2),
+        ("inc_pair_a", pair_a),              # near-dup pair within the
+        ("inc_pair_b", pair_b),              # increment -> one canonical
+    ]))
+    m1 = curation.run_curation_increment(spark, incr1, out, snapshot="inc1",
+                                         n_buckets=4)
+    assert m1["curate"]["n_docs"] == 3
+    mt_base = _file_mtimes(f"{out}/curated")
+
+    spark.catalog.refreshByPath(f"{out}/curated_incr")
+    all_cur = curation.read_curated(spark, out)
+    assert all_cur.count() == n_base + 3
+    got_convs = {
+        r["conv_id"] for r in
+        all_cur.filter(F.col("conv_id").startswith("inc_")).collect()
+    }
+    assert "inc_exact" not in got_convs and "inc_near" not in got_convs
+    assert {"inc_novel1", "inc_novel2"} <= got_convs
+    assert len(got_convs & {"inc_pair_a", "inc_pair_b"}) == 1
+
+    # idempotent retry of the same snapshot: skipped, nothing rewritten
+    mt1 = _file_mtimes(out)
+    m1b = curation.run_curation_increment(spark, incr1, out, snapshot="inc1",
+                                          n_buckets=4)
+    assert m1b["curate"].get("skipped")
+    assert _file_mtimes(out) == mt1
+
+    # second increment: near-dup of the FIRST increment's novel doc is
+    # dropped (the index grew), a fresh doc is appended
+    novel3 = ("archival weather observations from the lighthouse station "
+              "were digitized and cross checked against ship logs covering "
+              "the same fortnight of unusually calm glassy seas")
+    incr2 = spark.createDataFrame(_incr_rows([
+        ("inc2_nearprev", novel1 + " appended"),  # near dup of inc1 novel
+        ("inc2_novel", novel3),
+    ]))
+    m2 = curation.run_curation_increment(spark, incr2, out, snapshot="inc2",
+                                         n_buckets=4)
+    assert m2["curate"]["n_docs"] == 1
+    spark.catalog.refreshByPath(f"{out}/curated_incr")
+    all_cur = curation.read_curated(spark, out)
+    assert all_cur.count() == n_base + 4
+    convs2 = {r["conv_id"] for r in
+              all_cur.filter(F.col("conv_id").startswith("inc2_")).collect()}
+    assert convs2 == {"inc2_novel"}
+    # the base table was never touched by either increment
+    assert _file_mtimes(f"{out}/curated") == mt_base
+    # incremental manifests exist and agree
+    man = json.loads(open(glob.glob(
+        f"{out}/manifests/incr-inc2-*.json")[0]).read())
+    assert man["n_docs"] == 1
