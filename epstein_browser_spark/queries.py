@@ -2359,6 +2359,34 @@ LEFT JOIN dup3 ON den.doc_id = dup3.doc_id
 """
 
 
+def q65_topk_per_group(spark, sf_dir):
+    """Per-group top-k: the 3 longest documents of EVERY source (ties by
+    doc_id) — the grouped counterpart of the global TakeOrderedAndProject
+    queries (q05/q33): a row_number window partitioned by source, so each
+    group is ranked independently inside its own shuffle partition and no
+    single task ever sees the whole corpus. The shape a curation job uses
+    for per-domain exemplar sampling / per-source quality quotas."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars",
+                 F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_Q65_SQL = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2428,4 +2456,5 @@ QUERIES: dict[str, tuple] = {
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
     "q63_range_join": (q63_range_join, _Q63_SQL),
     "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
+    "q65_topk_per_group": (q65_topk_per_group, _Q65_SQL),
 }
