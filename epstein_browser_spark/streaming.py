@@ -174,3 +174,26 @@ def hourly_event_counts_stream(events_stream: DataFrame,
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def session_counts_stream(events_stream: DataFrame,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """q44's sessionization as a real stream: per-user ``session_window``
+    with an inactivity gap — Spark's built-in stateful session operator,
+    so the state store holds only OPEN sessions and a session is emitted
+    (append mode) once the watermark passes its close. This is the form
+    that runs forever on an unbounded event stream; the batch q44 runs
+    the identical expression, and the parity test pins stream == batch
+    on the same input."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

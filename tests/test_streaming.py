@@ -206,3 +206,59 @@ def test_stateful_conversation_progress(spark, corpus_pdf, corpus_sdf, tmp_path)
         .toPandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_stream_sessionization_equals_batch(spark, tmp_path):
+    """session_counts_stream (stateful session_window + watermark) over a
+    finite file stream must equal the identical batch expression — the
+    q44 kernel. Events for two users with gaps straddling the 30-min
+    boundary."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import session_counts_stream
+
+    # user 999 is a far-future SENTINEL: watermarks only advance on seen
+    # event time, so without it the single availableNow batch would end
+    # with every session still open and append mode would emit nothing
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.array([1, 1, 1, 1, 2, 2, 999], dtype="int64"),
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00:00", "2024-01-01 00:10:00",  # session 1
+                "2024-01-01 00:41:00", "2024-01-01 00:50:00",  # session 2
+                "2024-01-01 00:00:00", "2024-01-01 02:00:00",  # 2 sessions
+                "2024-01-01 12:00:00",
+            ]),
+        }
+    )
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(in_dir)
+    )
+    q = (
+        session_counts_stream(stream)
+        .writeStream.format("memory").queryName("sess_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM sess_t WHERE user_id != 999 "
+        "ORDER BY user_id, session_start"
+    ).toPandas()
+    # batch equivalent: identical expression on the static frame (the
+    # sentinel's own still-open session excluded on both sides)
+    from pyspark.sql import functions as F
+    exp = (
+        spark.read.parquet(in_dir).filter("user_id != 999")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+        .orderBy("user_id", "session_start").toPandas()
+    )
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    # sanity: the gap semantics produced the expected session count
+    assert len(got) == 4 and list(got["n_events"]) == [2, 2, 1, 1]
