@@ -2359,6 +2359,57 @@ LEFT JOIN dup3 ON den.doc_id = dup3.doc_id
 """
 
 
+def q66_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (the compression half of IVF-PQ): every
+    vector stored as 4 codes (one per 16-dim subspace, rank-based sampled
+    codebooks — deterministic, so encode + lookup-table + ranking are all
+    value-oracle-checked), query scored by asymmetric distance: 4 table
+    lookups + 4 adds per vector instead of a 64-dim dot product. Ordering
+    by the rounded distance then id (the 4-term sum has no guaranteed
+    fold order across engines). Operator: similarity.pq_codebooks/
+    pq_encode/pq_adc_topk; exactness-on-codebook-vectors pinned by
+    pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(e, _Q23_QVEC, m=4, k=16, topk=10)
+
+
+def _q66_sql(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    w = dim // m
+    qsubs = {
+        s: "[" + ", ".join(f"{float(x):.1f}" for x in _Q23_QVEC[s * w:(s + 1) * w]) + "]"
+        for s in range(m)
+    }
+    qcase = "CASE sub " + " ".join(
+        f"WHEN {s} THEN list_dot_product({q}, {q}) + "
+        f"list_dot_product(cvec, cvec) - 2 * list_dot_product({q}, cvec)"
+        for s, q in qsubs.items()
+    ) + " END"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS code, v AS cv FROM e ORDER BY vec_id LIMIT {k}),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+cb AS (SELECT sub, code, cv[sub*{w}+1 : sub*{w}+{w}] AS cvec
+       FROM c CROSS JOIN subs),
+sv AS (SELECT e.vec_id, sub, v[sub*{w}+1 : sub*{w}+{w}] AS svec
+       FROM e CROSS JOIN subs),
+p AS (SELECT sv.vec_id, sv.sub, cb.code,
+        list_dot_product(svec, svec) + list_dot_product(cvec, cvec)
+          - 2 * list_dot_product(svec, cvec) AS d
+      FROM sv JOIN cb ON sv.sub = cb.sub),
+mn AS (SELECT vec_id, sub, min(d) AS mind FROM p GROUP BY vec_id, sub),
+codes AS (SELECT p.vec_id, p.sub, min(p.code) AS code
+          FROM p JOIN mn ON p.vec_id = mn.vec_id AND p.sub = mn.sub
+                        AND p.d = mn.mind
+          GROUP BY p.vec_id, p.sub),
+tbl AS (SELECT sub, code, {qcase} AS contrib FROM cb)
+SELECT codes.vec_id,
+       round(sum(tbl.contrib), 6) AS adc_dist2
+FROM codes JOIN tbl ON codes.sub = tbl.sub AND codes.code = tbl.code
+GROUP BY codes.vec_id
+ORDER BY adc_dist2 ASC, codes.vec_id ASC LIMIT 10
+"""
+
+
 def q65_topk_per_group(spark, sf_dir):
     """Per-group top-k: the 3 longest documents of EVERY source (ties by
     doc_id) — the grouped counterpart of the global TakeOrderedAndProject
@@ -2457,4 +2508,5 @@ QUERIES: dict[str, tuple] = {
     "q63_range_join": (q63_range_join, _Q63_SQL),
     "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
     "q65_topk_per_group": (q65_topk_per_group, _Q65_SQL),
+    "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
 }

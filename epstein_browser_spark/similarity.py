@@ -303,3 +303,108 @@ def lsh_topk_df(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the compression half of IVF-PQ — the memory story
+# that makes billion-vector ANN fit a cluster: each vector stored as m
+# small codes instead of dim floats, distances approximated from a tiny
+# per-query lookup table)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 16,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(sub, code, cvec) — per-subspace codebooks from the same
+    deterministic rank-based sample as ivf_centroids: the k lowest-id
+    corpus vectors, each contributing its s-th slice as centroid ``code``
+    (= its own id) of subspace s. No k-means, so the whole index is
+    value-oracle-checkable; swap in trained codebooks when recall matters
+    more than reproducibility. m·k rows total — always broadcast."""
+    base = (
+        embeddings.select(F.col(id_col).alias("code"),
+                          F.col(vec_col).alias("_v"))
+        .orderBy("code")
+        .limit(k)
+    )
+    w = (F.size("_v") / m).cast("int")
+    return base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "code", "_v",
+    ).select(
+        "sub", "code",
+        F.slice("_v", F.col("sub") * w + 1, w).alias("cvec"),
+    )
+
+
+def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              long_form: bool = False) -> DataFrame:
+    """PQ codes: each vector's m subvectors assigned to their nearest
+    codebook centroid by squared L2 (ties to the lower code id — same
+    argmin contract as ivf_assign). Default output is the stored form
+    (id, codes: array<bigint> ordered by subspace — m·8 bytes instead of
+    dim·4); ``long_form=True`` returns (id, sub, code) for joins."""
+    cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    w = (F.size(vec_col) / m).cast("int")
+    subv = embeddings.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        id_col, "sub",
+        F.slice("_v", F.col("sub") * (F.size("_v") / m).cast("int") + 1,
+                (F.size("_v") / m).cast("int")).alias("svec"),
+    )
+    pairs = subv.join(F.broadcast(cb), "sub").select(
+        id_col, "sub", "code", dist2(F.col("svec"), F.col("cvec")).alias("_d")
+    )
+    mins = pairs.groupBy(id_col, "sub").agg(F.min("_d").alias("_mind"))
+    codes = (
+        pairs.join(mins, [id_col, "sub"])
+        .filter(F.col("_d") == F.col("_mind"))
+        .groupBy(id_col, "sub")
+        .agg(F.min("code").alias("code"))
+    )
+    if long_form:
+        return codes
+    return codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s.code,
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
+                k: int = 16, topk: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: approximate squared L2 to the query as
+    the sum of per-subspace (query-slice ↔ centroid) distances looked up
+    from an m·k table — the query-time half of PQ. Per corpus vector the
+    work is m lookups + m adds regardless of dim; the table is built once
+    per query and broadcast. Ordering is by the 6dp-ROUNDED distance then
+    id so the ranking is reproducible across engines (the m-term sum has
+    no guaranteed fold order). Returns (id, adc_dist2)."""
+    dim = len(query_vec)
+    w = dim // m
+    cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    qsub = {
+        s: F.array(*[F.lit(float(x)) for x in query_vec[s * w:(s + 1) * w]])
+        for s in range(m)
+    }
+    contrib = None
+    for s in range(m):
+        c = F.when(F.col("sub") == s, dist2(qsub[s], F.col("cvec")))
+        contrib = c if contrib is None else contrib.when(
+            F.col("sub") == s, dist2(qsub[s], F.col("cvec"))
+        )
+    table = cb.select("sub", "code", contrib.alias("_contrib"))
+    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
+    return (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_contrib"), 6).alias("adc_dist2"))
+        .orderBy(F.asc("adc_dist2"), F.col(id_col))
+        .limit(topk)
+    )

@@ -574,3 +574,43 @@ def test_langid_ngram_basics(spark):
     assert out.loc[1, "predicted_lang"] == "es"
     assert out.loc[2, "predicted_lang"] == "de"
     assert out.loc[3, "predicted_lang"] == "und"
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark, sf_dir):
+    """For the k codebook-source vectors every subvector IS a centroid, so
+    the PQ code is their own id and the asymmetric distance equals the
+    TRUE squared L2 to the query — the zero-quantization-error invariant
+    that pins encode + table-lookup end to end. Also: codes stay in the
+    codebook id domain and every vector gets exactly m codes."""
+    from pyspark.sql import functions as F
+
+    q = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 16
+    cb_ids = [r[0] for r in
+              e.select("vec_id").orderBy("vec_id").limit(k).collect()]
+    codes = similarity.pq_encode(e, m=4, k=k, long_form=True)
+    dom = codes.select("code").distinct().toPandas()["code"]
+    assert set(dom) <= set(cb_ids)
+    per_vec = codes.groupBy("vec_id").count().toPandas()
+    assert (per_vec["count"] == 4).all()
+    # codebook vectors encode to themselves
+    own = codes.filter(F.col("vec_id").isin(cb_ids)).toPandas()
+    assert (own["vec_id"] == own["code"]).all()
+
+    qlit = F.array(*[F.lit(x) for x in q])
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in e.filter(F.col("vec_id").isin(cb_ids)).select(
+            "vec_id",
+            similarity.dist2(F.col("embedding"), qlit).alias("d"),
+        ).collect()
+    }
+    adc = {
+        r["vec_id"]: r["adc_dist2"]
+        for r in similarity.pq_adc_topk(e, q, m=4, k=k, topk=10**6)
+        .filter(F.col("vec_id").isin(cb_ids)).collect()
+    }
+    assert set(adc) == set(exact)
+    for vid, d in exact.items():
+        assert abs(adc[vid] - d) < 1e-4, (vid, adc[vid], d)
