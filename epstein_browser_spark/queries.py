@@ -2410,6 +2410,74 @@ ORDER BY adc_dist2 ASC, codes.vec_id ASC LIMIT 10
 """
 
 
+def q67_ivf_pq_topk(spark, sf_dir):
+    """Composed IVF-PQ (nprobe=4): the billion-vector ANN architecture in
+    one plan — IVF cell pruning (scan ~4/16 of the corpus) + PQ
+    asymmetric-distance scoring (4 lookups/vector, dim-independent).
+    Every stage deterministic and value-oracled: centroids, cell
+    assignment, probe set, codebooks, codes, lookup table, ranking.
+    Operator: similarity.ivf_pq_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(e, _Q23_QVEC, n_centroids=16, m=4, k=16,
+                                  topk=10, nprobe=4)
+
+
+def _q67_sql(n_centroids: int = 16, m: int = 4, k: int = 16,
+             nprobe: int = 4, dim: int = 64) -> str:
+    w = dim // m
+    qlit = "[" + ", ".join(f"{x:.1f}" for x in _Q23_QVEC) + "]"
+    qsubs = {
+        s: "[" + ", ".join(f"{float(x):.1f}" for x in _Q23_QVEC[s * w:(s + 1) * w]) + "]"
+        for s in range(m)
+    }
+    qcase = "CASE sub " + " ".join(
+        f"WHEN {s} THEN list_dot_product({q}, {q}) + "
+        f"list_dot_product(cvec, cvec) - 2 * list_dot_product({q}, cvec)"
+        for s, q in qsubs.items()
+    ) + " END"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT {n_centroids}),
+p0 AS (SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, e.v) + list_dot_product(c.cvec, c.cvec)
+           - 2 * list_dot_product(e.v, c.cvec) AS d
+       FROM e CROSS JOIN c),
+m0 AS (SELECT vec_id, min(d) AS mind FROM p0 GROUP BY vec_id),
+a AS (SELECT p0.vec_id, min(p0.cid) AS cell
+      FROM p0 JOIN m0 ON p0.vec_id = m0.vec_id AND p0.d = m0.mind
+      GROUP BY p0.vec_id),
+qc AS (SELECT cid AS q_cell FROM (
+         SELECT cid,
+                list_dot_product({qlit}, {qlit})
+                  + list_dot_product(cvec, cvec)
+                  - 2 * list_dot_product({qlit}, cvec) AS d
+         FROM c) ORDER BY d ASC, cid ASC LIMIT {nprobe}),
+probed AS (SELECT a.vec_id FROM a JOIN qc ON a.cell = qc.q_cell),
+cb0 AS (SELECT vec_id AS code, v AS cv FROM e ORDER BY vec_id LIMIT {k}),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+cb AS (SELECT sub, code, cv[sub*{w}+1 : sub*{w}+{w}] AS cvec
+       FROM cb0 CROSS JOIN subs),
+sv AS (SELECT e.vec_id, sub, v[sub*{w}+1 : sub*{w}+{w}] AS svec
+       FROM e CROSS JOIN subs),
+p AS (SELECT sv.vec_id, sv.sub, cb.code,
+        list_dot_product(svec, svec) + list_dot_product(cvec, cvec)
+          - 2 * list_dot_product(svec, cvec) AS d
+      FROM sv JOIN cb ON sv.sub = cb.sub),
+mn AS (SELECT vec_id, sub, min(d) AS mind FROM p GROUP BY vec_id, sub),
+codes AS (SELECT p.vec_id, p.sub, min(p.code) AS code
+          FROM p JOIN mn ON p.vec_id = mn.vec_id AND p.sub = mn.sub
+                        AND p.d = mn.mind
+          GROUP BY p.vec_id, p.sub),
+tbl AS (SELECT sub, code, {qcase} AS contrib FROM cb)
+SELECT codes.vec_id, round(sum(tbl.contrib), 6) AS adc_dist2
+FROM codes
+JOIN probed ON codes.vec_id = probed.vec_id
+JOIN tbl ON codes.sub = tbl.sub AND codes.code = tbl.code
+GROUP BY codes.vec_id
+ORDER BY adc_dist2 ASC, codes.vec_id ASC LIMIT 10
+"""
+
+
 def q65_topk_per_group(spark, sf_dir):
     """Per-group top-k: the 3 longest documents of EVERY source (ties by
     doc_id) — the grouped counterpart of the global TakeOrderedAndProject
@@ -2509,4 +2577,5 @@ QUERIES: dict[str, tuple] = {
     "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
     "q65_topk_per_group": (q65_topk_per_group, _Q65_SQL),
     "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
+    "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
 }

@@ -408,3 +408,56 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
         .orderBy(F.asc("adc_dist2"), F.col(id_col))
         .limit(topk)
     )
+
+
+def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
+                n_centroids: int = 16, m: int = 4, k: int = 16,
+                topk: int = 10, nprobe: int = 1,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Full IVF-PQ search — the billion-vector ANN architecture: the IVF
+    coarse quantizer prunes the scan to the query's ``nprobe`` nearest
+    cells (~nprobe/n_centroids of the corpus, a partition-pruned read once
+    the codes table is stored ``PARTITIONED BY (cell)``), and within those
+    cells vectors are scored by PQ asymmetric distance — m code lookups +
+    m adds each, dim-independent, against a broadcast m·k table built once
+    per query. Both halves use the deterministic rank-based sample
+    quantizers, so the composed index is value-oracle-checkable end to
+    end; ordering is by the 6dp-rounded distance then id (the m-term sum
+    has no guaranteed fold order across engines)."""
+    dim = len(query_vec)
+    w = dim // m
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    qcells = (
+        cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("q_cell"))
+    )
+    cell_ids = assigned.join(
+        F.broadcast(qcells), F.col("cell") == F.col("q_cell")
+    ).select(id_col)
+
+    cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    qsub = {
+        s: F.array(*[F.lit(float(x)) for x in query_vec[s * w:(s + 1) * w]])
+        for s in range(m)
+    }
+    contrib = None
+    for s in range(m):
+        c = F.when(F.col("sub") == s, dist2(qsub[s], F.col("cvec")))
+        contrib = c if contrib is None else contrib.when(
+            F.col("sub") == s, dist2(qsub[s], F.col("cvec"))
+        )
+    table = cb.select("sub", "code", contrib.alias("_contrib"))
+    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
+    return (
+        codes.join(cell_ids, id_col, "left_semi")
+        .join(F.broadcast(table), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_contrib"), 6).alias("adc_dist2"))
+        .orderBy(F.asc("adc_dist2"), F.col(id_col))
+        .limit(topk)
+    )

@@ -614,3 +614,22 @@ def test_pq_adc_exact_on_codebook_vectors(spark, sf_dir):
     assert set(adc) == set(exact)
     for vid, d in exact.items():
         assert abs(adc[vid] - d) < 1e-4, (vid, adc[vid], d)
+
+
+def test_ivf_pq_full_probe_equals_pq(spark, sf_dir):
+    """IVF-PQ at nprobe=n_centroids prunes nothing, so it must equal the
+    pure PQ ADC ranking — and at nprobe=1 its results are a subset of the
+    full-probe candidate scores (pruning only removes candidates, never
+    rescores them)."""
+    q = [float((i * 5) % 11) / 11.0 for i in range(64)]
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = similarity.ivf_pq_topk(e, q, n_centroids=16, nprobe=16,
+                                  topk=10).toPandas()
+    pq = similarity.pq_adc_topk(e, q, topk=10).toPandas()
+    assert full.values.tolist() == pq.values.tolist()
+    pruned = similarity.ivf_pq_topk(e, q, n_centroids=16, nprobe=1,
+                                    topk=10).toPandas()
+    all_scores = dict(similarity.pq_adc_topk(e, q, topk=10**6)
+                      .toPandas().values)
+    for vid, d in pruned.values:
+        assert abs(all_scores[vid] - d) < 1e-9
