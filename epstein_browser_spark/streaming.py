@@ -197,3 +197,43 @@ def session_counts_stream(events_stream: DataFrame,
             "n_events",
         )
     )
+
+
+def attribution_stream(events_stream: DataFrame,
+                       attribution_window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-STREAM join: attribute each purchase to every view by the
+    same user within the preceding ``attribution_window`` — the streaming
+    form of the q63 range join. Both sides carry watermarks and the join
+    condition bounds event-time distance, which is exactly what lets
+    Spark EVICT join state: a buffered view older than
+    watermark + window can never match a future purchase and is dropped,
+    so state stays proportional to the window, not the stream history.
+    Without the time-range predicate the state store would grow forever —
+    that predicate is the 10^12-event design, not an optimization."""
+    views = (
+        events_stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"""p_user = v_user
+                AND view_ts <= purchase_ts
+                AND view_ts >= purchase_ts - INTERVAL {attribution_window}"""
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "purchase_ts", "view_id", "view_ts",
+    )

@@ -262,3 +262,48 @@ def test_stream_sessionization_equals_batch(spark, tmp_path):
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
     # sanity: the gap semantics produced the expected session count
     assert len(got) == 4 and list(got["n_events"]) == [2, 2, 1, 1]
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream join (purchase x preceding views within
+    1 h) must equal the identical batch join. Views straddle the window
+    boundary: one exactly at the boundary (included), one just outside
+    (excluded), one after the purchase (excluded)."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import attribution_stream
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+            "user_id": pd.array([7, 7, 7, 7, 7, 8], dtype="int64"),
+            "event_type": ["view", "view", "view", "purchase", "view", "view"],
+            "ts": pd.to_datetime([
+                "2024-01-01 01:00:00",  # exactly 1h before -> included
+                "2024-01-01 00:59:59",  # 1h+1s before -> excluded
+                "2024-01-01 01:30:00",  # inside -> included
+                "2024-01-01 02:00:00",  # the purchase
+                "2024-01-01 02:00:01",  # after -> excluded
+                "2024-01-01 01:45:00",  # other user -> excluded
+            ]),
+        }
+    )
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, user_id bigint, event_type string, "
+                "ts timestamp")
+        .parquet(in_dir)
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory").queryName("attr_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT purchase_id, view_id FROM attr_t ORDER BY view_id"
+    ).toPandas()
+    assert got.values.tolist() == [[4, 1], [4, 3]]
