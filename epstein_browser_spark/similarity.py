@@ -214,10 +214,16 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
     deterministic expression). At 100 TB the assigned table is written
     ``PARTITIONED BY (cell)`` so a probe is a partition-pruned scan —
     same layout story as the LSH bucket."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col).select(
+        "cid", "cvec", dot(F.col("cvec"), F.col("cvec")).alias("_cc")
+    )
+    # argmin over |v|² + |c|² − 2v·c drops the per-vector constant |v|²:
+    # same argmin, one interpreted fold per pair instead of three (|c|² is
+    # projected on the n_centroids-row broadcast side)
     pairs = embeddings.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col),
-        "cid", dist2(F.col(vec_col), F.col("cvec")).alias("_d"),
+        "cid",
+        (F.col("_cc") - 2 * dot(F.col(vec_col), F.col("cvec"))).alias("_d"),
     )
     mins = pairs.groupBy(id_col).agg(F.min("_d").alias("_mind"))
     return (
@@ -356,8 +362,13 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
         F.slice("_v", F.col("sub") * (F.size("_v") / m).cast("int") + 1,
                 (F.size("_v") / m).cast("int")).alias("svec"),
     )
+    # same argmin-under-constant-shift trick as ivf_assign: |s|² is
+    # constant per (id, sub), so only c·c (projected on the m·k-row
+    # broadcast side) and s·c (ONE fold per pair) are evaluated
+    cb = cb.withColumn("_cc", dot(F.col("cvec"), F.col("cvec")))
     pairs = subv.join(F.broadcast(cb), "sub").select(
-        id_col, "sub", "code", dist2(F.col("svec"), F.col("cvec")).alias("_d")
+        id_col, "sub", "code",
+        (F.col("_cc") - 2 * dot(F.col("svec"), F.col("cvec"))).alias("_d"),
     )
     mins = pairs.groupBy(id_col, "sub").agg(F.min("_d").alias("_mind"))
     codes = (
