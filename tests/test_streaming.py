@@ -307,3 +307,77 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path):
         "SELECT purchase_id, view_id FROM attr_t ORDER BY view_id"
     ).toPandas()
     assert got.values.tolist() == [[4, 1], [4, 3]]
+
+
+def test_stream_upsert_sink_replaces_by_key(spark, tmp_path):
+    """foreachBatch → bucketed upsert: a redelivered (conv_id, turn_idx)
+    with changed text REPLACES its row instead of duplicating; new rows
+    append; untouched buckets' files are not rewritten."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import start_upsert_stream
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [r[2] for r in rows],
+                "tool": pd.array([None] * len(rows), dtype="string"),
+                "ts": pd.to_datetime(["2024-01-01 00:00:00"] * len(rows)),
+            }
+        )
+
+    in_dir = str(tmp_path / "in")
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(mk([
+        ("conv_a", 0, "the original first turn with plenty of words here"),
+        ("conv_a", 1, "the original second turn which will be corrected"),
+        ("conv_b", 0, "a completely separate conversation body of text"),
+    ])).coalesce(1).write.parquet(in_dir)
+
+    q = start_upsert_stream(spark, in_dir, tgt, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+    spark.catalog.refreshByPath(tgt)
+    t1 = spark.read.parquet(tgt)
+    assert t1.count() == 3
+    mt_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{tgt}/**/*.parquet", recursive=True)
+    }
+
+    # redelivery of (conv_a, 1) with corrected text + a brand-new conv
+    spark.createDataFrame(mk([
+        ("conv_a", 1, "the corrected second turn replacing the old row"),
+        ("conv_c", 0, "an entirely new conversation arriving in batch two"),
+    ])).coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_upsert_stream(spark, in_dir, tgt, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+    spark.catalog.refreshByPath(tgt)
+    t2 = spark.read.parquet(tgt)
+    assert t2.count() == 4  # replaced, not duplicated
+    rows = {(r["conv_id"], r["turn_idx"]): r["clean_text"]
+            for r in t2.collect()}
+    assert rows[("conv_a", 1)].startswith("the corrected second turn")
+    assert ("conv_c", 0) in rows
+    # only the buckets hit by batch-2 keys were rewritten
+    from pyspark.sql import functions as F
+    touched = {
+        r[0] for r in spark.createDataFrame(
+            mk([("conv_a", 1, "x"), ("conv_c", 0, "x")])
+        ).select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+        ).distinct().collect()
+    }
+    untouched_files = [
+        f for f in mt_before
+        if int(f.split("bucket=")[1].split("/")[0]) not in touched
+    ]
+    assert untouched_files, "test needs at least one untouched bucket"
+    for f in untouched_files:
+        assert os.path.getmtime(f) == mt_before[f]
