@@ -2478,6 +2478,47 @@ ORDER BY adc_dist2 ASC, codes.vec_id ASC LIMIT 10
 """
 
 
+def q68_semantic_clusters(spark, sf_dir):
+    """SEMANTIC dedup-cluster resolution: connected components over the
+    embedding-cosine near-dup pairs (q37's exact bounded pair set) with
+    the keep-one-canonical policy — the embedding-level counterpart of
+    the textual q43 (near-paraphrases that share no shingles still
+    cluster). Same pointer-jumping CC machinery; the LSH pair generator
+    (q38) is the drop-in scale path for the pair stage. Oracle: DuckDB
+    recursive-CTE reachability closure over the identical pair set."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = similarity.cosine_near_dup_pairs(e, threshold=0.25)
+    return dedup.dedup_clusters(e, pairs, id_col="vec_id").select(
+        "id", "cluster_id", "is_canonical"
+    )
+
+
+_Q68_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25),
+ed AS (SELECT id_a AS s, id_b AS d FROM p
+       UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT s AS id FROM ed),
+walk(id, label) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT ed.s, w.label FROM ed JOIN walk w ON ed.d = w.id),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT emb.vec_id AS id,
+       coalesce(comp.cluster_id, emb.vec_id) AS cluster_id,
+       emb.vec_id = coalesce(comp.cluster_id, emb.vec_id) AS is_canonical
+FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+WHERE emb.vec_id < 200
+"""
+
+
 def q65_topk_per_group(spark, sf_dir):
     """Per-group top-k: the 3 longest documents of EVERY source (ties by
     doc_id) — the grouped counterpart of the global TakeOrderedAndProject
@@ -2578,4 +2619,5 @@ QUERIES: dict[str, tuple] = {
     "q65_topk_per_group": (q65_topk_per_group, _Q65_SQL),
     "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
+    "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
 }
