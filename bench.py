@@ -114,12 +114,36 @@ def bench_curation(spark, n_turns: int = None) -> dict:
     m = run_curation(spark, tr, out, n_buckets=64,
                      n_partitions=EXTRACT_PARTITIONS, resume=False)
     sec = time.time() - t0
+
+    # incremental slice: a batch 1/10 the corpus size, half redelivery of
+    # existing ids (must be dropped by the index probe) and half novel —
+    # measures the against-corpus dedup path, which never re-shingles or
+    # re-pairs the base corpus
+    from epstein_browser_spark.curation import run_curation_increment
+
+    n_incr = n_turns // 10
+    incr = synth_transcripts_spark(
+        spark, n_incr, n_convs=max(1, n_turns // 40), diversify=True,
+        id_offset=n_turns - n_incr // 2,
+    )
+    t1 = time.time()
+    mi = run_curation_increment(spark, incr, out, snapshot="bench-incr",
+                                n_buckets=64,
+                                n_partitions=EXTRACT_PARTITIONS,
+                                resume=False)
+    incr_sec = time.time() - t1
     return {
         "turns_in": n_turns,
         "docs_out": m["curate"]["n_docs"],
         "sec": round(sec, 3),
         "turns_per_sec": round(n_turns / sec, 1),
         "stage_sec": m["curate"]["stage_sec"],
+        "increment": {
+            "turns_in": n_incr,
+            "docs_added": mi["curate"]["n_docs"],
+            "sec": round(incr_sec, 3),
+            "turns_per_sec": round(n_incr / incr_sec, 1),
+        },
     }
 
 

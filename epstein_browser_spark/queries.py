@@ -2519,6 +2519,53 @@ WHERE emb.vec_id < 200
 """
 
 
+def q69_mixture_report(spark, sf_dir):
+    """Training-mixture report: per (lang, split) doc and token counts
+    plus each cell's share of the corpus token total — the summary a
+    data-mixture owner reads before adjusting q61's sampling rates. The
+    split is q46's deterministic md5 bucket; the global total is a
+    scalar aggregate broadcast onto the bounded (|langs|×|splits|) cell
+    table, so nothing wide ever funnels to one task."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.token_count(F.col("text"))
+    split = textstats.deterministic_split(F.col("doc_id"))
+    cells = (
+        d.select("lang", split.alias("split"), toks.alias("_t"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    total = cells.agg(F.sum("n_tokens").alias("_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "lang", "split", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
+    )
+
+
+def _q69_sql() -> str:
+    shard = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN ({shard}) % 100 < 80 THEN 'train'
+              WHEN ({shard}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '')) AS n_tok
+  FROM documents),
+cells AS (
+  SELECT lang, split, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM t GROUP BY lang, split),
+tot AS (SELECT sum(n_tokens) AS total FROM cells)
+SELECT lang, split, n_docs, n_tokens,
+       round(n_tokens / CAST(total AS DOUBLE), 6) AS token_share
+FROM cells CROSS JOIN tot
+"""
+
+
 def q65_topk_per_group(spark, sf_dir):
     """Per-group top-k: the 3 longest documents of EVERY source (ties by
     doc_id) — the grouped counterpart of the global TakeOrderedAndProject
@@ -2620,4 +2667,5 @@ QUERIES: dict[str, tuple] = {
     "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
     "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
+    "q69_mixture_report": (q69_mixture_report, _q69_sql()),
 }

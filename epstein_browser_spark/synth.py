@@ -147,7 +147,7 @@ def make_transcripts_pdf(
 
 
 def synth_transcripts_spark(spark, n_turns: int, n_convs: int | None = None,
-                            diversify: bool = False):
+                            diversify: bool = False, id_offset: int = 0):
     """Distributed deterministic corpus: pure column expressions over
     ``spark.range`` — generation parallelizes with the input partitioning
     and never funnels through the driver.
@@ -163,7 +163,11 @@ def synth_transcripts_spark(spark, n_turns: int, n_convs: int | None = None,
 
     if n_convs is None:
         n_convs = max(1, n_turns // 40)
-    df = spark.range(n_turns)
+    # id_offset shifts the generator id range: ids unseen by a previous
+    # corpus produce fresh texts, overlapping ids reproduce that corpus's
+    # rows exactly — which is how the bench synthesizes an incremental
+    # batch that is part redelivery, part novel
+    df = spark.range(id_offset, id_offset + n_turns)
     conv = F.pmod(F.xxhash64(F.col("id")), F.lit(n_convs))
     mode = F.pmod(F.col("id"), F.lit(10))
     w = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(len(_WORDS)))

@@ -204,3 +204,50 @@ def test_repetition_signals_planted(spark):
     assert out.loc[2, "top_bigram_count"] == 1
     assert out.loc[3, "top_bigram_count"] == 0
     assert pd.isna(out.loc[3, "top_bigram"])
+
+
+def test_asof_join_matches_naive_join(spark):
+    """Deterministic-hash parity sweep: asof_join (window merge-scan) ==
+    the naive join+rank formulation over a few hundred probes/refs with
+    colliding timestamps across 5 keys."""
+    from pyspark.sql import Window
+
+    refs = spark.range(300).select(
+        F.pmod(F.col("id"), F.lit(5)).alias("k"),
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            # coarse buckets force ts collisions so tie-breaks execute
+            + F.pmod(F.xxhash64("id"), F.lit(200)) * 60
+        ).alias("ts"),
+    ).withColumn("r_ts", F.col("ts")).withColumn("r_id", F.col("rid"))
+    probes = spark.range(200).select(
+        F.pmod(F.col("id"), F.lit(5)).alias("k"),
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64("id", F.lit(9)),
+                                       F.lit(200)) * 60
+        ).alias("ts"),
+    )
+    got = (
+        asof_join(probes, refs.select("k", "ts", "r_ts", "r_id"),
+                  on=["k"], ts_col="ts", payload=["r_ts", "r_id"],
+                  tiebreak=["r_ts", "r_id"], how="inner", suffix="")
+        .select("pid", "r_id").toPandas()
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("rts"), F.desc("rid"))
+    naive = (
+        probes.alias("p").join(
+            refs.alias("r"),
+            (F.col("p.k") == F.col("r.k"))
+            & (F.col("r.ts") <= F.col("p.ts")),
+        )
+        .select(F.col("p.pid").alias("pid"), F.col("r.ts").alias("rts"),
+                F.col("r.rid").alias("rid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("pid", F.col("rid").alias("r_id"))
+        .toPandas()
+    )
+    g = sorted(map(tuple, got.values))
+    n = sorted(map(tuple, naive.values))
+    assert g == n and len(g) > 100
