@@ -220,6 +220,15 @@ def run_curation(
     # eagerly (CC is an iterative collect loop); everything after is lazy
     stage_sec["dedup_pairs_cc"] = round(time.time() - t1, 3)
     t1 = time.time()
+    # persist the LSH band index of the scratch features: future
+    # incremental batches probe it as a pband-pruned scan instead of
+    # re-banding every stored signature (run_curation_increment)
+    _write_band_index(
+        spark.read.parquet(f"{out_dir}/_scratch/minhash"), out_dir,
+        snap="base",
+    )
+    stage_sec["band_index"] = round(time.time() - t1, 3)
+    t1 = time.time()
     # one materialization feeds the write AND the manifest aggregates —
     # without it each consumer recomputes the dedup pipeline
     curated = curated.localCheckpoint(eager=True)
@@ -289,6 +298,48 @@ def run_curation(
 
 CURATED_INCR = "curated_incr"
 SCRATCH_INCR = "_scratch/minhash_incr"
+BANDS_DIR = "_scratch/minhash_bands"
+
+
+def _write_band_index(feats: DataFrame, out_dir: str, snap: str) -> None:
+    """Persist the uncapped LSH band index of a feature batch under
+    ``_scratch/minhash_bands/snap=<snap>/pband=N/`` — the pruned-probe
+    structure future increments scan instead of re-banding every stored
+    signature (dedup.band_index)."""
+    from epstein_browser_spark.dedup import N_BAND_PARTITIONS, band_index
+
+    fsutil.write_partition_overwrite(
+        band_index(feats.select("id", "sig"))
+        .withColumn("snap", F.lit(snap))
+        # one file per pband partition: writing from the upstream shuffle
+        # partitioning emits tasks × pbands tiny files (the bucketed-write
+        # trap in ARCHITECTURE.md)
+        .repartition(N_BAND_PARTITIONS, "pband"),
+        f"{out_dir}/{BANDS_DIR}",
+        partition_col=["snap", "pband"],
+    )
+
+
+def _existing_bands(spark: SparkSession, out_dir: str, exclude_snap: str,
+                    probe_bands: DataFrame) -> DataFrame | None:
+    """The stored band index restricted to the probe's ``pband`` values —
+    a bounded IN-list (≤ dedup.N_BAND_PARTITIONS literals) collected from
+    the probe batch, so the corpus-side read is a statically
+    partition-pruned scan. None when no index exists yet (caller falls
+    back to banding the feature table on the fly)."""
+    try:
+        bands = spark.read.parquet(f"{out_dir}/{BANDS_DIR}")
+    except Exception:
+        return None
+    pbands = sorted(
+        r["pband"]
+        for r in probe_bands.select("pband").distinct().collect()
+    )
+    return (
+        bands.filter(F.col("snap") != exclude_snap)
+        .filter(F.col("pband").isin(pbands))
+        .drop("snap", "pband")
+    )
 
 
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -403,10 +454,24 @@ def run_curation_increment(
     new_feats = spark.read.parquet(feats_dir).filter(
         F.col("snap") == snapshot
     ).drop("snap")
+    _write_band_index(new_feats, out_dir, snap=snapshot)
 
-    # increment-vs-corpus: probe old buckets, verify, drop matching new docs
+    # increment-vs-corpus: probe old buckets, verify, drop matching new
+    # docs. The corpus side comes from the stored band index when one
+    # exists (pruned to the probe's pband partitions — O(probed buckets)
+    # instead of re-banding every stored signature); first runs against a
+    # pre-index output fall back to banding the feature table.
+    from epstein_browser_spark.dedup import band_index
+
+    probe_bands = band_index(new_feats.select("id", "sig")).localCheckpoint(
+        eager=True
+    )
+    corpus_bands = _existing_bands(spark, out_dir, snapshot, probe_bands)
     vs_old = minhash_candidates_between(
-        new_feats.select("id", "sig"), old_feats.select("id", "sig")
+        new_feats.select("id", "sig"),
+        corpus_sigs=(None if corpus_bands is not None
+                     else old_feats.select("id", "sig")),
+        corpus_bands=corpus_bands,
     )
     all_feats = new_feats.unionByName(old_feats)
     dup_of_old = verify_pairs(

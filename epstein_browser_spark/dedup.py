@@ -178,23 +178,69 @@ def _banded(sigs: DataFrame, n_bands: int,
     return banded
 
 
-def minhash_candidates_between(probe_sigs: DataFrame, corpus_sigs: DataFrame,
+N_BAND_PARTITIONS = 64
+
+
+def band_index(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+    """The storable form of the corpus's LSH buckets: UNCAPPED
+    (id, band, band_hash, pband) rows, where ``pband`` =
+    pmod(band_hash, N_BAND_PARTITIONS) is the physical partition key.
+    Written ``PARTITIONED BY (pband)``, a probe batch touches only the
+    partitions its own band hashes fall into (a bounded IN-list of ≤64
+    literals → static partition pruning), so incremental-ingest cost
+    scans O(probed buckets), not O(corpus). The bucket CAP is not baked
+    in — it is applied at probe time over current bucket membership, so
+    buckets that grow past the cap through later increments are still
+    dropped."""
+    return _banded(sigs, n_bands).withColumn(
+        "pband", F.pmod("band_hash", F.lit(N_BAND_PARTITIONS)).cast("int")
+    )
+
+
+def minhash_candidates_between(probe_sigs: DataFrame,
+                               corpus_sigs: DataFrame | None = None,
                                n_bands: int = 8,
-                               max_bucket: int = 200) -> DataFrame:
+                               max_bucket: int = 200,
+                               corpus_bands: DataFrame | None = None
+                               ) -> DataFrame:
     """Asymmetric banded LSH: (id_probe, id_corpus) candidate pairs between
     a (small) probe set and the full corpus — the incremental-ingest shape:
     only the increment's bands probe the corpus's buckets, nothing
-    corpus×corpus is ever re-paired. The bucket cap is evaluated on the
-    CORPUS side (its buckets are what can explode); the probe side rides
-    the same (band, band_hash) shuffle key."""
-    p = _banded(probe_sigs, n_bands).select(
+    corpus×corpus is ever re-paired.
+
+    The corpus side is either ``corpus_sigs`` (banded on the fly) or a
+    precomputed ``corpus_bands`` index (:func:`band_index` — the stored
+    form; pass it pre-filtered to the probe's ``pband`` values for the
+    pruned-scan path). Either way the corpus rows are first semi-joined
+    to the probe's bucket keys, THEN the ``max_bucket`` cap is evaluated
+    over the union of both sides' membership in those buckets — current
+    bucket size, not a stale base-time count."""
+    p = _banded(probe_sigs, n_bands)
+    if corpus_bands is None:
+        if corpus_sigs is None:
+            raise ValueError("need corpus_sigs or corpus_bands")
+        corpus_bands = _banded(corpus_sigs, n_bands)
+    keys = p.select("band", "band_hash").distinct()
+    c = corpus_bands.select("id", "band", "band_hash").join(
+        keys, ["band", "band_hash"], "left_semi"
+    )
+    u = c.withColumn("_probe", F.lit(0)).unionByName(
+        p.withColumn("_probe", F.lit(1))
+    )
+    bw = Window.partitionBy("band", "band_hash")
+    u = (
+        u.withColumn("_bucket_n", F.count("*").over(bw))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+    pp = u.filter("_probe = 1").select(
         F.col("id").alias("id_probe"), "band", "band_hash"
     )
-    c = _banded(corpus_sigs, n_bands, max_bucket).select(
+    cc = u.filter("_probe = 0").select(
         F.col("id").alias("id_corpus"), "band", "band_hash"
     )
     return (
-        p.join(c, ["band", "band_hash"])
+        pp.join(cc, ["band", "band_hash"])
         .filter(F.col("id_probe") != F.col("id_corpus"))
         .select("id_probe", "id_corpus")
         .distinct()

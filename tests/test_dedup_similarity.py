@@ -633,3 +633,43 @@ def test_ivf_pq_full_probe_equals_pq(spark, sf_dir):
                       .toPandas().values)
     for vid, d in pruned.values:
         assert abs(all_scores[vid] - d) < 1e-9
+
+
+def test_candidates_between_index_parity(spark):
+    """The stored band index path (dedup.band_index → corpus_bands=) must
+    emit exactly the candidate pairs of the band-on-the-fly path, and
+    pre-filtering the index to the probe's pband partitions (the pruned
+    scan) must not lose any."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"corpus document number {i} about topic {i % 5} "
+                 f"with shared vocabulary and some body text" for i in range(40)],
+    }))
+    probe = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100, 110),
+        "text": [f"corpus document number {i % 7} about topic {i % 5} "
+                 f"with shared vocabulary and some body text" for i in range(10)],
+    }))
+    cf = dedup.minhash_features(corpus).localCheckpoint()
+    pf = dedup.minhash_features(probe).localCheckpoint()
+    fly = dedup.minhash_candidates_between(
+        pf.select("id", "sig"), corpus_sigs=cf.select("id", "sig")
+    ).toPandas()
+    bands = dedup.band_index(cf.select("id", "sig"))
+    idx = dedup.minhash_candidates_between(
+        pf.select("id", "sig"), corpus_bands=bands.drop("pband")
+    ).toPandas()
+    pbands = [r["pband"] for r in
+              dedup.band_index(pf.select("id", "sig"))
+              .select("pband").distinct().collect()]
+    pruned = dedup.minhash_candidates_between(
+        pf.select("id", "sig"),
+        corpus_bands=bands.filter(F.col("pband").isin(pbands)).drop("pband"),
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d.values))  # noqa: E731
+    assert key(fly) == key(idx) == key(pruned)
+    assert len(fly) > 0
