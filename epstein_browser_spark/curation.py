@@ -524,3 +524,36 @@ def run_curation_increment(
                           {"n_docs": sum(split_counts.values()),
                            "splits": split_counts})
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
+
+
+def vacuum_snapshots(spark: SparkSession, out_dir: str,
+                     keep_snaps: list[str]) -> dict:
+    """Lifecycle retention for incremental outputs: delete
+    ``curated_incr``, ``_scratch/minhash_incr`` and band-index partitions
+    of snapshots NOT in ``keep_snaps`` (the base run's partitions are
+    always kept). Obsolete snapshots accrete forever otherwise — every
+    future increment probes their features and every reader unions their
+    rows. Bounded driver work: one directory listing per tree."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    keep = set(keep_snaps) | {"base"}
+    removed: dict[str, list[str]] = {}
+    for tree in (CURATED_INCR, SCRATCH_INCR, BANDS_DIR):
+        root = os.path.join(out_dir, tree)
+        gone = []
+        for sdir in glob.glob(os.path.join(root, "snap=*")):
+            m = re.search(r"snap=([^/]+)$", sdir)
+            if m and m.group(1) not in keep:
+                shutil.rmtree(sdir)
+                gone.append(m.group(1))
+                # the snapshot's stage marker must go too, or a re-run of
+                # that snapshot would be skipped as already-complete
+                marker = _stage_path(out_dir, f"incr-{m.group(1)}")
+                if os.path.exists(marker):
+                    os.remove(marker)
+        if gone:
+            removed[tree] = sorted(gone)
+    return {"removed": removed}

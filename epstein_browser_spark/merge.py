@@ -182,3 +182,41 @@ def upsert_into_bucketed(
     _rewrite_buckets(spark, target_dir, new_rows, changed_buckets)
     return {"upserted": n_up, "buckets_rewritten": len(changed_buckets),
             "buckets": changed_buckets}
+
+
+def compact_buckets(
+    spark: SparkSession,
+    target_dir: str,
+    max_files_per_bucket: int = 1,
+    n_output_files: int = 1,
+) -> dict:
+    """Small-file compaction for a bucket-partitioned table: every bucket
+    whose file count exceeds ``max_files_per_bucket`` is rewritten as
+    ``n_output_files`` files; compliant buckets are NOT touched (their
+    files and mtimes survive — same partition-scoped contract as the
+    merge/upsert sinks). Streaming upserts and repeated increments
+    accrete a file per write; without periodic compaction the scan cost
+    of the table becomes file-open-bound long before it is byte-bound.
+    Driver work is one bounded listing (n_buckets entries), not row data.
+    """
+    import glob
+    import os
+    import re
+
+    fat = []
+    for bdir in sorted(glob.glob(os.path.join(target_dir, "bucket=*"))):
+        n = len(glob.glob(os.path.join(bdir, "*.parquet")))
+        if n > max_files_per_bucket:
+            m = re.search(r"bucket=(\d+)$", bdir)
+            if m:
+                fat.append(int(m.group(1)))
+    if not fat:
+        return {"buckets_compacted": 0}
+    rows = (
+        spark.read.parquet(target_dir)
+        .filter(F.col("bucket").isin(fat))
+        .repartition(max(1, n_output_files * len(fat)), "bucket")
+        .localCheckpoint(eager=True)  # read fully BEFORE overwriting source
+    )
+    _rewrite_buckets(spark, target_dir, rows, fat)
+    return {"buckets_compacted": len(fat)}

@@ -224,3 +224,70 @@ def test_incremental_curation(spark, corpus_sdf, tmp_path):
     man = json.loads(open(glob.glob(
         f"{out}/manifests/incr-inc2-*.json")[0]).read())
     assert man["n_docs"] == 1
+
+
+def test_compaction_and_vacuum(spark, corpus_sdf, tmp_path):
+    """Lifecycle maintenance: bucket compaction collapses multi-file
+    buckets without touching compliant ones or changing data; vacuum
+    removes an obsolete snapshot's partitions everywhere and allows the
+    snapshot id to be re-ingested."""
+    from epstein_browser_spark.merge import compact_buckets
+    from epstein_browser_spark.pipeline import extract_transcripts
+
+    # build a fragmented bucketed table: two writes -> 2+ files per bucket
+    tgt = str(tmp_path / "table")
+    ext = extract_transcripts(corpus_sdf, n_buckets=4).localCheckpoint()
+    from epstein_browser_spark import fsutil
+    fsutil.write_partition_overwrite(ext.filter("turn_idx % 2 = 0"), tgt)
+    ext.filter("turn_idx % 2 = 1").write.mode("append") \
+        .partitionBy("bucket").parquet(tgt)
+    spark.catalog.refreshByPath(tgt)
+    before_keys = sorted(
+        map(tuple, spark.read.parquet(tgt)
+            .select("conv_id", "turn_idx").toPandas().values)
+    )
+    n_before = len(before_keys)
+    frag = glob.glob(f"{tgt}/bucket=*/*.parquet")
+    assert len(frag) > 4
+    m = compact_buckets(spark, tgt, max_files_per_bucket=1)
+    assert m["buckets_compacted"] == 4
+    spark.catalog.refreshByPath(tgt)
+    assert len(glob.glob(f"{tgt}/bucket=*/*.parquet")) == 4
+    after_keys = sorted(
+        map(tuple, spark.read.parquet(tgt)
+            .select("conv_id", "turn_idx").toPandas().values)
+    )
+    assert after_keys == before_keys  # content identical, not just counts
+    # a compliant table is a no-op (files untouched)
+    mt = {f: os.path.getmtime(f)
+          for f in glob.glob(f"{tgt}/bucket=*/*.parquet")}
+    assert compact_buckets(spark, tgt, max_files_per_bucket=1) == \
+        {"buckets_compacted": 0}
+    assert {f: os.path.getmtime(f)
+            for f in glob.glob(f"{tgt}/bucket=*/*.parquet")} == mt
+
+    # vacuum: base curation + two increments, drop one
+    out = str(tmp_path / "cur")
+    curation.run_curation(spark, corpus_sdf, out, n_buckets=4,
+                          input_snapshot="base")
+    novel = ("completely fresh sentences about glacier cores drilled from "
+             "the northern shelf and catalogued by depth and isotope ratio")
+    inc = spark.createDataFrame(_incr_rows([("va_novel", novel)]))
+    curation.run_curation_increment(spark, inc, out, snapshot="s1",
+                                    n_buckets=4)
+    novel2 = ("the harbor committee tabulated lantern repair invoices "
+              "for the autumn quarter and reconciled them against the "
+              "chandlery ledger before approving the final payment")
+    inc2 = spark.createDataFrame(_incr_rows([("vb_novel", novel2)]))
+    curation.run_curation_increment(spark, inc2, out, snapshot="s2",
+                                    n_buckets=4)
+    n_all = curation.read_curated(spark, out).count()
+    r = curation.vacuum_snapshots(spark, out, keep_snaps=["s2"])
+    assert r["removed"]["curated_incr"] == ["s1"]
+    spark.catalog.refreshByPath(f"{out}/curated_incr")
+    assert curation.read_curated(spark, out).count() == n_all - 1
+    # vacuumed snapshot can be re-ingested (stage marker removed)
+    m2 = curation.run_curation_increment(spark, inc, out, snapshot="s1",
+                                         n_buckets=4)
+    assert not m2["curate"].get("skipped")
+    assert curation.read_curated(spark, out).count() == n_all
