@@ -20,14 +20,20 @@ Layout:
               DuckDB-oracle-checkable SQL equivalents
   dedup.py    exact / minhash-LSH / simhash / n-gram-jaccard dedup +
               dup-cluster resolution (connected components)
-  similarity.py  embedding ANN (brute-force cosine top-k + LSH buckets)
+  similarity.py  embedding ANN: brute-force cosine top-k, LSH buckets +
+              multi-probe, IVF cells + nprobe, PQ codes/ADC, composed
+              IVF-PQ
   textstats.py   language-id, quality scoring, token counts, fingerprints,
               deterministic splits, decontamination, vocabulary census
   redaction.py   PII redaction (email/SSN/IP/phone), URL/domain census,
               C4/Gopher document-quality rules
   curation.py    the composed end-to-end curation job: extract → dedup
-              keep-policy → stats/langid → split → manifests (resumable)
+              keep-policy → stats/langid → split → manifests (resumable);
+              incremental ingest against the persisted minhash/band index
+              (run_curation_increment) + snapshot vacuum
   multimodal.py  binary-column plumbing + frame sampling (decode stubbed)
+  joins.py    temporal joins Spark lacks as built-ins: as-of join (window
+              merge-scan, zero joins) and bin-bucketed range join
   merge.py    content-hash merge classification + the real per-bucket
               merge/upsert sinks (dynamic partition overwrite)
   streaming.py   checkpointed streaming variant + stateful per-conversation

@@ -1,0 +1,55 @@
+"""spark-submit entrypoint for table lifecycle maintenance: bucket
+compaction and incremental-snapshot retention.
+
+  spark-submit --py-files dist/epstein_browser_spark.zip \\
+      jobs/maintain_job.py compact --table <dir>/extract/data \\
+          [--max-files-per-bucket 1]
+  spark-submit ... jobs/maintain_job.py vacuum --output <curation out dir> \\
+          --keep snap1 --keep snap2
+
+Compaction rewrites only over-fragmented buckets (streaming upserts and
+repeated increments accrete a file per write); vacuum drops obsolete
+incremental snapshots from the curated tree, the feature scratch, and the
+band index, clearing their stage markers so the ids can be re-ingested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--max-files-per-bucket", type=int, default=1)
+    c.add_argument("--output-files", type=int, default=1)
+    v = sub.add_parser("vacuum")
+    v.add_argument("--output", required=True)
+    v.add_argument("--keep", action="append", default=[])
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(
+        "epstein_browser_spark.maintain"
+    ).getOrCreate()
+
+    if args.cmd == "compact":
+        from epstein_browser_spark.merge import compact_buckets
+
+        out = compact_buckets(spark, args.table,
+                              max_files_per_bucket=args.max_files_per_bucket,
+                              n_output_files=args.output_files)
+    else:
+        from epstein_browser_spark.curation import vacuum_snapshots
+
+        out = vacuum_snapshots(spark, args.output, keep_snaps=args.keep)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
