@@ -111,18 +111,7 @@ def curate_documents(
     (``n_pii``). Applied AFTER dedup so identity decisions (hashes,
     shingles) are made on the original text; the redacted form is what
     lands in the training table."""
-    docs = extracted.filter(
-        (~F.col("is_low_quality")) & (~F.col("parse_failed"))
-        & (F.col("quality_score") > 0)
-    ).withColumn("doc_uid", F.xxhash64("conv_id", "turn_idx"))
-
-    # exact dedup: keep the min doc_uid per content hash — one shuffle on
-    # the hash, same contract as the reference's content-hash idempotency
-    # (/root/reference/index_images.py:194-232)
-    keep = docs.groupBy("content_hash").agg(F.min("doc_uid").alias("_keep_uid"))
-    exact_kept = docs.join(keep, "content_hash").filter(
-        F.col("doc_uid") == F.col("_keep_uid")
-    ).drop("_keep_uid")
+    exact_kept = _gated_exact_kept(extracted)
 
     # near-dup keep policy: banded MinHash candidates → exact-jaccard
     # verify → connected components → one canonical doc per cluster
@@ -137,6 +126,25 @@ def curate_documents(
     )
 
     return _annotate(canonical, redact_pii)
+
+
+def _gated_exact_kept(extracted: DataFrame) -> DataFrame:
+    """Quality gate + doc identity + exact dedup — ONE definition shared
+    by the base job and the incremental path (their keys must agree with
+    the stored index): drop low-quality/failed rows, assign
+    ``doc_uid = xxhash64(conv_id, turn_idx)``, keep the min doc_uid per
+    content hash (one shuffle; the reference's content-hash idempotency
+    contract, /root/reference/index_images.py:194-232)."""
+    docs = extracted.filter(
+        (~F.col("is_low_quality")) & (~F.col("parse_failed"))
+        & (F.col("quality_score") > 0)
+    ).withColumn("doc_uid", F.xxhash64("conv_id", "turn_idx"))
+    keep = docs.groupBy("content_hash").agg(
+        F.min("doc_uid").alias("_keep_uid")
+    )
+    return docs.join(keep, "content_hash").filter(
+        F.col("doc_uid") == F.col("_keep_uid")
+    ).drop("_keep_uid")
 
 
 def _annotate(canonical: DataFrame, redact_pii: bool) -> DataFrame:
@@ -356,6 +364,21 @@ def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
     return base.unionByName(incr.select(base.columns))
 
 
+def _existing_curated(spark: SparkSession, out_dir: str,
+                      exclude_snap: str) -> DataFrame:
+    """read_curated minus the named snapshot's partitions — what an
+    increment run anti-joins against (its own possibly-half-committed
+    prior attempt must not count as 'existing')."""
+    base = spark.read.parquet(f"{out_dir}/curated")
+    try:
+        incr = spark.read.parquet(f"{out_dir}/{CURATED_INCR}").filter(
+            F.col("snap") != exclude_snap
+        ).drop("snap")
+    except Exception:
+        return base
+    return base.unionByName(incr.select(base.columns))
+
+
 def _existing_features(spark: SparkSession, out_dir: str,
                        exclude_snap: str) -> DataFrame:
     """The corpus near-dup index: the base scratch table plus prior
@@ -412,6 +435,15 @@ def run_curation_increment(
     unseen — uid collisions with the existing index are dropped
     (replacement/update flows belong to the merge sinks, merge.py)."""
     t0 = time.time()
+    if snapshot in ("base", "unversioned"):
+        # "base" names the full run's index/output partitions — an
+        # increment using it would dynamic-overwrite base band-index
+        # partitions with increment-only rows AND exclude the whole base
+        # index from its own probe (exclude_snap), silently corrupting
+        # every future dedup decision
+        raise ValueError(
+            f"snapshot={snapshot!r} is reserved; pick a batch-unique id"
+        )
     stage = f"incr-{snapshot}"
     done = resume and stage_completed(spark, out_dir, stage, snapshot)
     if done:
@@ -424,17 +456,15 @@ def run_curation_increment(
         transcripts, n_buckets=n_buckets, salt=salt, n_partitions=n_partitions
     ).localCheckpoint(eager=True)
 
-    docs = extracted.filter(
-        (~F.col("is_low_quality")) & (~F.col("parse_failed"))
-        & (F.col("quality_score") > 0)
-    ).withColumn("doc_uid", F.xxhash64("conv_id", "turn_idx"))
-
-    # exact dedup: within the increment, then against the existing corpus
-    keep = docs.groupBy("content_hash").agg(F.min("doc_uid").alias("_k"))
-    new0 = docs.join(keep, "content_hash").filter(
-        F.col("doc_uid") == F.col("_k")
-    ).drop("_k")
-    existing = read_curated(spark, out_dir)
+    # quality gate + exact dedup within the increment: the SAME gate and
+    # identity the base job applies (shared helper — drift here would
+    # desynchronize the increment's keys from the stored index)
+    new0 = _gated_exact_kept(extracted)
+    # ...then against the existing corpus. The curated side excludes THIS
+    # snapshot's partitions: a retry of a run that crashed after its
+    # curated_incr write but before its stage marker must not anti-join
+    # against its own half-committed output (it would record 0 docs).
+    existing = _existing_curated(spark, out_dir, exclude_snap=snapshot)
     new0 = new0.join(
         existing.select("content_hash"), "content_hash", "left_anti"
     )
@@ -442,6 +472,14 @@ def run_curation_increment(
     new0 = new0.join(
         old_feats.select(F.col("id").alias("doc_uid")), "doc_uid", "left_anti"
     ).localCheckpoint(eager=True)
+
+    if new0.isEmpty():
+        # an entirely-redelivered batch (every doc already curated):
+        # nothing to write — an empty partitioned parquet dir would crash
+        # the read-back on schema inference, and the index gains nothing
+        metrics = _mark_stage(spark, out_dir, stage, snapshot,
+                              {"n_docs": 0, "splits": {}})
+        return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
     # near-dup features for the increment → disk (they ARE the index rows
     # this snapshot contributes; a retry overwrites the same partition)
@@ -533,27 +571,28 @@ def vacuum_snapshots(spark: SparkSession, out_dir: str,
     of snapshots NOT in ``keep_snaps`` (the base run's partitions are
     always kept). Obsolete snapshots accrete forever otherwise — every
     future increment probes their features and every reader unions their
-    rows. Bounded driver work: one directory listing per tree."""
-    import glob
-    import os
-    import re
-    import shutil
-
+    rows. Bounded driver work: one directory listing per tree, through
+    the Hadoop FS layer (works on hdfs:// and s3a:// like every other
+    path op in the repo)."""
     keep = set(keep_snaps) | {"base"}
     removed: dict[str, list[str]] = {}
     for tree in (CURATED_INCR, SCRATCH_INCR, BANDS_DIR):
-        root = os.path.join(out_dir, tree)
+        root = f"{out_dir}/{tree}"
         gone = []
-        for sdir in glob.glob(os.path.join(root, "snap=*")):
-            m = re.search(r"snap=([^/]+)$", sdir)
-            if m and m.group(1) not in keep:
-                shutil.rmtree(sdir)
-                gone.append(m.group(1))
-                # the snapshot's stage marker must go too, or a re-run of
-                # that snapshot would be skipped as already-complete
-                marker = _stage_path(out_dir, f"incr-{m.group(1)}")
-                if os.path.exists(marker):
-                    os.remove(marker)
+        # Hadoop-FS listing/delete (fsutil) — out_dir may be hdfs://s3a://
+        for name in fsutil.list_names(spark, root):
+            if not name.startswith("snap="):
+                continue
+            snap = name[len("snap="):]
+            if snap in keep:
+                continue
+            fsutil.delete(spark, f"{root}/{name}")
+            gone.append(snap)
+            # the snapshot's stage marker must go too, or a re-run of
+            # that snapshot would be skipped as already-complete
+            marker = _stage_path(out_dir, f"incr-{snap}")
+            if fsutil.exists(spark, marker):
+                fsutil.delete(spark, marker, recursive=False)
         if gone:
-            removed[tree] = sorted(gone)
+            removed[tree] = sorted(set(gone))
     return {"removed": removed}

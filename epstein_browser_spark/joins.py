@@ -46,14 +46,21 @@ def asof_join(
     ``how='inner'`` drops probes with no preceding ref; ``'left'`` keeps
     them with null payload. Probe and payload column names must be
     disjoint; both inputs must carry ``on`` + ``ts_col``.
+
+    The payload is carried through the window as ONE struct, so the
+    result row's payload columns always come from the SAME ref row —
+    filling each column independently would stitch values from different
+    refs whenever payload columns are individually null, and would
+    misclassify a match as absent under ``inner`` when the first payload
+    column happens to be null.
     """
     tiebreak = payload if tiebreak is None else tiebreak
     overlap = set(payload) & set(probes.columns)
     if overlap:
         raise ValueError(f"payload columns collide with probe columns: {overlap}")
+    ref_cols = list(dict.fromkeys([*on, ts_col, *payload, *tiebreak]))
     u = probes.withColumn("_is_probe", F.lit(1)).unionByName(
-        refs.select(*on, ts_col, *dict.fromkeys([*payload, *tiebreak]))
-        .withColumn("_is_probe", F.lit(0)),
+        refs.select(*ref_cols).withColumn("_is_probe", F.lit(0)),
         allowMissingColumns=True,
     )
     w = (
@@ -65,25 +72,26 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
+    out = u.withColumn(
+        "_payload",
+        F.last(
+            F.when(F.col("_is_probe") == 0, F.struct(*payload)),
+            ignorenulls=True,
+        ).over(w),
+    )
     for c in payload:
-        out = out.withColumn(
-            c + suffix,
-            F.last(
-                F.when(F.col("_is_probe") == 0, F.col(c)), ignorenulls=True
-            ).over(w),
-        )
+        out = out.withColumn(c + suffix, F.col("_payload")[c])
     out_names = {c + suffix for c in payload}
     helpers = [
         c for c in dict.fromkeys([*payload, *tiebreak])
         if c not in probes.columns and c not in out_names
     ]
-    out = out.filter(F.col("_is_probe") == 1).drop("_is_probe", *helpers)
+    out = out.filter(F.col("_is_probe") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload[0] + suffix).isNotNull())
+        out = out.filter(F.col("_payload").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    return out.drop("_is_probe", "_payload", *helpers)
 
 
 def range_join_binned(

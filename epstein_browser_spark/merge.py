@@ -188,34 +188,38 @@ def compact_buckets(
     spark: SparkSession,
     target_dir: str,
     max_files_per_bucket: int = 1,
-    n_output_files: int = 1,
 ) -> dict:
     """Small-file compaction for a bucket-partitioned table: every bucket
     whose file count exceeds ``max_files_per_bucket`` is rewritten as
-    ``n_output_files`` files; compliant buckets are NOT touched (their
+    ONE file (the bucket is the sizing unit — pick n_buckets so a bucket
+    is a sane file size; a per-bucket file-count knob would be a lie
+    here, since repartition-by-bucket necessarily lands each bucket in a
+    single partition); compliant buckets are NOT touched (their
     files and mtimes survive — same partition-scoped contract as the
     merge/upsert sinks). Streaming upserts and repeated increments
     accrete a file per write; without periodic compaction the scan cost
     of the table becomes file-open-bound long before it is byte-bound.
-    Driver work is one bounded listing (n_buckets entries), not row data.
+    Driver work is one bounded listing (n_buckets entries), not row data,
+    through the Hadoop FS layer (hdfs://s3a://-safe like the other sinks).
     """
-    import glob
-    import os
-    import re
+    from epstein_browser_spark import fsutil
 
     fat = []
-    for bdir in sorted(glob.glob(os.path.join(target_dir, "bucket=*"))):
-        n = len(glob.glob(os.path.join(bdir, "*.parquet")))
-        if n > max_files_per_bucket:
-            m = re.search(r"bucket=(\d+)$", bdir)
-            if m:
-                fat.append(int(m.group(1)))
+    for name in sorted(fsutil.list_names(spark, target_dir)):
+        if not name.startswith("bucket="):
+            continue
+        files = [
+            f for f in fsutil.list_names(spark, f"{target_dir}/{name}")
+            if f.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_bucket:
+            fat.append(int(name[len("bucket="):]))
     if not fat:
         return {"buckets_compacted": 0}
     rows = (
         spark.read.parquet(target_dir)
         .filter(F.col("bucket").isin(fat))
-        .repartition(max(1, n_output_files * len(fat)), "bucket")
+        .repartition(len(fat), "bucket")
         .localCheckpoint(eager=True)  # read fully BEFORE overwriting source
     )
     _rewrite_buckets(spark, target_dir, rows, fat)

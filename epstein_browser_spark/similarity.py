@@ -352,7 +352,6 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
     (id, codes: array<bigint> ordered by subspace — m·8 bytes instead of
     dim·4); ``long_form=True`` returns (id, sub, code) for joins."""
     cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
-    w = (F.size(vec_col) / m).cast("int")
     subv = embeddings.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -387,6 +386,25 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
     )
 
 
+def _adc_table(cb: DataFrame, query_vec: list[float], m: int) -> DataFrame:
+    """The per-query PQ lookup table: for every (sub, code) codebook row,
+    the squared L2 between the query's sub-slice and that centroid — the
+    m·k-row frame both the PQ-only and the composed IVF-PQ searches
+    broadcast (one definition, so a scoring change cannot desynchronize
+    the two paths)."""
+    w = len(query_vec) // m
+    qsub = {
+        s: F.array(*[F.lit(float(x)) for x in query_vec[s * w:(s + 1) * w]])
+        for s in range(m)
+    }
+    contrib = None
+    for s in range(m):
+        expr = dist2(qsub[s], F.col("cvec"))
+        contrib = (F.when(F.col("sub") == s, expr) if contrib is None
+                   else contrib.when(F.col("sub") == s, expr))
+    return cb.select("sub", "code", contrib.alias("_contrib"))
+
+
 def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
                 k: int = 16, topk: int = 10, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -397,20 +415,8 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
     per query and broadcast. Ordering is by the 6dp-ROUNDED distance then
     id so the ranking is reproducible across engines (the m-term sum has
     no guaranteed fold order). Returns (id, adc_dist2)."""
-    dim = len(query_vec)
-    w = dim // m
     cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
-    qsub = {
-        s: F.array(*[F.lit(float(x)) for x in query_vec[s * w:(s + 1) * w]])
-        for s in range(m)
-    }
-    contrib = None
-    for s in range(m):
-        c = F.when(F.col("sub") == s, dist2(qsub[s], F.col("cvec")))
-        contrib = c if contrib is None else contrib.when(
-            F.col("sub") == s, dist2(qsub[s], F.col("cvec"))
-        )
-    table = cb.select("sub", "code", contrib.alias("_contrib"))
+    table = _adc_table(cb, query_vec, m)
     codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
     return (
         codes.join(F.broadcast(table), ["sub", "code"])
@@ -436,8 +442,6 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
     quantizers, so the composed index is value-oracle-checkable end to
     end; ordering is by the 6dp-rounded distance then id (the m-term sum
     has no guaranteed fold order across engines)."""
-    dim = len(query_vec)
-    w = dim // m
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
@@ -452,17 +456,7 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
     ).select(id_col)
 
     cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
-    qsub = {
-        s: F.array(*[F.lit(float(x)) for x in query_vec[s * w:(s + 1) * w]])
-        for s in range(m)
-    }
-    contrib = None
-    for s in range(m):
-        c = F.when(F.col("sub") == s, dist2(qsub[s], F.col("cvec")))
-        contrib = c if contrib is None else contrib.when(
-            F.col("sub") == s, dist2(qsub[s], F.col("cvec"))
-        )
-    table = cb.select("sub", "code", contrib.alias("_contrib"))
+    table = _adc_table(cb, query_vec, m)
     codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
     return (
         codes.join(cell_ids, id_col, "left_semi")

@@ -258,17 +258,18 @@ def start_upsert_stream(
     stream's checkpointed replay — a replayed micro-batch upserts the
     same rows to the same values. The first batch bootstraps the table
     with a plain bucketed write."""
-    import os
-
+    from epstein_browser_spark import fsutil
     from epstein_browser_spark.merge import upsert_into_bucketed
 
     def _sink(batch_df, batch_id):
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        if not os.path.exists(target_dir):
-            from epstein_browser_spark import fsutil
-
+        # bootstrap check through the Hadoop FS layer — a local
+        # os.path.exists is always False for hdfs://s3a:// targets, which
+        # would turn every batch into a partition OVERWRITE (deleting
+        # other conversations' rows in the touched buckets)
+        if not fsutil.exists(batch_df.sparkSession, target_dir):
             fsutil.write_partition_overwrite(batch_df, target_dir)
             return
         upsert_into_bucketed(

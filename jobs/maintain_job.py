@@ -25,7 +25,6 @@ def main() -> None:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.add_argument("--max-files-per-bucket", type=int, default=1)
-    c.add_argument("--output-files", type=int, default=1)
     v = sub.add_parser("vacuum")
     v.add_argument("--output", required=True)
     v.add_argument("--keep", action="append", default=[])
@@ -41,8 +40,7 @@ def main() -> None:
         from epstein_browser_spark.merge import compact_buckets
 
         out = compact_buckets(spark, args.table,
-                              max_files_per_bucket=args.max_files_per_bucket,
-                              n_output_files=args.output_files)
+                              max_files_per_bucket=args.max_files_per_bucket)
     else:
         from epstein_browser_spark.curation import vacuum_snapshots
 

@@ -218,7 +218,16 @@ def test_incremental_curation(spark, corpus_sdf, tmp_path):
     convs2 = {r["conv_id"] for r in
               all_cur.filter(F.col("conv_id").startswith("inc2_")).collect()}
     assert convs2 == {"inc2_novel"}
-    # the base table was never touched by either increment
+    # a fully-redelivered batch (everything already curated or dropped)
+    # records 0 docs instead of crashing on empty-parquet schema inference
+    m3 = curation.run_curation_increment(spark, incr1, out, snapshot="inc3",
+                                         n_buckets=4)
+    assert m3["curate"]["n_docs"] == 0 and m3["curate"]["splits"] == {}
+    # reserved snapshot names are rejected before any write
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.run_curation_increment(spark, incr1, out, snapshot="base")
+    # the base table was never touched by any increment
     assert _file_mtimes(f"{out}/curated") == mt_base
     # incremental manifests exist and agree
     man = json.loads(open(glob.glob(

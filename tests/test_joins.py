@@ -251,3 +251,28 @@ def test_asof_join_matches_naive_join(spark):
     g = sorted(map(tuple, got.values))
     n = sorted(map(tuple, naive.values))
     assert g == n and len(g) > 100
+
+
+def test_asof_payload_is_atomic_per_ref_row(spark):
+    """Nullable payload columns must come from ONE ref row — per-column
+    last(ignorenulls) would stitch (a=1 from ts=1, b=2 from ts=2); and a
+    match whose first payload column is null must still count as a match
+    under how='inner'."""
+    import pandas as pd
+
+    refs = spark.createDataFrame(pd.DataFrame({
+        "k": ["x", "x"],
+        "ts": _ts(["2024-01-01 00:01:00", "2024-01-01 00:02:00"]),
+        "a": pd.array([1, None], dtype="Int64"),
+        "b": pd.array([None, 2], dtype="Int64"),
+    }))
+    probes = spark.createDataFrame(pd.DataFrame({
+        "k": ["x"], "ts": _ts(["2024-01-01 00:03:00"]),
+        "p_id": pd.array([7], dtype="int64"),
+    }))
+    out = asof_join(probes, refs, on=["k"], ts_col="ts",
+                    payload=["a", "b"], tiebreak=["ts"],
+                    how="inner", suffix="").toPandas()
+    # the latest ref row is (a=null, b=2) — returned verbatim, not mixed
+    assert len(out) == 1
+    assert pd.isna(out.loc[0, "a"]) and out.loc[0, "b"] == 2
