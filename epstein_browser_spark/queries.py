@@ -2594,6 +2594,142 @@ WHERE rk <= 3
 """
 
 
+def q70_chunking(spark, sf_dir):
+    """Training-window chunking: split every document into 64-token
+    windows with a 16-token stride overlap (the long-document
+    preprocessing step before packing/tokenization — overlap preserves
+    cross-boundary context). Pure column expressions: one tokenization,
+    chunk starts via ``sequence`` with the stride as step, explode, slice
+    + rejoin — no UDF, output rows ∝ tokens/stride. Documents shorter
+    than one window become a single chunk."""
+    d = _t(spark, sf_dir, "documents")
+    window, stride = 64, 48  # 16-token overlap
+    toks = d.select(
+        "doc_id", textstats.tokens(F.lower(F.col("text"))).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    # last chunk start: the largest multiple of stride still strictly
+    # inside the token list (so a final short window is emitted rather
+    # than dropped); single-window docs start only at 0
+    last_start = F.greatest(
+        F.lit(0),
+        (F.ceil((F.size("_toks") - window) / F.lit(stride))).cast("long")
+        * stride,
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.size("_toks").alias("n_doc_tokens"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), last_start,
+                       F.lit(stride).cast("long"))
+        ).alias("chunk_start"),
+        F.col("_toks"),
+    ).filter(  # a start past the end can appear when size < window
+        F.col("chunk_start") < F.size("_toks")
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_idx"),
+        "n_doc_tokens",
+        F.concat_ws(
+            " ",
+            F.slice("_toks", (F.col("chunk_start") + 1).cast("int"), window),
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(window), F.size("_toks") - F.col("chunk_start").cast("int")
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+_Q70_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, n, toks,
+         unnest(generate_series(
+           0, greatest(0, CAST(ceil((n - 64) / 48.0) AS BIGINT) * 48),
+           48)) AS chunk_start
+  FROM tt)
+SELECT doc_id,
+       CAST(chunk_start / 48 AS BIGINT) AS chunk_idx,
+       n AS n_doc_tokens,
+       array_to_string(toks[chunk_start + 1 : chunk_start + 64],
+                       ' ') AS chunk_text,
+       CAST(least(64, n - chunk_start) AS BIGINT) AS n_tokens
+FROM st WHERE chunk_start < n
+"""
+
+
+def q71_boilerplate_lines(spark, sf_dir):
+    """Corpus-level boilerplate detection: non-overlapping 10-word
+    segments whose normalized form appears in ≥2 documents (≥0.4% here),
+    with document frequency and an example doc — what a curation
+    pipeline strips corpus-wide (ToS footers, cookie banners, navigation
+    crumbs) that per-document rules cannot see. The segment is the unit
+    because boilerplate repeats as a phrase inside otherwise-distinct
+    documents. One tokenize + explode + per-doc distinct, one groupBy on
+    the segment; output bounded by the distinct-common-segment count."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.agg(F.count("*").alias("n_docs"))
+    toks = d.select(
+        "doc_id", textstats.tokens(F.lower(F.col("text"))).alias("_toks")
+    ).filter(F.size("_toks") >= 10)
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size("_toks") - 1) / 10).cast("long"),
+            )
+        ).alias("_g"),
+        "_toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice("_toks", (F.col("_g") * 10 + 1).cast("int"), 10)
+        ).alias("line"),
+    ).filter(F.length("line") >= 20).distinct()
+    counts = segs.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.min("doc_id").alias("example_doc"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "doc_frac", F.round(F.col("doc_freq") / F.col("n_docs"), 6)
+        )
+        .filter(F.col("doc_frac") >= 0.004)
+        .select("line", "doc_freq", "doc_frac", "example_doc")
+    )
+
+
+_Q71_SQL = """
+WITH stats AS (SELECT count(*) AS n_docs FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+seg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[g.g*10+1 : g.g*10+10], ' ') AS line
+  FROM t, LATERAL (SELECT unnest(generate_series(
+           0, CAST(floor((len(toks)-1)/10) AS BIGINT))) AS g) g
+  WHERE len(toks) >= 10),
+counts AS (
+  SELECT line, count(DISTINCT doc_id) AS doc_freq,
+         min(doc_id) AS example_doc
+  FROM seg WHERE len(line) >= 20 GROUP BY line)
+SELECT line, doc_freq,
+       round(doc_freq / CAST(n_docs AS DOUBLE), 6) AS doc_frac,
+       example_doc
+FROM counts CROSS JOIN stats
+WHERE doc_freq / CAST(n_docs AS DOUBLE) >= 0.004
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2668,4 +2804,6 @@ QUERIES: dict[str, tuple] = {
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
     "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
     "q69_mixture_report": (q69_mixture_report, _q69_sql()),
+    "q70_chunking": (q70_chunking, _Q70_SQL),
+    "q71_boilerplate_lines": (q71_boilerplate_lines, _Q71_SQL),
 }
