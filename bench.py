@@ -90,6 +90,20 @@ def bench_extraction(spark, corpus_path: str, n_buckets: int = None) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def ensure_curation_corpus(spark, n_turns: int) -> str:
+    """Materialize (once) the DIVERSIFIED curation corpus and return its
+    path — factored out so the scaling harness can create the shared
+    input without paying a full end-to-end curation run."""
+    from epstein_browser_spark.synth import synth_transcripts_spark
+
+    corpus = f"/tmp/bench_curation_corpus_{n_turns}.parquet"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        synth_transcripts_spark(spark, n_turns, diversify=True).repartition(
+            64
+        ).write.mode("overwrite").parquet(corpus)
+    return corpus
+
+
 def bench_curation(spark, n_turns: int = None) -> dict:
     """End-to-end curation job (extract → exact+near dedup keep policy →
     stats/langid → split → manifests) — the flagship composed pipeline,
@@ -102,11 +116,7 @@ def bench_curation(spark, n_turns: int = None) -> dict:
     from epstein_browser_spark.synth import synth_transcripts_spark
 
     n_turns = n_turns or CURATE_TURNS
-    corpus = f"/tmp/bench_curation_corpus_{n_turns}.parquet"
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        synth_transcripts_spark(spark, n_turns, diversify=True).repartition(
-            64
-        ).write.mode("overwrite").parquet(corpus)
+    corpus = ensure_curation_corpus(spark, n_turns)
     out = f"/tmp/bench_curation_{n_turns}"
     shutil.rmtree(out, ignore_errors=True)
     tr = spark.read.parquet(corpus)
@@ -455,9 +465,11 @@ def run_curation_scaling(args) -> None:
     iterative collect loops, and a partitioned sink — the harder scaling
     shape. APPENDS a section to BENCH/BASELINE.md."""
     n, n4 = 2, 8
-    # pre-create the shared corpus once so no side pays synth cost
+    # pre-create the shared corpus once so no side pays synth cost —
+    # corpus only; a full bench_curation here would burn a whole job run
+    # and perturb the exclusive-box methodology the baseline doc mandates
     spark = _get_spark(8)
-    bench_curation(spark)
+    ensure_curation_corpus(spark, CURATE_TURNS)
     spark.stop()
 
     ceiling = _burn_calibration(((n, n4),))[f"{n}->{n4}"]

@@ -135,10 +135,25 @@ def _gated_exact_kept(extracted: DataFrame) -> DataFrame:
     ``doc_uid = xxhash64(conv_id, turn_idx)``, keep the min doc_uid per
     content hash (one shuffle; the reference's content-hash idempotency
     contract, /root/reference/index_images.py:194-232)."""
+    from pyspark.sql import Window
+
     docs = extracted.filter(
         (~F.col("is_low_quality")) & (~F.col("parse_failed"))
         & (F.col("quality_score") > 0)
     ).withColumn("doc_uid", F.xxhash64("conv_id", "turn_idx"))
+    # collapse rows SHARING a doc_uid first (a batch can carry the same
+    # turn twice — source retry/replay inside one delivery; min-uid-per-
+    # hash alone keeps every copy because identical uids trivially equal
+    # the group min and id_a < id_b pairing never pairs equal ids).
+    # Deterministic pick: lowest content_hash (identical copies are
+    # interchangeable; a 64-bit uid collision between distinct docs keeps
+    # exactly one, the documented collision posture)
+    uid_w = Window.partitionBy("doc_uid").orderBy("content_hash")
+    docs = (
+        docs.withColumn("_rn", F.row_number().over(uid_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     keep = docs.groupBy("content_hash").agg(
         F.min("doc_uid").alias("_keep_uid")
     )
@@ -361,7 +376,10 @@ def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
         incr = spark.read.parquet(f"{out_dir}/{CURATED_INCR}").drop("snap")
     except Exception:  # no increments yet
         return base
-    return base.unionByName(incr.select(base.columns))
+    # allowMissingColumns: audit columns can differ per run (e.g. a base
+    # built with redact_pii and an increment without, or vice versa) —
+    # absent columns read as null instead of making the corpus unreadable
+    return base.unionByName(incr, allowMissingColumns=True)
 
 
 def _existing_curated(spark: SparkSession, out_dir: str,
@@ -376,7 +394,7 @@ def _existing_curated(spark: SparkSession, out_dir: str,
         ).drop("snap")
     except Exception:
         return base
-    return base.unionByName(incr.select(base.columns))
+    return base.unionByName(incr, allowMissingColumns=True)
 
 
 def _existing_features(spark: SparkSession, out_dir: str,
@@ -506,7 +524,7 @@ def run_curation_increment(
     )
     corpus_bands = _existing_bands(spark, out_dir, snapshot, probe_bands)
     vs_old = minhash_candidates_between(
-        new_feats.select("id", "sig"),
+        probe_bands=probe_bands,  # banded ONCE — reused for pbands + join
         corpus_sigs=(None if corpus_bands is not None
                      else old_feats.select("id", "sig")),
         corpus_bands=corpus_bands,

@@ -197,11 +197,12 @@ def band_index(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
     )
 
 
-def minhash_candidates_between(probe_sigs: DataFrame,
+def minhash_candidates_between(probe_sigs: DataFrame | None = None,
                                corpus_sigs: DataFrame | None = None,
                                n_bands: int = 8,
                                max_bucket: int = 200,
-                               corpus_bands: DataFrame | None = None
+                               corpus_bands: DataFrame | None = None,
+                               probe_bands: DataFrame | None = None
                                ) -> DataFrame:
     """Asymmetric banded LSH: (id_probe, id_corpus) candidate pairs between
     a (small) probe set and the full corpus — the incremental-ingest shape:
@@ -215,7 +216,12 @@ def minhash_candidates_between(probe_sigs: DataFrame,
     to the probe's bucket keys, THEN the ``max_bucket`` cap is evaluated
     over the union of both sides' membership in those buckets — current
     bucket size, not a stale base-time count."""
-    p = _banded(probe_sigs, n_bands)
+    if probe_bands is not None:
+        p = probe_bands.select("id", "band", "band_hash")
+    else:
+        if probe_sigs is None:
+            raise ValueError("need probe_sigs or probe_bands")
+        p = _banded(probe_sigs, n_bands)
     if corpus_bands is None:
         if corpus_sigs is None:
             raise ValueError("need corpus_sigs or corpus_bands")

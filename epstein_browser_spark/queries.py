@@ -2153,9 +2153,11 @@ def q61_stratified_sample(spark, sf_dir):
     the operator a training pipeline uses to rebalance languages/domains
     (keep 60% of en, 35% of de/fr/es, 10% of zh here). The keep decision
     is ``md5-bucket(doc_id) mod 1000 < rate`` — a pure column expression:
-    no RNG state, stable across runs/engines/partitionings (same
-    hash-bucket arithmetic as deterministic_split, ADVICE r2's unbiased
-    4-hex-digit form), and resampling at a new rate keeps prior decisions
+    no RNG state, stable across runs/engines/partitionings. FIVE hex
+    digits of entropy, not four: 65536 % 1000 = 536 would skew every
+    sub-536 bucket by +1/65536 (the same bias class ADVICE r2 fixed in
+    deterministic_split); 16^5 % 1000 = 576 leaves a residual bias of
+    576/2^20 ≈ 0.05%, inside the documented tolerance. Resampling at a new rate keeps prior decisions
     nested (a doc sampled at 10% is also sampled at 60%), which makes
     mixture re-weighting reproducible downstream. One narrow scan, no
     shuffle, no sampleBy (whose seeded RNG is partitioning-dependent)."""
@@ -2166,7 +2168,7 @@ def q61_stratified_sample(spark, sf_dir):
         rate = c if rate is None else rate.when(F.col("lang") == lang, F.lit(r))
     rate = rate.otherwise(F.lit(0))
     bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10)
         .cast("long"),
         F.lit(1000),
     )
@@ -2179,8 +2181,8 @@ def q61_stratified_sample(spark, sf_dir):
 def _q61_sql() -> str:
     shard = " + ".join(
         f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
-        f"{i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
+        f"{i + 1}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(5)
     )
     cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE.items())
     return f"""

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PHONE_RE = r"\b\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
+# the optional '+' sits OUTSIDE the word boundary: \b between a space
+# and '+' never matches (both non-word), so the old \b\+? form left a
+# stray unredacted '+' on international-style numbers
+PHONE_RE = r"(?:\+|\b)[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
 URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*)?"
 DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
 

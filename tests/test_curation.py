@@ -300,3 +300,23 @@ def test_compaction_and_vacuum(spark, corpus_sdf, tmp_path):
                                          n_buckets=4)
     assert not m2["curate"].get("skipped")
     assert curation.read_curated(spark, out).count() == n_all
+
+
+def test_in_batch_redelivery_collapses(spark):
+    """The same (conv_id, turn_idx) appearing TWICE in one batch (source
+    retry inside a delivery) must yield one curated row, not two — min-
+    uid-per-hash alone keeps every copy because identical uids trivially
+    equal the group min."""
+    from epstein_browser_spark.curation import _gated_exact_kept
+    from epstein_browser_spark.pipeline import extract_transcripts
+
+    txt = ("a perfectly ordinary quality passing sentence with plenty of "
+           "distinct words to clear the extraction gate easily")
+    batch = spark.createDataFrame(_incr_rows([
+        ("dup_conv", txt), ("dup_conv", txt),  # same turn twice
+        ("other_conv", txt + " but different"),
+    ]))
+    ext = extract_transcripts(batch, n_buckets=2)
+    kept = _gated_exact_kept(ext).toPandas()
+    assert len(kept) == 2
+    assert sorted(kept["conv_id"]) == ["dup_conv", "other_conv"]
