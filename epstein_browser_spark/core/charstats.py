@@ -31,15 +31,11 @@ def _table(pred) -> np.ndarray:
     return t
 
 
-T_ZERO = _table(lambda ch: ch == "0")
-T_SPACE_LITERAL = _table(lambda ch: ch == " ")
-T_WS = _table(str.isspace)
-T_ALPHA = _table(str.isalpha)
-T_ALNUM = _table(str.isalnum)
-T_BINARY = _table(lambda ch: ord(ch) < 32 or ch in _BINARY_SINGLE_CHARS)
-T_MEANINGFUL = _table(lambda ch: ch.isalnum() or ch in _MEANINGFUL_EXTRA)
-T_SPECIAL = _table(lambda ch: not ch.isalnum() and not ch.isspace())
-
+# ONE predicate definition per class: the ASCII fast-path tables are
+# DERIVED from these, so ASCII and non-ASCII semantics cannot drift apart
+# (previously the predicates were written twice — once as table-building
+# lambdas, once here — and an edit to one copy would silently make a
+# class ASCII-only)
 _PREDS = {
     "zero": lambda ch: ch == "0",
     "space_literal": lambda ch: ch == " ",
@@ -50,11 +46,7 @@ _PREDS = {
     "meaningful": lambda ch: ch.isalnum() or ch in _MEANINGFUL_EXTRA,
     "special": lambda ch: not ch.isalnum() and not ch.isspace(),
 }
-_TABLES = {
-    "zero": T_ZERO, "space_literal": T_SPACE_LITERAL, "ws": T_WS,
-    "alpha": T_ALPHA, "alnum": T_ALNUM, "binary": T_BINARY,
-    "meaningful": T_MEANINGFUL, "special": T_SPECIAL,
-}
+_TABLES = {name: _table(pred) for name, pred in _PREDS.items()}
 
 # all 8 class tables packed into one uint8 bitmask table: the per-batch
 # ASCII class lookup becomes ONE gather (T_BITS[codes]) shared by every

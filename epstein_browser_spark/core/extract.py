@@ -163,15 +163,24 @@ def _extract_html_mode(text: pd.Series) -> pd.DataFrame:
     #   link-density: chars of anchor text / chars of visible text
     #   tag-density:  share of the block's raw chars that are markup
     #   text-block:   visible word count
+    # anchor text may contain nested inline tags (<a><b>x</b></a>) —
+    # strip them before measuring, or markup inflates link density
     anchor_text = df["raw"].str.findall(_ANCHOR_TEXT_RE).str.join(" ")
-    anchor_len = _normalize(anchor_text).str.len()
+    anchor_len = _normalize(
+        anchor_text.str.replace(_ANY_TAG_RE, " ", regex=True)
+    ).str.len()
     untagged = df["raw"].str.replace(_ANY_TAG_RE, " ", regex=True)
     visible = _normalize(untagged)
     vis_len = visible.str.len()
     n_words = visible.str.count(r"\S+")
     link_density = anchor_len / vis_len.replace(0, 1)
     raw_len = df["raw"].str.len()
-    tag_density = 1.0 - untagged.str.len() / raw_len.replace(0, 1)
+    # markup share measured by REMOVING tags: the space-replacement form
+    # (kept above only for visible-text extraction) credits one visible
+    # char per tag, so markup-heavy blocks undercounted by 1 char/tag and
+    # slid under MAX_TAG_DENSITY ('<b>w</b> '×8: true 0.78, old 0.56)
+    detagged_len = df["raw"].str.replace(_ANY_TAG_RE, "", regex=True).str.len()
+    tag_density = 1.0 - detagged_len / raw_len.replace(0, 1)
     df["seg_text"] = visible
     df["kind"] = "block"
     keep = (

@@ -83,7 +83,13 @@ def assess_batch(texts: pd.Series) -> pd.DataFrame:
 
     n_words = bc.word_counts()  # boundary ws doesn't change split()
     zero_words = bc.zero_word_counts()
-    zero_patterns = (n_words > 3) & (zero_words > n_words * 0.7)
+    # DIVIDE form, exactly as the reference computes it: 0.7 is not a
+    # representable double, so `zero_words > n_words * 0.7` disagrees
+    # with `zero_words / n_words > 0.7` at exact-ratio boundaries
+    # (n_words=90, zero_words=63: 90*0.7 rounds just below 63)
+    zero_patterns = (n_words > 3) & (
+        zero_words / np.maximum(n_words, 1) > 0.7
+    )
 
     n_binary = count_in_region("binary")
     binary_heavy = n_binary > length * 0.1
@@ -119,7 +125,8 @@ def assess_batch(texts: pd.Series) -> pd.DataFrame:
     too_short = strip_len < 10
     alpha = bc.count_class("alpha")
     total = raw_len - bc.count_class("space_literal")
-    non_alpha = (total > 0) & (alpha < total * 0.3)
+    # divide form for the same boundary-parity reason as zero_patterns
+    non_alpha = (total > 0) & (alpha / np.maximum(total, 1) < 0.3)
     repetition = bc.max_alnum_repetition() > raw_len * 0.4
     nonws = bc.nonws_counts()
     gibberish = (n_words > 0) & (nonws < n_words * 2.0)

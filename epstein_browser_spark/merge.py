@@ -32,16 +32,22 @@ def classify_merge(
     insert (source only), delete (target only), update (hash differs),
     skip (hash equal) — exactly the reference's diff loop semantics."""
     t = target.select(
-        F.col(key_col).alias("_k"), F.col(hash_col).alias("_t_hash")
+        F.col(key_col).alias("_k"), F.col(hash_col).alias("_t_hash"),
+        F.lit(True).alias("_t_present"),
     )
     s = source.select(
-        F.col(key_col).alias("_k"), F.col(hash_col).alias("_s_hash")
+        F.col(key_col).alias("_k"), F.col(hash_col).alias("_s_hash"),
+        F.lit(True).alias("_s_present"),
     )
     j = t.join(s, "_k", "full_outer")
+    # side presence is detected via indicator flags, NOT hash nullness: a
+    # row whose hash column is legitimately null would otherwise be
+    # misread as side-absent (a target-only null-hash row classified
+    # 'insert' and then dropped by the sink while counted as inserted)
     action = (
-        F.when(F.col("_t_hash").isNull(), "insert")
-        .when(F.col("_s_hash").isNull(), "delete")
-        .when(F.col("_t_hash") != F.col("_s_hash"), "update")
+        F.when(F.col("_t_present").isNull(), "insert")
+        .when(F.col("_s_present").isNull(), "delete")
+        .when(~F.col("_t_hash").eqNullSafe(F.col("_s_hash")), "update")
         .otherwise("skip")
     )
     return j.select(F.col("_k").alias(key_col), action.alias("merge_action"))
@@ -121,23 +127,39 @@ def merge_into_bucketed(
     Returns per-action counts + buckets_rewritten.
     """
     target = spark.read.parquet(target_dir)
-    actions = classify_merge(target, source, key_col, hash_col)
-    changed = actions.filter(F.col("merge_action") != "skip").withColumn(
+    actions = classify_merge(target, source, key_col, hash_col).withColumn(
         "bucket", _bucket_of(key_col, n_buckets)
-    )
-    counts = {
-        r["merge_action"]: int(r["n"])
-        for r in actions.groupBy("merge_action").agg(F.count("*").alias("n")).collect()
-    }
-    changed_buckets = sorted(
-        int(r["bucket"]) for r in changed.select("bucket").distinct().collect()
-    )
+    ).localCheckpoint(eager=True)
+    # ONE pass over the classification join: per-(action, bucket) counts
+    # (≤ 4·n_buckets rows) give both the action totals and the changed
+    # bucket set — previously the full-outer join executed twice
+    cells = actions.groupBy("merge_action", "bucket").count().collect()
+    counts: dict = {}
+    changed_set: set = set()
+    for r in cells:
+        counts[r["merge_action"]] = counts.get(r["merge_action"], 0) + int(r["count"])
+        if r["merge_action"] != "skip":
+            changed_set.add(int(r["bucket"]))
+    changed_buckets = sorted(changed_set)
     if changed_buckets:
-        # new content of a changed bucket = the source rows hashing into it
-        # (deletes vanish by absence; skips in changed buckets are carried
-        # from source, whose rows equal target's for skip keys)
-        new_rows = source.withColumn("bucket", _bucket_of(key_col, n_buckets)).filter(
-            F.col("bucket").isin(changed_buckets)
+        # new content of a changed bucket: upserts from SOURCE, but skip
+        # keys keep the TARGET row — MERGE INTO's WHEN-MATCHED-AND-EQUAL
+        # leaves the target untouched, and a source copy may differ in
+        # non-hash columns (metadata, timestamps) even when hashes match
+        upsert_keys = actions.filter(
+            F.col("merge_action").isin("insert", "update")
+        ).select(key_col)
+        skip_keys = actions.filter(F.col("merge_action") == "skip").select(
+            key_col
+        )
+        src_b = source.withColumn(
+            "bucket", _bucket_of(key_col, n_buckets)
+        ).filter(F.col("bucket").isin(changed_buckets))
+        tgt_b = target.drop("bucket").withColumn(
+            "bucket", _bucket_of(key_col, n_buckets)
+        ).filter(F.col("bucket").isin(changed_buckets))
+        new_rows = src_b.join(upsert_keys, key_col, "left_semi").unionByName(
+            tgt_b.join(skip_keys, key_col, "left_semi").select(src_b.columns)
         )
         _rewrite_buckets(spark, target_dir, new_rows, changed_buckets)
     return {
@@ -169,7 +191,7 @@ def upsert_into_bucketed(
         .collect()
     )
     if not changed_buckets:
-        return {"upserted": 0, "buckets_rewritten": 0}
+        return {"upserted": 0, "buckets_rewritten": 0, "buckets": []}
     target = spark.read.parquet(target_dir).drop("bucket")
     old_kept = target.withColumn("bucket", _bucket_of(bucket_key, n_buckets)).filter(
         F.col("bucket").isin(changed_buckets)

@@ -32,7 +32,6 @@ it is narrow.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,7 +218,12 @@ def run_reprocessing(
         )),
     ).withColumn("tool", F.lit(None).cast("string"))  # force plain re-parse
     redone = extract_transcripts(subset, n_buckets=n_buckets)
-    recovered = redone.filter(~F.col("is_low_quality"))
+    # materialize ONCE: the count below, the upsert's changed-bucket
+    # listing, its staging checkpoint and its row count would otherwise
+    # each re-run the semi-join + pre-clean + mapInPandas re-extraction
+    recovered = redone.filter(~F.col("is_low_quality")).localCheckpoint(
+        eager=True
+    )
     n_rec = recovered.count()
     res = {"queued": n_queue, "recovered": n_rec}
     if n_rec:

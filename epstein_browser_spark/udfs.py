@@ -62,7 +62,13 @@ def extract_pdf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if attempt == 2:
             failed &= pdf["tool"].fillna("").isin(["spans", "html", "pdf"])
         if not failed.any():
-            break
+            # continue, never break: attempt 2's mask being empty says
+            # nothing about attempt 3's broader mask, and a break would
+            # make a row's attempt-3 retry depend on whether some OTHER
+            # row in the same Arrow batch had a failed structured parse —
+            # per-row output must be batch-composition-independent
+            # (partitioning/salting/resume invariance)
+            continue
         raw = pdf.loc[failed, "text"]
         if attempt == 3:
             raw = raw.fillna("").astype(str).str.replace(

@@ -101,3 +101,54 @@ def test_meaningful_gate():
     out = extract_batch(pd.Series(["0123456789", "0123456789a"]),
                         pd.Series([None, None], dtype=object))
     assert list(out["parse_failed"]) == [True, False]
+
+
+def test_zero_pattern_exact_ratio_boundary():
+    """90 words, 63 all-zero: 63/90 == 0.7 exactly, which must NOT fire
+    the >0.7 rule — the multiply form (zero_words > n_words*0.7) fired it
+    because 90*0.7 rounds just below 63 in doubles."""
+    import pandas as pd
+
+    from epstein_browser_spark.core.quality import quality_score_batch
+    from epstein_browser_spark.core.reference_oracle import quality_score
+
+    text = ("00 " * 63 + "abcd " * 27).strip()
+    exp = quality_score(text)
+    got = quality_score_batch(pd.Series([text]))
+    assert (got.loc[0, "quality_score"], got.loc[0, "quality_reason"]) == exp
+    assert exp[0] == 100  # the ratio is exactly at, not above, the bar
+
+
+def test_retry_is_batch_composition_independent():
+    """A failed plain-text row must get its attempt-3 binary-strip retry
+    regardless of whether any OTHER row in the Arrow batch had a failed
+    structured parse — per-row output must not depend on batch
+    composition (partitioning / salting / resume invariance)."""
+    import pandas as pd
+
+    from epstein_browser_spark.udfs import extract_pdf_batch
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array(range(len(rows)), dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [r[1] for r in rows],
+                "tool": pd.array([r[2] for r in rows], dtype=object),
+                "ts_us": pd.array([0] * len(rows), dtype="int64"),
+            }
+        )
+
+    # plain row that fails attempt 1 (binary noise) but recovers after
+    # the attempt-3 binary strip
+    noisy = "the quick brown fox jumps over the lazy dog " + "\x01\x02" * 40
+    alone = extract_pdf_batch(mk([("c1", noisy, None)]))
+    together = extract_pdf_batch(
+        mk([("c1", noisy, None), ("c2", "\x01|0.1|garbage", "spans")])
+    )
+    a = alone.set_index("conv_id").loc["c1"]
+    t = together.set_index("conv_id").loc["c1"]
+    assert a["quality_score"] == t["quality_score"]
+    assert a["attempts"] == t["attempts"]
+    assert a["clean_text"] == t["clean_text"]

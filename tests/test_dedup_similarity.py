@@ -673,3 +673,39 @@ def test_candidates_between_index_parity(spark):
     key = lambda d: sorted(map(tuple, d.values))  # noqa: E731
     assert key(fly) == key(idx) == key(pruned)
     assert len(fly) > 0
+
+
+def test_merge_skip_keeps_target_row(spark, tmp_path):
+    """MERGE semantics: a skip-classified key in a CHANGED bucket keeps
+    the TARGET row, even when the source copy differs in non-hash columns
+    — and a legitimately-null hash on the target side classifies by key
+    presence, not hash nullness."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 2
+    tgt = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "h1", "target-meta-1"), (2, "h2", "target-meta-2"),
+         (9, None, "target-null-hash")],
+        "doc_id long, h string, body string",
+    )
+    v1.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    ).write.partitionBy("bucket").parquet(tgt)
+
+    # source: doc 1 same hash but DIFFERENT body; doc 2 updated hash;
+    # doc 9 (null target hash) absent -> must classify delete, not insert
+    v2 = spark.createDataFrame(
+        [(1, "h1", "source-meta-1"), (2, "h2x", "source-meta-2")],
+        "doc_id long, h string, body string",
+    )
+    stats = merge.merge_into_bucketed(spark, tgt, v2, key_col="doc_id",
+                                      hash_col="h", n_buckets=n_buckets)
+    assert stats["skipped"] == 1 and stats["updated"] == 1
+    assert stats["deleted"] == 1 and stats["inserted"] == 0
+    spark.catalog.refreshByPath(tgt)
+    rows = {r["doc_id"]: r["body"]
+            for r in spark.read.parquet(tgt).collect()}
+    assert rows[1] == "target-meta-1"   # skip kept the TARGET version
+    assert rows[2] == "source-meta-2"   # update took the source version
+    assert 9 not in rows                # delete-by-absence

@@ -129,3 +129,22 @@ def test_html_tag_density_drops_markup_heavy_blocks():
     )
     assert out["clean_text"][0] == ""          # dropped: tag-density > 0.7
     assert "real prose" in out["clean_text"][1]  # kept: tag-density ~ 0
+
+
+def test_tag_density_counts_markup_exactly():
+    """A block that is mostly markup must be dropped: '<b>w</b> '×8 has a
+    true markup share of 7/9 > 0.7; the old space-replacement measurement
+    credited one visible char per tag and computed ~0.56, letting it
+    through."""
+    import pandas as pd
+
+    from epstein_browser_spark.core.extract import _extract_html_mode
+
+    markup_heavy = "<p>" + "<b>w</b> " * 8 + "</p>"
+    out = _extract_html_mode(pd.Series([markup_heavy]))
+    assert len(out) == 0
+    # a normal prose block with light inline markup still passes
+    prose = ("<p>plain sentence with <b>one</b> bold word and otherwise "
+             "ordinary visible text content here</p>")
+    out2 = _extract_html_mode(pd.Series([prose]))
+    assert len(out2) == 1 and "bold word" in out2.iloc[0]["seg_text"]
