@@ -793,7 +793,8 @@ SELECT doc_id,
                            t -> t <> ''))
     ELSE 0.0 END, 6) AS stopword_ratio,
   round(CASE WHEN length(text) > 0
-    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+    THEN CAST(length(text)
+              - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g'))
          AS DOUBLE) / length(text)
     ELSE 0.0 END, 6) AS punct_ratio
 FROM documents
@@ -1792,14 +1793,18 @@ def _q54_sql() -> str:
     red = "text"
     for _name, pat, tag in redaction.REDACTIONS:
         red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    # counts of the TAGS in the redacted output (mirrors pii_counts):
+    # sequential redaction means a nested class emits one tag
     counts = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _tag in redaction.REDACTIONS
+        f"CAST(len(regexp_extract_all(redacted, '{tag}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, _pat, tag in redaction.REDACTIONS
     )
     total = " + ".join(f"n_{name}" for name, _p, _t in redaction.REDACTIONS)
     return f"""
 WITH aug AS ({_PII_AUG_SQL}),
-c AS (SELECT doc_id, md5({red}) AS redacted_md5, {counts} FROM aug)
+r0 AS (SELECT doc_id, {red} AS redacted FROM aug),
+c AS (SELECT doc_id, md5(redacted) AS redacted_md5, {counts} FROM r0)
 SELECT doc_id, redacted_md5, n_email, n_ssn, n_ipv4, n_phone,
        ({total}) AS n_pii
 FROM c
@@ -1850,8 +1855,8 @@ def q55_quality_rules(spark, sf_dir):
 
 def _q55_sql() -> str:
     words = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
-    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
-             "s -> trim(s)), s -> s <> '')")
+    lines = ("list_filter(list_transform(string_split_regex(text, "
+             "'\r?\n'), s -> trim(s)), s -> s <> '')")
     return f"""
 WITH aug AS ({_LINES_AUG_SQL}),
 m AS (
@@ -2348,12 +2353,13 @@ dup3 AS (
 SELECT den.doc_id, den.n_words, top2.top_bigram,
        coalesce(top2.top_bigram_count, 0) AS top_bigram_count,
        CASE WHEN den.denom > 0
-            THEN round(coalesce(top2.top_bigram_count * len(top2.top_bigram),
-                                0) / CAST(den.denom AS DOUBLE), 6)
+            THEN round(least(1.0,
+                 coalesce(top2.top_bigram_count * len(top2.top_bigram),
+                          0) / CAST(den.denom AS DOUBLE)), 6)
             ELSE 0.0 END AS top_bigram_frac,
        CASE WHEN den.denom > 0
-            THEN round(coalesce(dup3.dup_chars, 0)
-                       / CAST(den.denom AS DOUBLE), 6)
+            THEN round(least(1.0, coalesce(dup3.dup_chars, 0)
+                       / CAST(den.denom AS DOUBLE)), 6)
             ELSE 0.0 END AS dup_trigram_frac
 FROM den
 LEFT JOIN top2 ON den.doc_id = top2.doc_id

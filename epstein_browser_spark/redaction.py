@@ -24,8 +24,13 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # and '+' never matches (both non-word), so the old \b\+? form left a
 # stray unredacted '+' on international-style numbers
 PHONE_RE = r"(?:\+|\b)[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
-URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*)?"
-DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+# host = dot-separated labels (a '.' must be FOLLOWED by a label, so a
+# sentence-terminating period is not swallowed into the domain and a
+# blocklist groupBy never splits 'example.com' from 'example.com.');
+# optional :port so 'http://h:8080/x' keeps its path
+URL_RE = (r"https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*(?::[0-9]+)?"
+          r"(?:/[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*)?")
+DOMAIN_RE = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
 
 # redaction order matters: SSN/IP before PHONE (their digit shapes are
 # disjoint from the phone pattern, but a redacted-first longer match can
@@ -52,15 +57,20 @@ def pii_counts(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, redacted_text, n_<class>..., n_pii): per-doc redaction with
     per-class match counts — the audit trail a compliance pass needs
-    alongside the redacted corpus."""
+    alongside the redacted corpus. Counts are of the TAGS present in the
+    redacted output, not of pattern matches against the original text:
+    redaction is sequential, so nested classes ('555-123-4567@x.com' —
+    a phone shape inside an email) emit one tag, and the audit must say
+    what was actually emitted, never claim a redaction that is not in
+    the output."""
     c = F.col(text_col)
-    counts = [
-        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _tag in REDACTIONS
-    ]
     out = df.select(
-        F.col(id_col).alias("id"), redact(c).alias("redacted_text"), *counts
+        F.col(id_col).alias("id"), redact(c).alias("redacted_text")
     )
+    for name, _pat, tag in REDACTIONS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count("redacted_text", F.lit(tag))
+        )
     total = None
     for name, _p, _t in REDACTIONS:
         col = F.col(f"n_{name}")
@@ -94,8 +104,12 @@ TERMINAL_PUNCT = (".", "!", "?", '"')
 
 
 def _lines(col: Column) -> Column:
+    # split on \r?\n: Spark's trim strips only 0x20, so CRLF documents
+    # would otherwise keep a trailing \r per line — every blank line
+    # becomes the duplicate '\r', inflating dup_line_frac past the keep
+    # gate, and terminal_punct_ratio reads \r as the final character
     return F.filter(
-        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
+        F.transform(F.split(col, r"\r?\n"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
 
@@ -120,8 +134,10 @@ def quality_rule_flags(df: DataFrame, text_col: str = "text",
 
     Everything is split/array expressions over the doc's own words and
     lines — per-doc bounded work, no shuffle, no Python."""
+    from epstein_browser_spark.textstats import tokens
+
     c = F.col(text_col)
-    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    words = tokens(c)  # ONE tokenizer definition repo-wide
     n_words = F.size(words)
     # total word chars = chars minus whitespace — avoids an aggregate() HOF
     # (interpreted, re-evaluates the captured split per element: O(len²))

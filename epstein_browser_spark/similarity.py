@@ -386,6 +386,15 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
     )
 
 
+def _check_pq_dims(query_vec: list[float], m: int) -> None:
+    if len(query_vec) % m != 0:
+        raise ValueError(
+            f"dim {len(query_vec)} not divisible by m={m}: integer slice "
+            "width would silently drop the trailing dims from codebooks, "
+            "codes and ADC distances"
+        )
+
+
 def _adc_table(cb: DataFrame, query_vec: list[float], m: int) -> DataFrame:
     """The per-query PQ lookup table: for every (sub, code) codebook row,
     the squared L2 between the query's sub-slice and that centroid — the
@@ -415,6 +424,7 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
     per query and broadcast. Ordering is by the 6dp-ROUNDED distance then
     id so the ranking is reproducible across engines (the m-term sum has
     no guaranteed fold order). Returns (id, adc_dist2)."""
+    _check_pq_dims(query_vec, m)
     cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
     table = _adc_table(cb, query_vec, m)
     codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
@@ -442,6 +452,7 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
     quantizers, so the composed index is value-oracle-checkable end to
     end; ordering is by the 6dp-rounded distance then id (the m-term sum
     has no guaranteed fold order across engines)."""
+    _check_pq_dims(query_vec, m)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)

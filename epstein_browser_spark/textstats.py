@@ -50,8 +50,13 @@ def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
+    # \p{L}\p{N}, not \w: Java's \w is ASCII-only here, which would
+    # count every non-ASCII letter (café, кот, 中文) as punctuation and
+    # junk whole languages the langid heuristics explicitly support
     n = F.length(col)
-    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    punct = F.length(col) - F.length(
+        F.regexp_replace(col, r"[^\p{L}\p{N}_\s]", "")
+    )
     return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 
@@ -81,22 +86,33 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def predicted_lang(col: Column) -> Column:
-    """Marker-word language heuristic: argmax of per-language hit counts,
-    'und' when nothing matches. Pure JVM expressions."""
-    toks = tokens(F.lower(col))
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        # encode (hits, lang) as a sortable string so the argmax is a plain
-        # greatest() — deterministic tie-break = lexicographically max lang,
-        # and expressible identically in any SQL dialect (oracle parity)
-        scores.append(F.concat(F.format_string("%010d", hits), F.lit(lang)))
+def _argmax_lang(hits_by_lang: dict) -> Column:
+    """Deterministic argmax over per-language hit counts via the
+    sortable-string trick: encode (hits, lang) as '%010d'+lang so the
+    argmax is a plain greatest() — tie-break = lexicographically max
+    lang, expressible identically in any SQL dialect. 'und' when no
+    language scores a hit. ONE definition for all three langid forms."""
+    scores = [
+        F.concat(F.format_string("%010d", h), F.lit(lang))
+        for lang, h in hits_by_lang.items()
+    ]
     best = F.greatest(*scores)
     return F.when(
         F.substring(best, 1, 10).cast("int") > 0, F.substring(best, 11, 10)
     ).otherwise(F.lit("und"))
+
+
+def predicted_lang(col: Column) -> Column:
+    """Marker-word language heuristic: argmax of per-language hit counts,
+    'und' when nothing matches. Pure JVM expressions."""
+    toks = tokens(F.lower(col))
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        # NOTE: one-arg lambda only — F.filter treats a two-arg lambda
+        # (e.g. a default-arg capture) as the (element, index) form
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return _argmax_lang(hits)
 
 
 # tiny per-language character-trigram profiles (most frequent trigrams of
@@ -121,15 +137,12 @@ def predicted_lang_ngram(col: Column, n: int = 3) -> Column:
     (same sortable-string argmax trick as predicted_lang, so the
     tie-break is deterministic and SQL-restatable)."""
     grams = char_ngrams(col, n)
-    scores = []
-    for lang, profile in LANG_TRIGRAMS.items():
-        arr = F.array(*[F.lit(g) for g in profile])
-        hits = F.size(F.array_intersect(grams, arr))
-        scores.append(F.concat(F.format_string("%010d", hits), F.lit(lang)))
-    best = F.greatest(*scores)
-    return F.when(
-        F.substring(best, 1, 10).cast("int") > 0, F.substring(best, 11, 10)
-    ).otherwise(F.lit("und"))
+    return _argmax_lang({
+        lang: F.size(
+            F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
+        )
+        for lang, profile in LANG_TRIGRAMS.items()
+    })
 
 
 def langid_ngram_table(df: DataFrame, text_col: str = "text",
@@ -142,15 +155,12 @@ def langid_ngram_table(df: DataFrame, text_col: str = "text",
     grams = F.coalesce(
         F.col("grams"), F.array().cast("array<string>")
     )
-    scores = []
-    for lang, profile in LANG_TRIGRAMS.items():
-        arr = F.array(*[F.lit(g) for g in profile])
-        hits = F.size(F.array_intersect(grams, arr))
-        scores.append(F.concat(F.format_string("%010d", hits), F.lit(lang)))
-    best = F.greatest(*scores)
-    lang = F.when(
-        F.substring(best, 1, 10).cast("int") > 0, F.substring(best, 11, 10)
-    ).otherwise(F.lit("und"))
+    lang = _argmax_lang({
+        lg: F.size(
+            F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
+        )
+        for lg, profile in LANG_TRIGRAMS.items()
+    })
     return (
         df.select(F.col(id_col).alias("id"))
         .join(sets, "id", "left")
@@ -266,18 +276,22 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         .select(
             F.col("id"), "n_words", "top_bigram",
             F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            # least(1.0, ·): overlapping windows are counted (count ×
+            # gram length), so the raw quotient can exceed the stream
+            # length on degenerate repeats ('a a a a a'); the published
+            # Gopher metric is a character-coverage FRACTION, so cap at 1
             F.when(
                 F.col("_denom") > 0,
-                F.round(
-                    F.coalesce(
-                        F.col("top_bigram_count") * F.length("top_bigram"),
-                        F.lit(0),
-                    ) / F.col("_denom"), 6),
+                F.round(F.least(F.lit(1.0), F.coalesce(
+                    F.col("top_bigram_count") * F.length("top_bigram"),
+                    F.lit(0),
+                ) / F.col("_denom")), 6),
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
             F.when(
                 F.col("_denom") > 0,
-                F.round(F.coalesce("_dup_chars", F.lit(0)) / F.col("_denom"),
-                        6),
+                F.round(F.least(F.lit(1.0),
+                                F.coalesce("_dup_chars", F.lit(0))
+                                / F.col("_denom")), 6),
             ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
         )
     )

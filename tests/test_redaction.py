@@ -194,3 +194,101 @@ def test_redaction_order_email_before_url_class(spark):
     )
     out = df.select(redaction.redact(F.col("text")).alias("t")).toPandas()
     assert out["t"][0] == "ping <EMAIL> now"
+
+
+def test_pii_counts_match_emitted_tags(spark):
+    """Audit counts reflect what the redacted output CONTAINS: a phone
+    shape nested inside an email is consumed by the email pass, so
+    n_email=1 and n_phone=0 — never a claimed redaction that is not in
+    the output. An international '+' is consumed by the phone tag."""
+    import pandas as pd
+
+    from epstein_browser_spark import redaction
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["contact 555-123-4567@example.com today",
+                 "call +555-010-1234 now"],
+    })
+    out = (
+        redaction.pii_counts(spark.createDataFrame(pdf))
+        .toPandas().set_index("id")
+    )
+    assert out.loc[1, "n_email"] == 1 and out.loc[1, "n_phone"] == 0
+    assert out.loc[1, "n_pii"] == 1
+    assert "<EMAIL>" in out.loc[1, "redacted_text"]
+    assert out.loc[2, "n_phone"] == 1
+    assert out.loc[2, "redacted_text"] == "call <PHONE> now"
+
+
+def test_quality_rules_crlf_lines(spark):
+    """CRLF documents: \\r must not survive line splitting — blank '\\r'
+    lines inflated dup_line_frac past the keep gate and zeroed
+    terminal_punct_ratio."""
+    import pandas as pd
+
+    from epstein_browser_spark import redaction
+
+    text = ("the first paragraph sentence ends properly.\r\n\r\n"
+            "the second paragraph sentence also ends properly.\r\n\r\n"
+            "the third paragraph sentence likewise ends properly.\r\n")
+    out = (
+        redaction.quality_rule_flags(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1],
+                                                "text": [text]})))
+        .toPandas().iloc[0]
+    )
+    assert out["dup_line_frac"] == 0.0
+    assert out["terminal_punct_ratio"] == 1.0
+    assert bool(out["keep"])
+
+
+def test_url_domain_boundaries(spark):
+    """Sentence-terminating periods stay out of the domain; ports keep
+    their paths attached."""
+    import pandas as pd
+
+    from epstein_browser_spark import redaction
+
+    pdf = pd.DataFrame({
+        "doc_id": [1],
+        "text": ["visit https://example.com. then http://h.io:8080/x/y ok"],
+    })
+    out = redaction.url_domains(spark.createDataFrame(pdf)).toPandas()
+    got = dict(zip(out["domain"], out["url"]))
+    assert got["example.com"] == "https://example.com"
+    assert got["h.io"] == "http://h.io:8080/x/y"
+
+
+def test_punct_ratio_unicode_letters(spark):
+    """Non-ASCII letters are letters, not punctuation: Java's ASCII \\w
+    previously gave a clean French/Russian sentence a punct_ratio near
+    the junk band."""
+    import pandas as pd
+
+    from epstein_browser_spark.textstats import with_text_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["l'été au café était déjà très agréable cette année là",
+                 "обычное предложение на русском языке без пунктуации"],
+    })
+    out = with_text_stats(spark.createDataFrame(pdf)).toPandas()
+    assert (out["punct_ratio"] < 0.1).all()
+
+
+def test_repetition_fracs_bounded(spark):
+    """Degenerate repeats ('a a a a a') produce fractions capped at 1.0 —
+    overlapping-window counts otherwise exceed the stream length."""
+    import pandas as pd
+
+    from epstein_browser_spark.textstats import repetition_signals
+
+    out = (
+        repetition_signals(spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["a a a a a"]})))
+        .toPandas().iloc[0]
+    )
+    assert out["top_bigram"] == "a a"
+    assert out["top_bigram_frac"] == 1.0
+    assert out["dup_trigram_frac"] <= 1.0
