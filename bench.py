@@ -230,7 +230,10 @@ def run_layout(args) -> None:
     spark = _get_spark(args.cpus)
     ensure_corpus(spark, args.corpus, n)
     tr = spark.read.parquet(args.corpus)
-    pre_path = "/tmp/bench_prebucketed_v3.parquet"
+    # keyed by corpus size: a fixed path would silently reuse a stale
+    # prebucketed table after BENCH_EXTRACT_TURNS/--corpus changes while
+    # turns/sec is computed with the NEW turn count
+    pre_path = f"/tmp/bench_prebucketed_v3_{EXTRACT_TURNS}.parquet"
     if not os.path.exists(os.path.join(pre_path, "_SUCCESS")):
         # group rows by bucket before writing so each bucket is ONE file —
         # the compacted-Iceberg layout the experiment models. Writing from

@@ -484,7 +484,7 @@ SELECT doc_id,
        WHEN length(replace(replace(t, ' ', ''), '0', '')) = 0 THEN 0
        WHEN n < 20 AND nzero > n * 0.5 THEN 0
        WHEN n < 10 THEN 0
-       WHEN nwords > 3 AND nzw > nwords * 0.7 THEN 0
+       WHEN nwords > 3 AND CAST(nzw AS DOUBLE) / nwords > 0.7 THEN 0
        WHEN (n - n_nonbin) > n * 0.1 THEN 0
        WHEN nmean < 10 THEN 0 ELSE 100 END AS quality_score,
   CASE WHEN n = 0 THEN 'Empty or whitespace-only text'
@@ -493,7 +493,7 @@ SELECT doc_id,
        WHEN n < 20 AND nzero > n * 0.5
          THEN 'Too many zeros in short text (' || nzero || '/' || n || ' chars)'
        WHEN n < 10 THEN 'Too short (' || n || ' characters)'
-       WHEN nwords > 3 AND nzw > nwords * 0.7
+       WHEN nwords > 3 AND CAST(nzw AS DOUBLE) / nwords > 0.7
          THEN 'Too many zero patterns (' || nzw || '/' || nwords || ' words)'
        WHEN (n - n_nonbin) > n * 0.1
          THEN 'Too many binary/corrupted characters (' || (n - n_nonbin) || '/'
@@ -518,19 +518,19 @@ _Q17_SQL = """
 WITH v AS (SELECT doc_id, {variant} AS t FROM documents),
 m AS (SELECT doc_id, t,
              length(t) AS n,
-             len(regexp_extract_all(t, '[A-Za-z]')) AS nalpha,
+             len(regexp_extract_all(t, '[\\p{L}]')) AS nalpha,
              length(replace(t, ' ', '')) AS ntotal,
              coalesce(list_max(list_transform(
-                 list_distinct(regexp_extract_all(t, '[A-Za-z0-9]')),
+                 list_distinct(regexp_extract_all(t, '[\\p{L}\\p{N}]')),
                  c -> length(t) - length(replace(t, c, '')))), 0) AS maxrep,
              length(regexp_replace(t, '\\s', '', 'g')) AS nonws,
              len(list_filter(string_split_regex(trim(t), '\\s+'),
                              w -> w <> '')) AS nwords,
-             len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS nspecial
+             len(regexp_extract_all(t, '[^\\p{L}\\p{N}\\s]')) AS nspecial
       FROM v)
 SELECT doc_id,
   CASE WHEN length(trim(t)) < 10 THEN TRUE
-       WHEN ntotal > 0 AND nalpha < ntotal * 0.3 THEN TRUE
+       WHEN ntotal > 0 AND CAST(nalpha AS DOUBLE) / ntotal < 0.3 THEN TRUE
        WHEN maxrep > n * 0.4 THEN TRUE
        WHEN nwords > 0 AND nonws < nwords * 2.0 THEN TRUE
        WHEN regexp_matches(lower(t),
@@ -539,7 +539,7 @@ SELECT doc_id,
        WHEN n > 0 AND nspecial > n * 0.5 THEN TRUE
        ELSE FALSE END AS is_low_quality,
   CASE WHEN length(trim(t)) < 10 THEN 'text_too_short'
-       WHEN ntotal > 0 AND nalpha < ntotal * 0.3 THEN 'mostly_non_alphabetic'
+       WHEN ntotal > 0 AND CAST(nalpha AS DOUBLE) / ntotal < 0.3 THEN 'mostly_non_alphabetic'
        WHEN maxrep > n * 0.4 THEN 'excessive_character_repetition'
        WHEN nwords > 0 AND nonws < nwords * 2.0 THEN 'gibberish_short_words'
        WHEN regexp_matches(lower(t),

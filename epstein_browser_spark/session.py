@@ -21,8 +21,17 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # bracket forms: local[N], local[*], local[N,maxFailures],
+        # local-cluster[n,cores,mem] — the FIRST bracketed field is the
+        # thread/worker count; '*' means the machine's real core count
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("*", "") else int(n)
+        n = n.split(",")[0].strip()
+        if n == "*":
+            shuffle_partitions = os.cpu_count() or cpus
+        elif n.isdigit():
+            shuffle_partitions = int(n)
+        else:
+            shuffle_partitions = cpus
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
