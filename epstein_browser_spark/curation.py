@@ -99,6 +99,8 @@ def curate_documents(
     near_threshold: float = 0.7,
     scratch_dir: str | None = None,
     redact_pii: bool = False,
+    cap_metrics=None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """The curation transform (no I/O): extraction output → curated docs.
 
@@ -107,10 +109,15 @@ def curate_documents(
     Returns one row per KEPT turn with curation columns appended.
 
     ``redact_pii=True`` replaces email/SSN/IPv4/phone matches in
-    ``clean_text`` with tags and records the per-doc match count
-    (``n_pii``). Applied AFTER dedup so identity decisions (hashes,
-    shingles) are made on the original text; the redacted form is what
-    lands in the training table."""
+    ``clean_text`` with tags and records the per-doc EMITTED-tag count
+    (``n_pii`` — same audit contract as redaction.pii_counts). Applied
+    AFTER dedup so identity decisions (hashes, shingles) are made on the
+    original text; the redacted form is what lands in the training table.
+
+    ``cap_metrics`` (dedup.CapMetrics) observes what the near-dup
+    candidate caps dropped (over-cap LSH buckets, prefiltered pairs);
+    run_curation threads one through and writes the summary into the
+    curate-stage manifest."""
     exact_kept = _gated_exact_kept(extracted)
 
     # near-dup keep policy: banded MinHash candidates → exact-jaccard
@@ -118,6 +125,7 @@ def curate_documents(
     pairs = minhash_dedup_pairs(
         exact_kept, text_col="clean_text", id_col="doc_uid",
         threshold=near_threshold, scratch_dir=scratch_dir,
+        cap_metrics=cap_metrics, max_bucket=max_bucket,
     )
     clusters = dedup_clusters(exact_kept, pairs, id_col="doc_uid")
     canonical = exact_kept.join(
@@ -176,13 +184,20 @@ def _annotate(canonical: DataFrame, redact_pii: bool) -> DataFrame:
     if redact_pii:
         from epstein_browser_spark import redaction
 
-        n_pii = None
-        for _name, pat, _tag in redaction.REDACTIONS:
-            c = F.regexp_count("clean_text", F.lit(pat))
-            n_pii = c if n_pii is None else n_pii + c
-        out = out.withColumn("n_pii", n_pii).withColumn(
+        # n_pii audits what was EMITTED (tag count in the redacted output),
+        # the same contract as redaction.pii_counts: redaction is
+        # sequential and patterns nest (a phone-shaped local part inside
+        # an email matches both raw patterns but emits one tag), so
+        # counting raw-pattern matches against the original text would
+        # claim redactions that are not in the output
+        out = out.withColumn(
             "clean_text", redaction.redact(F.col("clean_text"))
         )
+        n_pii = None
+        for _name, _pat, tag in redaction.REDACTIONS:
+            c = F.regexp_count("clean_text", F.lit(tag))
+            n_pii = c if n_pii is None else n_pii + c
+        out = out.withColumn("n_pii", n_pii)
     return out
 
 
@@ -197,6 +212,7 @@ def run_curation(
     redact_pii: bool = False,
     resume: bool = True,
     input_snapshot: str = "unversioned",
+    max_bucket: int = 200,
 ) -> dict:
     """Run (or resume) the full curation job; returns run metrics.
 
@@ -231,13 +247,17 @@ def run_curation(
         metrics["elapsed_sec"] = time.time() - t0
         return metrics
 
+    from epstein_browser_spark.dedup import CapMetrics
+
     stage_sec = {}
+    caps = CapMetrics()
     t1 = time.time()
     extracted = spark.read.parquet(f"{out_dir}/extract/data")
     curated = curate_documents(
         extracted, near_threshold=near_threshold,
         scratch_dir=f"{out_dir}/_scratch/minhash",
         redact_pii=redact_pii,
+        cap_metrics=caps, max_bucket=max_bucket,
     ).drop("bucket")
     # curate_documents runs the near-dup pairs + connected components
     # eagerly (CC is an iterative collect loop); everything after is lazy
@@ -246,10 +266,9 @@ def run_curation(
     # persist the LSH band index of the scratch features: future
     # incremental batches probe it as a pband-pruned scan instead of
     # re-banding every stored signature (run_curation_increment)
-    _write_band_index(
-        spark.read.parquet(f"{out_dir}/_scratch/minhash"), out_dir,
-        snap="base",
-    )
+    base_feats = _read_optional(spark, f"{out_dir}/_scratch/minhash")
+    if base_feats is not None:  # None: gate kept zero docs, no features
+        _write_band_index(base_feats, out_dir, snap="base")
     stage_sec["band_index"] = round(time.time() - t1, 3)
     t1 = time.time()
     # one materialization feeds the write AND the manifest aggregates —
@@ -257,8 +276,12 @@ def run_curation(
     curated = curated.localCheckpoint(eager=True)
     stage_sec["gate_stats_materialize"] = round(time.time() - t1, 3)
     t1 = time.time()
-    fsutil.write_partition_overwrite(curated, f"{out_dir}/curated",
-                                     partition_col="split")
+    if not curated.isEmpty():
+        fsutil.write_partition_overwrite(curated, f"{out_dir}/curated",
+                                         partition_col="split")
+    # zero survivors: no write — a parquet dir holding only _SUCCESS
+    # breaks schema inference on read-back (the same crash mode the
+    # increment path guards); read_curated tolerates the missing dir
 
     # per-split manifests: bounded aggregates (3 splits × |langs|)
     split_stats = (
@@ -308,7 +331,10 @@ def run_curation(
     metrics["curate"] = _mark_stage(
         spark, out_dir, "curate", input_snapshot,
         {"n_docs": n_curated, "splits": split_counts,
-         "stage_sec": stage_sec},
+         "stage_sec": stage_sec,
+         # what the bounded-candidate caps dropped (no silent truncation):
+         # the near-dup pipeline executed above, so the observations exist
+         "cap_metrics": caps.summary()},
     )
     metrics["elapsed_sec"] = time.time() - t0
     return metrics
@@ -365,17 +391,36 @@ def _existing_bands(spark: SparkSession, out_dir: str, exclude_snap: str,
     )
 
 
+def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
+    """A parquet tree, or None when it doesn't exist / holds no data
+    files (a run whose gate kept zero docs writes nothing — see
+    run_curation's empty guard)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
     """The full curated table: the base run's ``curated/`` plus every
     incremental batch under ``curated_incr/snap=*/``. Readers use this —
     the increments are kept in a sibling partition tree so the base
     table's partition discovery never sees mixed depths, and each
     increment stays an independently re-writable (idempotent) unit."""
-    base = spark.read.parquet(f"{out_dir}/curated")
-    try:
-        incr = spark.read.parquet(f"{out_dir}/{CURATED_INCR}").drop("snap")
-    except Exception:  # no increments yet
+    base = _read_optional(spark, f"{out_dir}/curated")
+    incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
+    if base is None and incr is None:
+        raise FileNotFoundError(
+            f"no curated output under {out_dir} (neither curated/ nor "
+            f"{CURATED_INCR}/ is readable — run run_curation first; a base "
+            "run that kept zero docs plus zero increments has no rows to "
+            "read)"
+        )
+    if incr is None:
         return base
+    incr = incr.drop("snap")
+    if base is None:  # empty base run, data arrived via increments
+        return incr
     # allowMissingColumns: audit columns can differ per run (e.g. a base
     # built with redact_pii and an increment without, or vice versa) —
     # absent columns read as null instead of making the corpus unreadable
@@ -383,31 +428,35 @@ def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _existing_curated(spark: SparkSession, out_dir: str,
-                      exclude_snap: str) -> DataFrame:
+                      exclude_snap: str) -> DataFrame | None:
     """read_curated minus the named snapshot's partitions — what an
     increment run anti-joins against (its own possibly-half-committed
-    prior attempt must not count as 'existing')."""
-    base = spark.read.parquet(f"{out_dir}/curated")
-    try:
-        incr = spark.read.parquet(f"{out_dir}/{CURATED_INCR}").filter(
-            F.col("snap") != exclude_snap
-        ).drop("snap")
-    except Exception:
+    prior attempt must not count as 'existing'). None when nothing has
+    been curated yet (empty base run, no prior increments)."""
+    base = _read_optional(spark, f"{out_dir}/curated")
+    incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
+    if incr is not None:
+        incr = incr.filter(F.col("snap") != exclude_snap).drop("snap")
+    if base is None:
+        return incr
+    if incr is None:
         return base
     return base.unionByName(incr, allowMissingColumns=True)
 
 
 def _existing_features(spark: SparkSession, out_dir: str,
-                       exclude_snap: str) -> DataFrame:
+                       exclude_snap: str) -> DataFrame | None:
     """The corpus near-dup index: the base scratch table plus prior
     increments' (id, sig, grams) rows — the current snapshot's partition
-    is excluded so a retried run never probes against itself."""
-    feats = spark.read.parquet(f"{out_dir}/_scratch/minhash")
-    try:
-        incr = spark.read.parquet(f"{out_dir}/{SCRATCH_INCR}").filter(
-            F.col("snap") != exclude_snap
-        ).drop("snap")
-    except Exception:
+    is excluded so a retried run never probes against itself. None when
+    no features exist yet (empty base run, no prior increments)."""
+    feats = _read_optional(spark, f"{out_dir}/_scratch/minhash")
+    incr = _read_optional(spark, f"{out_dir}/{SCRATCH_INCR}")
+    if incr is not None:
+        incr = incr.filter(F.col("snap") != exclude_snap).drop("snap")
+    if feats is None:
+        return incr
+    if incr is None:
         return feats
     return feats.unionByName(incr.select(feats.columns))
 
@@ -483,13 +532,17 @@ def run_curation_increment(
     # curated_incr write but before its stage marker must not anti-join
     # against its own half-committed output (it would record 0 docs).
     existing = _existing_curated(spark, out_dir, exclude_snap=snapshot)
-    new0 = new0.join(
-        existing.select("content_hash"), "content_hash", "left_anti"
-    )
+    if existing is not None:
+        new0 = new0.join(
+            existing.select("content_hash"), "content_hash", "left_anti"
+        )
     old_feats = _existing_features(spark, out_dir, exclude_snap=snapshot)
-    new0 = new0.join(
-        old_feats.select(F.col("id").alias("doc_uid")), "doc_uid", "left_anti"
-    ).localCheckpoint(eager=True)
+    if old_feats is not None:
+        new0 = new0.join(
+            old_feats.select(F.col("id").alias("doc_uid")),
+            "doc_uid", "left_anti",
+        )
+    new0 = new0.localCheckpoint(eager=True)
 
     if new0.isEmpty():
         # an entirely-redelivered batch (every doc already curated):
@@ -517,32 +570,41 @@ def run_curation_increment(
     # exists (pruned to the probe's pband partitions — O(probed buckets)
     # instead of re-banding every stored signature); first runs against a
     # pre-index output fall back to banding the feature table.
-    from epstein_browser_spark.dedup import band_index
+    from epstein_browser_spark.dedup import CapMetrics, band_index
 
+    caps = CapMetrics()
     probe_bands = band_index(new_feats.select("id", "sig")).localCheckpoint(
         eager=True
     )
-    corpus_bands = _existing_bands(spark, out_dir, snapshot, probe_bands)
-    vs_old = minhash_candidates_between(
-        probe_bands=probe_bands,  # banded ONCE — reused for pbands + join
-        corpus_sigs=(None if corpus_bands is not None
-                     else old_feats.select("id", "sig")),
-        corpus_bands=corpus_bands,
-    )
-    all_feats = new_feats.unionByName(old_feats)
-    dup_of_old = verify_pairs(
-        vs_old, all_feats, near_threshold, n_perms=32,
-        a_col="id_probe", b_col="id_corpus",
-    ).select(F.col("id_probe").alias("doc_uid")).distinct()
-    survivors = new0.join(dup_of_old, "doc_uid", "left_anti")
+    if old_feats is None:
+        # nothing curated yet (empty base run): no corpus to probe —
+        # the increment only dedups within itself below
+        survivors = new0
+    else:
+        corpus_bands = _existing_bands(spark, out_dir, snapshot, probe_bands)
+        vs_old = minhash_candidates_between(
+            probe_bands=probe_bands,  # banded ONCE — reused for pbands + join
+            corpus_sigs=(None if corpus_bands is not None
+                         else old_feats.select("id", "sig")),
+            corpus_bands=corpus_bands,
+            cap_metrics=caps,
+        )
+        all_feats = new_feats.unionByName(old_feats)
+        dup_of_old = verify_pairs(
+            vs_old, all_feats, near_threshold, n_perms=32,
+            a_col="id_probe", b_col="id_corpus",
+            cap_metrics=caps,
+        ).select(F.col("id_probe").alias("doc_uid")).distinct()
+        survivors = new0.join(dup_of_old, "doc_uid", "left_anti")
 
     # within-increment near-dup keep policy (the batch path, small input)
     surv_feats = new_feats.join(
         survivors.select(F.col("doc_uid").alias("id")), "id", "left_semi"
     )
     within = verify_pairs(
-        minhash_lsh_candidates(surv_feats.select("id", "sig"), n_bands=8),
-        surv_feats, near_threshold, n_perms=32,
+        minhash_lsh_candidates(surv_feats.select("id", "sig"), n_bands=8,
+                               n_perms=32, cap_metrics=caps),
+        surv_feats, near_threshold, n_perms=32, cap_metrics=caps,
     )
     clusters = dedup_clusters(survivors, within, id_col="doc_uid")
     canonical = survivors.join(
@@ -578,7 +640,8 @@ def run_curation_increment(
 
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
-                           "splits": split_counts})
+                           "splits": split_counts,
+                           "cap_metrics": caps.summary()})
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
 

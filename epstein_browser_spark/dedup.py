@@ -20,10 +20,101 @@ handles hot buckets (e.g. boilerplate-identical docs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from epstein_browser_spark.textstats import exploded_shingles, shingle_sets
+
+
+class CapMetrics:
+    """Observed counters for the bounded-candidate caps (``max_bucket``,
+    ``max_block``, the verify prefilter): what each cap DROPPED, surfaced
+    instead of silently truncated.
+
+    The caps exist so candidate generation stays O(corpus) when a
+    near-universal shingle or boilerplate text creates a mega-bucket —
+    but a dedup run that skipped those buckets must SAY so: on a
+    boilerplate-heavy corpus the dropped buckets are exactly where the
+    duplicates are. Each capped operator accepts ``cap_metrics=`` and, via
+    :meth:`attach`, rides a ``df.observe`` (CollectMetrics) node on the
+    pre-filter frame — executor-side aggregates piggybacking the existing
+    job, no extra pass, no plan change. After the pipeline's action has
+    run (the observe blocks until then), :meth:`collected` returns per-
+    attachment counts and :meth:`summary` rolls them up per cap kind —
+    curation writes the summary into its stage manifests and bench.py
+    prints it.
+
+    An Observation yields the FIRST completed execution's values; every
+    instance of the node computes identical aggregates (deterministic
+    input), so self-joins over the observed frame and re-executed
+    branches are safe.
+    """
+
+    def __init__(self) -> None:
+        self._slots: list[tuple[str, object, list[str]]] = []
+
+    def attach(self, df: DataFrame, kind: str, dropped: Column,
+               group_size: Column | None = None) -> DataFrame:
+        """Observe drop counters on ``df`` (pre-filter): rows dropped,
+        rows seen, and — when ``group_size`` gives the row's
+        bucket/block size — the number of distinct dropped groups
+        (each dropped group of size n contributes n × 1/n = 1 to the
+        reciprocal sum, so the count is exact without a distinct)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        exprs = [
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("rows_dropped"),
+            F.count(F.lit(1)).alias("rows_seen"),
+        ]
+        if group_size is not None:
+            exprs.append(
+                F.round(
+                    F.sum(F.when(dropped, F.lit(1.0) / group_size)
+                          .otherwise(F.lit(0.0)))
+                ).cast("long").alias("groups_dropped")
+            )
+        self._slots.append((kind, obs, df, exprs))
+        return df.observe(obs, *exprs)
+
+    @staticmethod
+    def _values(obs, df: DataFrame, exprs: list) -> dict:
+        # When the post-cap result is provably/adaptively empty, the
+        # optimizer (PropagateEmptyRelation; AQE's runtime variant after
+        # an empty shuffle stage) deletes the whole subtree INCLUDING the
+        # CollectMetrics node, and the observation completes with a
+        # schema-less empty row (on which Observation.get's toPyRow
+        # asserts). That is exactly the everything-was-dropped case the
+        # metrics exist for — fall back to one explicit aggregate over
+        # the retained pre-filter frame (a single extra job, only in the
+        # degenerate path). getRow() still blocks until the observed
+        # dataset's first action, so call after the pipeline has run.
+        jrow = obs._jo.getRow()
+        if jrow.size() == 0:
+            row = df.agg(*exprs).collect()[0]
+            return {k: (int(v) if v is not None else 0)
+                    for k, v in row.asDict().items()}
+        return {k: (int(v) if v is not None else 0)
+                for k, v in obs.get.items()}
+
+    def collected(self) -> dict[str, dict]:
+        """{kind#i: counters} for every attachment, in attach order.
+        Call AFTER the observed pipeline has executed an action —
+        retrieval blocks until the metrics exist."""
+        out: dict[str, dict] = {}
+        for i, (kind, obs, df, exprs) in enumerate(self._slots):
+            out[f"{kind}#{i}"] = self._values(obs, df, exprs)
+        return out
+
+    def summary(self) -> dict[str, dict]:
+        """Counters summed per cap kind — the manifest/bench form."""
+        agg: dict[str, dict] = {}
+        for name, vals in self.collected().items():
+            kind = name.split("#", 1)[0]
+            slot = agg.setdefault(kind, {})
+            for k, v in vals.items():
+                slot[k] = slot.get(k, 0) + v
+        return agg
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -45,6 +136,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col=None,
     max_block: int = 1000,
+    cap_metrics: CapMetrics | None = None,
 ) -> DataFrame:
     """Exact Jaccard over char n-gram sets for candidate pairs.
 
@@ -55,8 +147,9 @@ def ngram_jaccard_pairs(
     ``max_block`` caps block size (same window-count pattern as the
     minhash path's ``max_bucket``): a corpus-common leading shingle would
     otherwise create one giant block and an O(n²) pair blow-up. Docs in
-    over-cap blocks are dropped from candidate generation — at scale, log
-    the dropped count and route those docs to the minhash path.
+    over-cap blocks are dropped from candidate generation — pass
+    ``cap_metrics`` (:class:`CapMetrics`) to surface the dropped
+    doc/block counts and route those docs to the minhash path.
     """
     g = shingle_sets(df, text_col, id_col, n).withColumnRenamed("grams", "_grams")
     block = block_col if block_col is not None else F.element_at(
@@ -64,11 +157,13 @@ def ngram_jaccard_pairs(
     )
     g = g.withColumn("_block", block)
     bw = Window.partitionBy("_block")
-    g = (
-        g.withColumn("_block_n", F.count("*").over(bw))
-        .filter(F.col("_block_n") <= max_block)
-        .drop("_block_n")
-    )
+    g = g.withColumn("_block_n", F.count("*").over(bw))
+    if cap_metrics is not None:
+        g = cap_metrics.attach(
+            g, "jaccard_block_cap",
+            F.col("_block_n") > max_block, F.col("_block_n"),
+        )
+    g = g.filter(F.col("_block_n") <= max_block).drop("_block_n")
     a = g.select(F.col("id").alias("id_a"), F.col("_grams").alias("_ga"),
                  F.col("_block").alias("_b"))
     b = g.select(F.col("id").alias("id_b"), F.col("_grams").alias("_gb"),
@@ -113,8 +208,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def _check_band_split(n_perms: int, n_bands: int) -> None:
+    """Banding slices the signature into n_bands equal windows of
+    n_perms // n_bands values; a non-divisible split would silently drop
+    the trailing n_perms % n_bands signature values from every band —
+    weaker LSH recall with no signal (same validate-early precedent as
+    similarity._check_pq_dims)."""
+    if n_perms % n_bands != 0:
+        raise ValueError(
+            f"n_perms={n_perms} is not divisible by n_bands={n_bands}: "
+            f"the trailing {n_perms % n_bands} signature values would be "
+            "ignored by every band, silently weakening LSH recall"
+        )
+
+
 def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
-                           max_bucket: int = 200) -> DataFrame:
+                           max_bucket: int = 200,
+                           n_perms: int | None = None,
+                           cap_metrics: CapMetrics | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band hash become candidate pairs.
 
     Shuffle profile: explode to |docs|×n_bands rows, one shuffle on
@@ -126,10 +237,15 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
     keep bucket sizes bounded on vocabulary-similar corpora. ``max_bucket``
     is a hard cap: buckets larger than it are dropped from candidate
     generation (they are near-universal shingle buckets that would create
-    O(n²) pairs; a real run should log the dropped-bucket count from the
-    returned plan's metrics).
+    O(n²) pairs; pass ``cap_metrics`` in the calling pipeline to surface
+    the dropped counts — see :class:`CapMetrics`).
+
+    ``n_perms``, when the caller knows it, validates the band split
+    (:func:`_check_band_split`).
     """
-    banded = _banded(sigs, n_bands, max_bucket)
+    if n_perms is not None:
+        _check_band_split(n_perms, n_bands)
+    banded = _banded(sigs, n_bands, max_bucket, cap_metrics)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -141,7 +257,8 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
 
 
 def _banded(sigs: DataFrame, n_bands: int,
-            max_bucket: int | None = None) -> DataFrame:
+            max_bucket: int | None = None,
+            cap_metrics: CapMetrics | None = None) -> DataFrame:
     """(id, band, band_hash) — one row per signature band. When
     ``max_bucket`` is given, mega-buckets are dropped via a window count —
     the same (band, band_hash) shuffle key as any downstream bucket join,
@@ -170,18 +287,21 @@ def _banded(sigs: DataFrame, n_bands: int,
     )
     if max_bucket is not None:
         bw = Window.partitionBy("band", "band_hash")
-        banded = (
-            banded.withColumn("_bucket_n", F.count("*").over(bw))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
+        banded = banded.withColumn("_bucket_n", F.count("*").over(bw))
+        if cap_metrics is not None:
+            banded = cap_metrics.attach(
+                banded, "lsh_bucket_cap",
+                F.col("_bucket_n") > max_bucket, F.col("_bucket_n"),
+            )
+        banded = banded.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
     return banded
 
 
 N_BAND_PARTITIONS = 64
 
 
-def band_index(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+def band_index(sigs: DataFrame, n_bands: int = 8,
+               n_perms: int | None = None) -> DataFrame:
     """The storable form of the corpus's LSH buckets: UNCAPPED
     (id, band, band_hash, pband) rows, where ``pband`` =
     pmod(band_hash, N_BAND_PARTITIONS) is the physical partition key.
@@ -191,7 +311,9 @@ def band_index(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
     scans O(probed buckets), not O(corpus). The bucket CAP is not baked
     in — it is applied at probe time over current bucket membership, so
     buckets that grow past the cap through later increments are still
-    dropped."""
+    dropped. ``n_perms``, when known, validates the band split."""
+    if n_perms is not None:
+        _check_band_split(n_perms, n_bands)
     return _banded(sigs, n_bands).withColumn(
         "pband", F.pmod("band_hash", F.lit(N_BAND_PARTITIONS)).cast("int")
     )
@@ -202,7 +324,8 @@ def minhash_candidates_between(probe_sigs: DataFrame | None = None,
                                n_bands: int = 8,
                                max_bucket: int = 200,
                                corpus_bands: DataFrame | None = None,
-                               probe_bands: DataFrame | None = None
+                               probe_bands: DataFrame | None = None,
+                               cap_metrics: CapMetrics | None = None
                                ) -> DataFrame:
     """Asymmetric banded LSH: (id_probe, id_corpus) candidate pairs between
     a (small) probe set and the full corpus — the incremental-ingest shape:
@@ -234,11 +357,13 @@ def minhash_candidates_between(probe_sigs: DataFrame | None = None,
         p.withColumn("_probe", F.lit(1))
     )
     bw = Window.partitionBy("band", "band_hash")
-    u = (
-        u.withColumn("_bucket_n", F.count("*").over(bw))
-        .filter(F.col("_bucket_n") <= max_bucket)
-        .drop("_bucket_n")
-    )
+    u = u.withColumn("_bucket_n", F.count("*").over(bw))
+    if cap_metrics is not None:
+        u = cap_metrics.attach(
+            u, "probe_bucket_cap",
+            F.col("_bucket_n") > max_bucket, F.col("_bucket_n"),
+        )
+    u = u.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
     pp = u.filter("_probe = 1").select(
         F.col("id").alias("id_probe"), "band", "band_hash"
     )
@@ -255,11 +380,14 @@ def minhash_candidates_between(probe_sigs: DataFrame | None = None,
 
 def verify_pairs(cands: DataFrame, features: DataFrame, threshold: float,
                  n_perms: int, prefilter_margin: float = 0.3,
-                 a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+                 a_col: str = "id_a", b_col: str = "id_b",
+                 cap_metrics: CapMetrics | None = None) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against a
     (id, sig, grams) feature table: signature-agreement prefilter first
     (see minhash_dedup_pairs), gram-set jaccard on the survivors. Returns
-    (a_col, b_col, jaccard) for pairs at/above ``threshold``."""
+    (a_col, b_col, jaccard) for pairs at/above ``threshold``.
+    ``cap_metrics`` observes how many candidate pairs the prefilter
+    discarded before exact verification."""
     sigs = features.select("id", "sig")
     if prefilter_margin < 1:
         sa = sigs.select(F.col("id").alias(a_col), F.col("sig").alias("_sa"))
@@ -269,9 +397,14 @@ def verify_pairs(cands: DataFrame, features: DataFrame, threshold: float,
             F.lit(0),
             lambda acc, v: acc + v,
         ) / F.lit(float(n_perms))
+        scored = cands.join(sa, a_col).join(sb, b_col).withColumn("_est", est)
+        if cap_metrics is not None:
+            scored = cap_metrics.attach(
+                scored, "verify_prefilter",
+                F.col("_est") < F.lit(threshold - prefilter_margin),
+            )
         cands = (
-            cands.join(sa, a_col).join(sb, b_col)
-            .filter(est >= F.lit(threshold - prefilter_margin))
+            scored.filter(F.col("_est") >= F.lit(threshold - prefilter_margin))
             .select(a_col, b_col)
         )
     grams = features.select("id", "grams")
@@ -296,6 +429,8 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     scratch_dir: str | None = None,
     prefilter_margin: float = 0.3,
+    cap_metrics: CapMetrics | None = None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Full near-dup path: MinHash → LSH candidates → sig prefilter →
     exact-Jaccard verify.
@@ -345,15 +480,25 @@ def minhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
+    _check_band_split(n_perms, n_bands)
     combined = minhash_features(df, text_col, id_col, n_perms, shingle)
     if scratch_dir is not None:
         combined.write.mode("overwrite").parquet(scratch_dir)
-        combined = df.sparkSession.read.parquet(scratch_dir)
+        try:
+            combined = df.sparkSession.read.parquet(scratch_dir)
+        except Exception:
+            # a zero-row input writes no part files (just _SUCCESS) and
+            # the read-back fails schema inference: keep the (empty)
+            # in-memory plan — there is nothing to scan anyway
+            pass
     else:
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         combined.count()  # materialize BEFORE the joins fan out (see above)
-    cands = minhash_lsh_candidates(combined.select("id", "sig"), n_bands)
-    return verify_pairs(cands, combined, threshold, n_perms, prefilter_margin)
+    cands = minhash_lsh_candidates(combined.select("id", "sig"), n_bands,
+                                   max_bucket=max_bucket,
+                                   cap_metrics=cap_metrics)
+    return verify_pairs(cands, combined, threshold, n_perms, prefilter_margin,
+                        cap_metrics=cap_metrics)
 
 
 def minhash_features(df: DataFrame, text_col: str = "text",
@@ -406,6 +551,7 @@ def minhash_dedup_pairs_md5(
     The xxhash64 variant stays the production scale path (md5 costs ~10×
     per shingle-perm); this one exists so the banding/cap/verify SEMANTICS
     carry a full value oracle, not just rows-only checks."""
+    _check_band_split(n_perms, n_bands)
     ex = exploded_shingles(df, text_col, id_col, shingle)
     aggs = [
         F.min(F.md5(F.concat(F.col("_sh"), F.lit(f":{i}")))).alias(f"_h{i}")

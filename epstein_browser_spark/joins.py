@@ -24,7 +24,7 @@ Query-surface instances with DuckDB value oracles: q62 (as-of) and q63
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -114,20 +114,43 @@ def range_join_binned(
     before the bin explode, which also guards Spark's descending
     ``sequence(hi, lo)`` surprise. Point/interval column names must be
     disjoint apart from ``on``.
+
+    Bins are true FLOOR divisions over epoch MICROseconds — not
+    ``unix_timestamp`` (which drops fractional seconds) and not
+    ``cast('long')`` (which truncates toward zero): either would misbin a
+    point in an interval's last partial second, or any pre-1970
+    timestamp, outside the interval's exploded bins and silently lose the
+    match even though it passes the exact post-filter.
     """
+
+    def _floor_bin(us_col: str) -> Column:
+        # exact floor division on longs: subtracting the (always
+        # non-negative) pmod makes the numerator exactly divisible, so
+        # integer `div` is the floor for negative epochs too
+        d = bin_seconds * 1_000_000
+        return F.expr(f"({us_col} - pmod({us_col}, {d})) div {d}")
+
+    def _micros(c: str) -> Column:
+        # unix_micros requires TIMESTAMP; the cast is a no-op there and
+        # maps TIMESTAMP_NTZ wall times through the session zone — the
+        # SAME monotone mapping on both sides, so bin membership is
+        # preserved and the exact post-filter still runs on the raw cols
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     iv = intervals.filter(F.col(end_col) > F.col(start_col))
-    bins = iv.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                (F.unix_timestamp(start_col) / bin_seconds).cast("long"),
-                ((F.unix_timestamp(end_col) - 1) / bin_seconds).cast("long"),
-            )
-        ),
+    bins = (
+        iv.withColumn("_s_us", _micros(start_col))
+        # end-exclusive: the last covered micro is end-1
+        .withColumn("_e_us", _micros(end_col) - 1)
+        .withColumn(
+            "_bin",
+            F.explode(F.sequence(_floor_bin("_s_us"), _floor_bin("_e_us"))),
+        )
+        .drop("_s_us", "_e_us")
     )
     pts = points.withColumn(
-        "_bin", (F.unix_timestamp(ts_col) / bin_seconds).cast("long")
-    )
+        "_t_us", _micros(ts_col)
+    ).withColumn("_bin", _floor_bin("_t_us")).drop("_t_us")
     return (
         bins.join(pts, [*on, "_bin"])
         .filter(

@@ -78,6 +78,10 @@ def extract_pdf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         sub = pd.concat(
             [sub, assess_batch(sub["clean_text"])], axis=1
         ).set_index(raw.index)
+        # `attempts` counts retries ATTEMPTED, not retries that improved
+        # the row: a row still failed after attempt 3 is stamped 3 even
+        # though nothing changed — the reference counts attempts the same
+        # way, and no downstream logic keys off success-vs-attempt
         attempts[failed] = attempt
         ok = sub[sub["quality_score"] > 0]
         if len(ok):
