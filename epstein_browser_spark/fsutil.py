@@ -65,6 +65,15 @@ def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
     return bool(fs.delete(path, recursive))
 
 
+def rename(spark: SparkSession, src_str: str, dst_str: str) -> bool:
+    """Directory/file rename through the Hadoop FS (a metadata op on
+    posix/HDFS; object stores emulate with copies). Returns False when
+    the filesystem refuses (e.g. destination exists)."""
+    fs, src, jvm = _fs_path(spark, src_str)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_str)
+    return bool(fs.rename(src, dst))
+
+
 def list_names(spark: SparkSession, dir_str: str) -> list[str]:
     """Basenames of a directory's children; [] when the dir is absent."""
     fs, path, _ = _fs_path(spark, dir_str)

@@ -1,0 +1,125 @@
+"""promote_increments: folding incremental snapshots into the base tables
+(VERDICT r3 item 2). Pins (1) reader equality across the fold, (2) probe
+parity — a future increment makes IDENTICAL dedup decisions against the
+promoted corpus and the unpromoted snapshot tree, (3) the snapshot unions
+collapse (one features table, snap=base-only band index, no stage
+markers), (4) idempotence."""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epstein_browser_spark import curation, fsutil
+from epstein_browser_spark.synth import make_transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def promoted_dirs(spark, tmp_path_factory):
+    """Two identical curation outputs (base + one increment); one is then
+    promoted. Returns (promoted_dir, unpromoted_dir, incr2_sdf)."""
+    root = tmp_path_factory.mktemp("promote")
+    pdf = make_transcripts_pdf(n_convs=30, hot_conv_turns=60)
+    n = len(pdf)
+    base_pdf = pdf.iloc[: n // 2]
+    incr1_pdf = pdf.iloc[n // 2: 3 * n // 4].copy()
+    incr2_pdf = pdf.iloc[3 * n // 4:].copy()
+
+    out = str(root / "a")
+    curation.run_curation(spark, spark.createDataFrame(base_pdf), out,
+                          n_buckets=4, input_snapshot="s0")
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(incr1_pdf), out, snapshot="b1",
+        n_buckets=4,
+    )
+    # bit-identical clone BEFORE promotion
+    out2 = str(root / "b")
+    shutil.copytree(out, out2)
+    return out, out2, spark.createDataFrame(incr2_pdf)
+
+
+def test_promote_preserves_readers_and_collapses_trees(spark, promoted_dirs):
+    out, _out2, _ = promoted_dirs
+    before = (
+        curation.read_curated(spark, out)
+        .orderBy("doc_uid").toPandas().reset_index(drop=True)
+    )
+    feats_before = sorted(
+        r["id"] for r in curation._existing_features(
+            spark, out, exclude_snap="x").select("id").collect()
+    )
+    m = curation.promote_increments(spark, out)
+    assert m["promoted_snaps"] == ["b1"]
+    assert m["docs_folded"] > 0
+
+    after = (
+        curation.read_curated(spark, out)
+        .orderBy("doc_uid").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        before.reindex(sorted(before.columns), axis=1),
+        after.reindex(sorted(after.columns), axis=1),
+    )
+
+    # the K-snapshot unions collapsed to single tables
+    assert not fsutil.exists(spark, f"{out}/{curation.CURATED_INCR}/snap=b1")
+    assert not fsutil.exists(spark, f"{out}/{curation.SCRATCH_INCR}/snap=b1")
+    assert fsutil.list_names(
+        spark, f"{out}/{curation.BANDS_DIR}"
+    ) and all(
+        n == "snap=base" or not n.startswith("snap=")
+        for n in fsutil.list_names(spark, f"{out}/{curation.BANDS_DIR}")
+    )
+    # ... preserving the feature index contents
+    feats_after = sorted(
+        r["id"] for r in curation._existing_features(
+            spark, out, exclude_snap="x").select("id").collect()
+    )
+    assert feats_after == feats_before
+    # the folded snapshot's stage marker is gone (a re-sent b1 would
+    # otherwise be skipped as already-complete)
+    assert not fsutil.exists(spark, f"{out}/_stages/incr-b1.json")
+
+    # idempotent: nothing left to promote
+    m2 = curation.promote_increments(spark, out)
+    assert m2["promoted_snaps"] == []
+
+
+def test_promote_probe_parity_for_future_increments(spark, promoted_dirs):
+    """The SAME new batch curated against the promoted corpus and the
+    unpromoted snapshot tree keeps exactly the same documents."""
+    out, out2, incr2 = promoted_dirs  # `out` was promoted by the test above
+    curation.promote_increments(spark, out)  # no-op if already promoted
+    m_a = curation.run_curation_increment(spark, incr2, out,
+                                          snapshot="b2", n_buckets=4)
+    m_b = curation.run_curation_increment(spark, incr2, out2,
+                                          snapshot="b2", n_buckets=4)
+    assert m_a["curate"]["n_docs"] == m_b["curate"]["n_docs"]
+    kept_a = sorted(r["doc_uid"] for r in spark.read.parquet(
+        f"{out}/{curation.CURATED_INCR}").select("doc_uid").collect())
+    kept_b = sorted(r["doc_uid"] for r in spark.read.parquet(
+        f"{out2}/{curation.CURATED_INCR}").filter(
+        F.col("snap") == "b2").select("doc_uid").collect())
+    assert kept_a == kept_b and len(kept_a) > 0
+
+
+def test_promote_crash_recovery(spark, tmp_path):
+    """A promote that died after renaming the live tree aside recovers on
+    the next call instead of losing the base table."""
+    out = str(tmp_path / "crash")
+    pdf = make_transcripts_pdf(n_convs=8, hot_conv_turns=30)
+    half = len(pdf) // 2
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:half]), out,
+                          n_buckets=2, input_snapshot="s0")
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf.iloc[half:]), out, snapshot="b1",
+        n_buckets=2,
+    )
+    before = curation.read_curated(spark, out).count()
+    # simulate the worst crash window: live renamed aside, new not installed
+    assert fsutil.rename(spark, f"{out}/curated", f"{out}/curated__old")
+    m = curation.promote_increments(spark, out)
+    assert m["promoted_snaps"] == ["b1"]
+    spark.catalog.refreshByPath(f"{out}/curated")
+    assert curation.read_curated(spark, out).count() == before
