@@ -148,11 +148,15 @@ def bench_curation(spark, n_turns: int = None) -> dict:
         "sec": round(sec, 3),
         "turns_per_sec": round(n_turns / sec, 1),
         "stage_sec": m["curate"]["stage_sec"],
+        # what the bounded-candidate caps dropped (no silent truncation):
+        # observed during the dedup stage, zero on a healthy corpus
+        "cap_metrics": m["curate"].get("cap_metrics", {}),
         "increment": {
             "turns_in": n_incr,
             "docs_added": mi["curate"]["n_docs"],
             "sec": round(incr_sec, 3),
             "turns_per_sec": round(n_incr / incr_sec, 1),
+            "cap_metrics": mi["curate"].get("cap_metrics", {}),
         },
     }
 

@@ -2738,6 +2738,119 @@ FROM counts CROSS JOIN stats
 WHERE doc_freq / CAST(n_docs AS DOUBLE) >= 0.004
 """
 
+def _bpe_merges():
+    """The frozen merges table (trained once from the sf0.01 documents
+    corpus by epstein_browser_spark.bpe.train_merges and committed as a
+    resource) — frozen so the APPLY path carries a full value oracle;
+    training itself is pinned by golden tests against the pure-Python
+    reference (tests/test_bpe.py)."""
+    import os
+
+    from epstein_browser_spark import bpe
+
+    return bpe.load_merges(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "resources", "bpe_merges.json"))
+
+
+def q72_bpe_tokens(spark, sf_dir):
+    """Per-document REAL-BPE token counts (corpus-trained merges applied
+    as a JVM literal-replace chain — bpe.py): the n_tokens a training
+    pipeline actually budgets with, vs the whitespace proxy. Explode
+    words → merge chain (codegen, no Python) → per-doc sum; whitespace
+    count alongside for the compression view."""
+    d = _t(spark, sf_dir, "documents")
+    from epstein_browser_spark import bpe
+
+    counts = bpe.doc_bpe_token_counts(d, _bpe_merges(), "text", "doc_id")
+    ws = d.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_ws_tokens")
+    )
+    return ws.join(counts, ws["doc_id"] == counts["id"]).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+    )
+
+
+def _bpe_count_sql(word_expr: str) -> str:
+    """DuckDB restatement of the bpe.py merge chain for one word: the
+    SAME sentinel-wrapped representation and the SAME literal replaces in
+    rank order (replace-all left-to-right in both engines), so the value
+    oracle covers every merge."""
+    s = (f"regexp_replace(replace({word_expr}, chr(31), ''), '(.)', "
+         "chr(31) || '\\1' || chr(31) || ' ', 'g') "
+         "|| chr(31) || '</w>' || chr(31)")
+
+    def lit(sym: str) -> str:
+        return "chr(31) || '" + sym.replace("'", "''") + "' || chr(31)"
+
+    for a, b in _bpe_merges():
+        s = f"replace({s}, {lit(a)} || ' ' || {lit(b)}, {lit(a + b)})"
+    return f"len(string_split({s}, ' '))"
+
+
+def _q72_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT doc_id, sum({_bpe_count_sql('w')}) AS n FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN c USING (doc_id)
+"""
+
+
+def q73_packing_bpe(spark, sf_dir):
+    """q59's training-sequence packing driven by REAL BPE token counts
+    (VERDICT r3 item 5: budgets must count what the tokenizer emits, not
+    whitespace words): same sharded running-sum shape — no corpus-wide
+    sort — with n_tokens from the frozen-merges chain."""
+    d = _t(spark, sf_dir, "documents")
+    from epstein_browser_spark import bpe
+
+    toks = bpe.doc_bpe_token_counts(d, _bpe_merges(), "text", "doc_id").select(
+        F.col("id").alias("doc_id"), F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int"), F.lit(8)
+    )
+    packed = textstats.pack_sequences(toks, budget=512, shard_col=shard)
+    return packed.select(
+        "doc_id", "n_tokens", "shard",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("seq_in_shard").cast("long").alias("seq_in_shard"),
+    )
+
+
+def _q73_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT doc_id, sum({_bpe_count_sql('w')}) AS n FROM w GROUP BY doc_id),
+t AS (
+  SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+         CAST(({_Q59_SHARD}) % 8 AS INT) AS shard
+  FROM documents d LEFT JOIN c USING (doc_id))
+SELECT doc_id, n_tokens, shard,
+       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / 512.0) AS BIGINT) AS seq_in_shard
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2814,4 +2927,6 @@ QUERIES: dict[str, tuple] = {
     "q69_mixture_report": (q69_mixture_report, _q69_sql()),
     "q70_chunking": (q70_chunking, _Q70_SQL),
     "q71_boilerplate_lines": (q71_boilerplate_lines, _Q71_SQL),
+    "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
+    "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
 }
