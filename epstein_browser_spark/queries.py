@@ -2851,6 +2851,93 @@ FROM t
 """
 
 
+def q74_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with the LEARNED quantizer (quantizer='kmeans': Lloyd's
+    k-means from the deterministic rank seed, exact decimal-sum centroid
+    updates — similarity.kmeans_centroids). Same pruned-probe scale shape
+    as q48; the oracle replays every Lloyd iteration in SQL — assignment
+    argmin, order-independent decimal coordinate sums, empty-cluster
+    carryover — so the TRAINED index itself is value-checked, not just
+    the final scoring. Recall dominance over the rank quantizer is pinned
+    by tests/test_kmeans.py on a clustered corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, _Q23_QVEC, n_centroids=8, k=10, nprobe=2,
+                               quantizer="kmeans", n_iters=2)
+
+
+def _q74_sql(n_centroids: int = 8, n_iters: int = 2, nprobe: int = 2) -> str:
+    qlit = "[" + ", ".join(f"{x:.1f}" for x in _Q23_QVEC) + "]"
+    cos = (
+        f"list_dot_product(a.v, {qlit}) / (sqrt(list_dot_product(a.v, a.v))"
+        f" * sqrt(list_dot_product({qlit}, {qlit})))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cvec FROM e "
+        f"ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(n_iters):
+        # assignment against c{i}: the same constant-shifted argmin the
+        # Spark path evaluates (|v|² dropped — same winners), ties to the
+        # lower cid
+        ctes.append(
+            f"p{i} AS (SELECT e.vec_id, e.v, c.cid, "
+            f"list_dot_product(c.cvec, c.cvec) "
+            f"- 2 * list_dot_product(e.v, c.cvec) AS d "
+            f"FROM e CROSS JOIN c{i} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT p{i}.vec_id, p{i}.v, min(p{i}.cid) AS cell "
+            f"FROM p{i} JOIN (SELECT vec_id, min(d) AS mind FROM p{i} "
+            f"GROUP BY vec_id) m "
+            f"ON p{i}.vec_id = m.vec_id AND p{i}.d = m.mind "
+            f"GROUP BY p{i}.vec_id, p{i}.v)"
+        )
+        # centroid update: EXACT order-independent decimal coordinate
+        # sums, cast to double before the division (identical to the
+        # driver-side float(Decimal)/n), emptied clusters keep c{i}
+        ctes.append(
+            f"u{i} AS (SELECT cell, gs.i AS pos, "
+            f"CAST(sum(CAST(v[gs.i] AS DECIMAL(38,18))) AS DOUBLE) "
+            f"/ count(*) AS mval "
+            f"FROM a{i}, LATERAL (SELECT unnest(generate_series(1, len(v)))"
+            f" AS i) gs GROUP BY cell, gs.i)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT c{i}.cid, "
+            f"coalesce(n.cvec, c{i}.cvec) AS cvec FROM c{i} LEFT JOIN "
+            f"(SELECT cell AS cid, list(mval ORDER BY pos) AS cvec "
+            f"FROM u{i} GROUP BY cell) n ON c{i}.cid = n.cid)"
+        )
+    fin = f"c{n_iters}"
+    ctes.append(
+        f"pf AS (SELECT e.vec_id, e.v, c.cid, "
+        f"list_dot_product(c.cvec, c.cvec) "
+        f"- 2 * list_dot_product(e.v, c.cvec) AS d "
+        f"FROM e CROSS JOIN {fin} c)"
+    )
+    ctes.append(
+        "a AS (SELECT pf.vec_id, pf.v, min(pf.cid) AS cell "
+        "FROM pf JOIN (SELECT vec_id, min(d) AS mind FROM pf "
+        "GROUP BY vec_id) m "
+        "ON pf.vec_id = m.vec_id AND pf.d = m.mind "
+        "GROUP BY pf.vec_id, pf.v)"
+    )
+    ctes.append(
+        f"qc AS (SELECT cid AS q_cell FROM (SELECT cid, "
+        f"list_dot_product({qlit}, {qlit}) + list_dot_product(cvec, cvec) "
+        f"- 2 * list_dot_product({qlit}, cvec) AS d FROM {fin}) "
+        f"ORDER BY d ASC, cid ASC LIMIT {nprobe})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.vec_id, round({cos}, 6) AS cosine_sim "
+        f"FROM a JOIN qc ON a.cell = qc.q_cell "
+        f"ORDER BY {cos} DESC, a.vec_id ASC LIMIT 10"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2929,4 +3016,5 @@ QUERIES: dict[str, tuple] = {
     "q71_boilerplate_lines": (q71_boilerplate_lines, _Q71_SQL),
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
+    "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
 }

@@ -205,16 +205,117 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                     n_iters: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """LEARNED coarse quantizer: Lloyd's k-means seeded from the
+    deterministic rank-based sample (ivf_centroids) — the recall upgrade
+    behind the ``quantizer='kmeans'`` flag, without giving up
+    reproducibility OR the value oracle:
+
+    * seeding is the rank-based sample (no RNG), so runs are identical;
+    * each iteration's centroid update sums coordinates as
+      ``decimal(38,18)`` — exact, ORDER-INDEPENDENT addition, so the new
+      centroids are bit-stable across partitionings/executor counts
+      (a double sum would make the learned index layout-dependent), and
+      the identical decimal arithmetic restates in DuckDB (q74's oracle
+      replays every iteration as SQL);
+    * assignment is a single ``array_min`` over a literal
+      struct(dist, cid) array — centroids are broadcast as literals
+      (n_centroids×dim floats), no join, ties to the lower cid;
+    * an emptied cluster keeps its previous centroid (deterministic).
+
+    Per iteration: one job over the corpus (the k-means| shape: map-side
+    partial decimal sums, one k×dim-row shuffle, k×dim rows to the
+    driver). Returns (cid, cvec) like ivf_centroids — cids keep the seed
+    vectors' ids."""
+    seed = ivf_centroids(embeddings, n_centroids, id_col, vec_col).collect()
+    cents: list[tuple] = [(int(r["cid"]), [float(x) for x in r["cvec"]])
+                          for r in seed]
+    v = F.col(vec_col)
+    for _ in range(n_iters):
+        choices = F.array(*[
+            F.struct(
+                # argmin under the per-vector constant |v|² (ivf_assign's
+                # trick); |c|² folds to a literal at plan time
+                (F.lit(sum(x * x for x in cv))
+                 - 2 * dot(v, F.array(*[F.lit(x) for x in cv]))).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ])
+        # struct ordering = (d, cid) lexicographic → min dist, tie low cid
+        assigned = embeddings.select(
+            F.array_min(choices)["cid"].alias("cell"), v.alias("_v")
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                float(r["s"]) / int(r["n"])
+            )
+        cents = [
+            (cid,
+             [by_cell[cid][p] for p in sorted(by_cell[cid])]
+             if cid in by_cell else cv)  # emptied cluster: keep previous
+            for cid, cv in cents
+        ]
+    spark = embeddings.sparkSession
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        T.StructType([
+            T.StructField("cid", T.LongType()),
+            T.StructField("cvec", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int, id_col: str,
+               vec_col: str, quantizer: str, n_iters: int) -> DataFrame:
+    if quantizer == "rank":
+        return ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if quantizer == "kmeans":
+        return kmeans_centroids(embeddings, n_centroids, n_iters,
+                                id_col, vec_col)
+    raise ValueError(f"unknown quantizer {quantizer!r} (rank|kmeans)")
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               quantizer: str = "rank", n_iters: int = 5) -> DataFrame:
     """(id_col…, cell) — nearest centroid by squared L2, ties to the lower
     centroid id. The centroid table is tiny and broadcast; per vector the
     candidate rows are n_centroids wide, then a min + equality join-back
     picks the argmin (float equality is safe: both sides are the same
     deterministic expression). At 100 TB the assigned table is written
     ``PARTITIONED BY (cell)`` so a probe is a partition-pruned scan —
-    same layout story as the LSH bucket."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col).select(
+    same layout story as the LSH bucket.
+
+    ``quantizer='kmeans'`` assigns against the learned centroids
+    (:func:`kmeans_centroids`, ``n_iters`` Lloyd rounds from the same
+    deterministic seed); default 'rank' keeps the sampled quantizer."""
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+                       quantizer, n_iters)
+    if quantizer == "kmeans":
+        cents = cents.localCheckpoint(eager=True)
+    return _assign_to(embeddings, cents, id_col, vec_col)
+
+
+def _assign_to(embeddings: DataFrame, cents: DataFrame, id_col: str,
+               vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment against an explicit (cid, cvec) table
+    — shared by the rank and k-means quantizers."""
+    cents = cents.select(
         "cid", "cvec", dot(F.col("cvec"), F.col("cvec")).alias("_cc")
     )
     # argmin over |v|² + |c|² − 2v·c drops the per-vector constant |v|²:
@@ -242,6 +343,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    quantizer: str = "rank",
+    n_iters: int = 5,
 ) -> DataFrame:
     """IVF search: find the query's ``nprobe`` nearest centroids, score only
     those cells' vectors by cosine, take top-k. The scan cost is
@@ -255,8 +358,16 @@ def ivf_topk(
     superset (tests pin this dominance), reaching exact brute force at
     nprobe = n_centroids."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+                       quantizer, n_iters)
+    if quantizer == "kmeans":
+        # learned centroids are computed ONCE on the driver and reused
+        # for assignment + probe (recomputing would re-run the Lloyd jobs
+        # per consumer); they are a k×dim local relation, already "cached"
+        cents = cents.localCheckpoint(eager=True)
+        assigned = _assign_to(embeddings, cents, id_col, vec_col)
+    else:
+        assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     qcells = (
         cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("cid"))
@@ -343,15 +454,110 @@ def pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 16,
     )
 
 
+def kmeans_pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 16,
+                        n_iters: int = 5, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """LEARNED per-subspace codebooks: independent Lloyd's k-means in each
+    of the m subspaces (the trained-PQ upgrade, Jégou et al. 2011 §III),
+    seeded from the deterministic rank-based sample and updated with the
+    same exact decimal(38,18) coordinate sums as :func:`kmeans_centroids`
+    — reproducible across partitionings, no RNG. All m subspaces train in
+    the SAME per-iteration job (one slice-explode, one argmin expression
+    branched on `sub`, one grouped decimal-sum shuffle); m·k·(dim/m) mean
+    cells come back to the driver per round. Returns (sub, code, cvec)
+    like pq_codebooks."""
+    seed = pq_codebooks(embeddings, m, k, id_col, vec_col).collect()
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in seed:
+        books.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cvec"]])
+        )
+    for s in books:
+        books[s].sort()
+    subv = embeddings.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        id_col, "sub",
+        F.slice("_v", F.col("sub") * (F.size("_v") / m).cast("int") + 1,
+                (F.size("_v") / m).cast("int")).alias("svec"),
+    )
+    sv = F.col("svec")
+    for _ in range(n_iters):
+        code_expr = None
+        for s in sorted(books):
+            choices = F.array(*[
+                F.struct(
+                    (F.lit(sum(x * x for x in cv))
+                     - 2 * dot(sv, F.array(*[F.lit(x) for x in cv]))
+                     ).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cv in books[s]
+            ])
+            picked = F.array_min(choices)["code"]
+            code_expr = (F.when(F.col("sub") == s, picked)
+                         if code_expr is None
+                         else code_expr.when(F.col("sub") == s, picked))
+        upd = (
+            subv.select("sub", code_expr.alias("code"), "svec")
+            .select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            means.setdefault((int(r["sub"]), int(r["code"])), {})[
+                int(r["pos"])] = float(r["s"]) / int(r["n"])
+        books = {
+            s: [
+                (code,
+                 [means[(s, code)][p] for p in sorted(means[(s, code)])]
+                 if (s, code) in means else cv)
+                for code, cv in rows
+            ]
+            for s, rows in books.items()
+        }
+    spark = embeddings.sparkSession
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(s, code, cv) for s, rows in sorted(books.items())
+         for code, cv in rows],
+        T.StructType([
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("cvec", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+
+
+def _pq_books(embeddings: DataFrame, m: int, k: int, id_col: str,
+              vec_col: str, quantizer: str, n_iters: int) -> DataFrame:
+    if quantizer == "rank":
+        return pq_codebooks(embeddings, m, k, id_col, vec_col)
+    if quantizer == "kmeans":
+        return kmeans_pq_codebooks(embeddings, m, k, n_iters,
+                                   id_col, vec_col).localCheckpoint(
+            eager=True)
+    raise ValueError(f"unknown quantizer {quantizer!r} (rank|kmeans)")
+
+
 def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              long_form: bool = False) -> DataFrame:
+              long_form: bool = False, cb: DataFrame | None = None) -> DataFrame:
     """PQ codes: each vector's m subvectors assigned to their nearest
     codebook centroid by squared L2 (ties to the lower code id — same
     argmin contract as ivf_assign). Default output is the stored form
     (id, codes: array<bigint> ordered by subspace — m·8 bytes instead of
-    dim·4); ``long_form=True`` returns (id, sub, code) for joins."""
-    cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    dim·4); ``long_form=True`` returns (id, sub, code) for joins. ``cb``
+    overrides the codebook table (a precomputed/learned one — the caller
+    keeps ONE set of books for encode + ADC)."""
+    if cb is None:
+        cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
     subv = embeddings.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -416,7 +622,8 @@ def _adc_table(cb: DataFrame, query_vec: list[float], m: int) -> DataFrame:
 
 def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
                 k: int = 16, topk: int = 10, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", quantizer: str = "rank",
+                n_iters: int = 5) -> DataFrame:
     """Asymmetric-distance top-k: approximate squared L2 to the query as
     the sum of per-subspace (query-slice ↔ centroid) distances looked up
     from an m·k table — the query-time half of PQ. Per corpus vector the
@@ -425,9 +632,10 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
     id so the ranking is reproducible across engines (the m-term sum has
     no guaranteed fold order). Returns (id, adc_dist2)."""
     _check_pq_dims(query_vec, m)
-    cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    cb = _pq_books(embeddings, m, k, id_col, vec_col, quantizer, n_iters)
     table = _adc_table(cb, query_vec, m)
-    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
+    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True,
+                      cb=cb)
     return (
         codes.join(F.broadcast(table), ["sub", "code"])
         .groupBy(id_col)
@@ -441,7 +649,8 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
                 n_centroids: int = 16, m: int = 4, k: int = 16,
                 topk: int = 10, nprobe: int = 1,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", quantizer: str = "rank",
+                n_iters: int = 5) -> DataFrame:
     """Full IVF-PQ search — the billion-vector ANN architecture: the IVF
     coarse quantizer prunes the scan to the query's ``nprobe`` nearest
     cells (~nprobe/n_centroids of the corpus, a partition-pruned read once
@@ -454,8 +663,11 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
     has no guaranteed fold order across engines)."""
     _check_pq_dims(query_vec, m)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+                       quantizer, n_iters)
+    if quantizer == "kmeans":
+        cents = cents.localCheckpoint(eager=True)
+    assigned = _assign_to(embeddings, cents, id_col, vec_col)
     qcells = (
         cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("cid"))
@@ -466,9 +678,10 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
         F.broadcast(qcells), F.col("cell") == F.col("q_cell")
     ).select(id_col)
 
-    cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    cb = _pq_books(embeddings, m, k, id_col, vec_col, quantizer, n_iters)
     table = _adc_table(cb, query_vec, m)
-    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True)
+    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True,
+                      cb=cb)
     return (
         codes.join(cell_ids, id_col, "left_semi")
         .join(F.broadcast(table), ["sub", "code"])
