@@ -418,6 +418,16 @@ def run_scaling(args) -> None:
         }
 
     os.makedirs("BENCH", exist_ok=True)
+    # a --scaling rerun regenerates ONLY the scaling report: every section
+    # after the manual marker (skew/layout/curation/paired evidence from
+    # other modes and rounds) is preserved verbatim
+    _marker = ("<!-- manual-sections: everything below survives "
+               "bench.py --scaling rewrites -->\n")
+    _manual_tail = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        _old = open("BENCH/BASELINE.md").read()
+        if _marker in _old:
+            _manual_tail = _old[_old.index(_marker):]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# Scaling evidence (BASELINE.json criterion: throughput scaling "
