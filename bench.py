@@ -465,6 +465,8 @@ def run_scaling(args) -> None:
             "partition-local sort, MapInPandas); the residual gap to the "
             "ceiling is Arrow serde + shuffle I/O sharing one box.\n"
         )
+        if _manual_tail:
+            f.write("\n" + _manual_tail)
     print(json.dumps({
         "metric": "extraction scaling efficiency (N->4N)",
         "value": max(round(r[5], 3) for r in rows),

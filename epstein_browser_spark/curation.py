@@ -102,6 +102,7 @@ def curate_documents(
     cap_metrics=None,
     max_bucket: int = 200,
     unit: str = "turn",
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """The curation transform (no I/O): extraction output → curated docs.
 
@@ -165,7 +166,7 @@ def curate_documents(
     else:
         raise ValueError(f"unknown unit {unit!r} (turn|conversation)")
 
-    return _annotate(canonical, redact_pii)
+    return _annotate(canonical, redact_pii, bpe_merges=bpe_merges)
 
 
 def conversation_docs(turns: DataFrame) -> DataFrame:
@@ -245,17 +246,32 @@ def _gated_exact_kept(extracted: DataFrame) -> DataFrame:
     ).drop("_keep_uid")
 
 
-def _annotate(canonical: DataFrame, redact_pii: bool) -> DataFrame:
+def _annotate(canonical: DataFrame, redact_pii: bool,
+              bpe_merges: list | None = None) -> DataFrame:
     """Shared curation tail: stats + explode-path language ID +
-    conversation-level split + optional PII redaction."""
+    conversation-level split + optional PII redaction.
+
+    ``bpe_merges`` (a trained merges table, bpe.py) switches ``n_tokens``
+    from the whitespace proxy to REAL BPE counts — what the downstream
+    packing/mixture budgets actually consume — via the JVM literal-replace
+    chain (explode words → chain → per-doc sum, no Python)."""
     lang = langid_ngram_table(canonical, "clean_text", "doc_uid").select(
         F.col("id").alias("doc_uid"), "predicted_lang"
     )
-    out = (
-        canonical.join(lang, "doc_uid", "left")
-        .withColumn("n_tokens", token_count(F.col("clean_text")))
-        .withColumn("split", deterministic_split(F.col("conv_id")))
-    )
+    out = canonical.join(lang, "doc_uid", "left")
+    if bpe_merges is not None:
+        from epstein_browser_spark import bpe
+
+        counts = bpe.doc_bpe_token_counts(
+            out, bpe_merges, text_col="clean_text", id_col="doc_uid"
+        ).select(F.col("id").alias("doc_uid"),
+                 F.col("n_bpe_tokens").alias("n_tokens"))
+        out = out.join(counts, "doc_uid", "left").withColumn(
+            "n_tokens", F.coalesce("n_tokens", F.lit(0))
+        )
+    else:
+        out = out.withColumn("n_tokens", token_count(F.col("clean_text")))
+    out = out.withColumn("split", deterministic_split(F.col("conv_id")))
     if redact_pii:
         from epstein_browser_spark import redaction
 
@@ -289,6 +305,7 @@ def run_curation(
     input_snapshot: str = "unversioned",
     max_bucket: int = 200,
     unit: str = "turn",
+    bpe_merges: list | None = None,
 ) -> dict:
     """Run (or resume) the full curation job; returns run metrics.
 
@@ -334,6 +351,7 @@ def run_curation(
         scratch_dir=f"{out_dir}/_scratch/minhash",
         redact_pii=redact_pii,
         cap_metrics=caps, max_bucket=max_bucket, unit=unit,
+        bpe_merges=bpe_merges,
     ).drop("bucket")
     # curate_documents runs the near-dup pairs + connected components
     # eagerly (CC is an iterative collect loop); everything after is lazy
@@ -548,6 +566,7 @@ def run_curation_increment(
     near_threshold: float = 0.7,
     redact_pii: bool = False,
     resume: bool = True,
+    bpe_merges: list | None = None,
 ) -> dict:
     """Curate a NEW batch of transcripts against an existing
     ``run_curation`` output — the incremental-ingest form of the job:
@@ -703,7 +722,7 @@ def run_curation_increment(
         "doc_uid", "left_semi",
     )
 
-    out = _annotate(canonical, redact_pii).drop("bucket").withColumn(
+    out = _annotate(canonical, redact_pii, bpe_merges=bpe_merges).drop("bucket").withColumn(
         "snap", F.lit(snapshot)
     ).localCheckpoint(eager=True)
     fsutil.write_partition_overwrite(

@@ -141,3 +141,33 @@ def test_sentinel_word_is_cleaned(spark):
     df = spark.createDataFrame(pd.DataFrame({"w": ["lo\x1fwer"]}))
     got = df.select(bpe.tokenize_words(F.col("w"), merges).alias("t")).collect()
     assert "".join(got[0]["t"]).replace(bpe.EOW, "") == "lower"
+
+
+def test_curation_budgets_with_bpe_counts(spark):
+    """run-curation-shaped path with bpe_merges: the curated table's
+    n_tokens are the BPE chain's counts (what packing/mixtures budget
+    with), not the whitespace proxy."""
+    from epstein_browser_spark import curation
+    from epstein_browser_spark.pipeline import extract_transcripts
+
+    merges = bpe.train_merges_local(SAMPLE, n_merges=15)
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "b"],
+        "turn_idx": [0, 0],
+        "role": ["user", "user"],
+        "tool": pd.array([None, None], dtype="string"),
+        "ts": pd.Timestamp("2025-03-01"),
+        "text": ["the lower and newer records remain lower than the widest",
+                 "an error in the rower manifest kept the new entry wider"],
+    })
+    extracted = extract_transcripts(spark.createDataFrame(pdf), n_buckets=2)
+    cur = curation.curate_documents(extracted, bpe_merges=merges).toPandas()
+    assert len(cur) == 2
+    exp = bpe.doc_bpe_token_counts(
+        spark.createDataFrame(cur[["conv_id", "clean_text"]]), merges,
+        text_col="clean_text", id_col="conv_id",
+    ).toPandas().set_index("id")["n_bpe_tokens"].to_dict()
+    got = cur.set_index("conv_id")["n_tokens"].to_dict()
+    assert got == exp
+    ws = cur["clean_text"].str.split().str.len()
+    assert (cur.set_index("conv_id")["n_tokens"].values != ws.values).any()
