@@ -141,7 +141,12 @@ def _wrapped_word_expr(word: Column) -> Column:
     """word → sentinel-wrapped space-separated symbol string:
     'cat' → '\\x1fc\\x1f \\x1fa\\x1f \\x1ft\\x1f \\x1f</w>\\x1f'."""
     cleaned = F.replace(word, F.lit(SENT), F.lit(""))
-    per_char = F.regexp_replace(cleaned, r"(.)", SENT + "$1" + SENT + " ")
+    # (?s): Java '.' excludes U+0085/U+2028/U+2029, which are NOT \s+
+    # whitespace in Java or RE2 and therefore survive word splitting —
+    # without DOTALL those chars would stay unwrapped, diverging from
+    # training (which sees every char) and from the RE2 oracle ('.'
+    # excludes only \n, which \s+ always removes) — r4 review finding
+    per_char = F.regexp_replace(cleaned, r"(?s)(.)", SENT + "$1" + SENT + " ")
     return F.concat(per_char, F.lit(SENT + EOW + SENT))
 
 

@@ -169,11 +169,15 @@ def curate_documents(
     return _annotate(canonical, redact_pii, bpe_merges=bpe_merges)
 
 
-def conversation_docs(turns: DataFrame) -> DataFrame:
+def conversation_docs(turns: DataFrame,
+                      text_col: str = "clean_text") -> DataFrame:
     """(conv_uid, conv_id, conv_text, n_turns) — one document per
     conversation: gate-passing turns concatenated in (turn_idx) order
     (array_sort on struct(turn_idx, text): deterministic under any
-    partitioning). One partial-aggregable groupBy on conv_id."""
+    partitioning). One partial-aggregable groupBy on conv_id. The ONE
+    definition of the conversation-concatenation kernel — q75's
+    oracle-able twin reuses it rather than re-implementing (a drifted
+    copy would silently de-synchronize the documented policy)."""
     return (
         turns.groupBy("conv_id")
         .agg(
@@ -181,9 +185,9 @@ def conversation_docs(turns: DataFrame) -> DataFrame:
                 "\n",
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("turn_idx", "clean_text"))
+                        F.collect_list(F.struct("turn_idx", text_col))
                     ),
-                    lambda s: s["clean_text"],
+                    lambda s: s[text_col],
                 ),
             ).alias("conv_text"),
             F.count("*").alias("n_turns"),
@@ -488,11 +492,23 @@ def _existing_bands(spark: SparkSession, out_dir: str, exclude_snap: str,
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     """A parquet tree, or None when it doesn't exist / holds no data
     files (a run whose gate kept zero docs writes nothing — see
-    run_curation's empty guard)."""
+    run_curation's empty guard).
+
+    ONLY absence maps to None: an existing-but-unreadable table (corrupt
+    part file, permission error, FS hiccup) re-raises — mapping it to
+    None would silently disable the increment path's against-corpus
+    dedup and re-admit already-curated documents instead of failing the
+    job (r4 review finding)."""
+    if not fsutil.exists(spark, path):
+        return None
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except Exception as e:
+        # the dir exists but holds no data files (_SUCCESS only): schema
+        # inference fails — that IS the legitimate "empty table" case
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
+            return None
+        raise
 
 
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -798,14 +814,22 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
       ``_scratch/minhash`` scratch table the same way.
     * the band index is MERGED, not re-banded: every stored (id, band,
       band_hash) row — base and promoted snaps — is relabelled
-      ``snap=base`` and dynamic-partition-overwritten in place (one
-      columnar copy, no re-hashing); the promoted ``snap=S`` partitions
-      are then dropped. A crash mid-write leaves some rows present under
-      both snap=base and snap=S — harmless: candidate generation runs
-      ``.distinct()`` on pairs, and a retry completes the overwrite.
-    * promoted snapshots' stage markers are deleted LAST, after their
-      trees are gone (``vacuum_snapshots`` semantics: a marker must not
-      outlive its data, or a re-sent snapshot would be skipped).
+      ``snap=base`` into a rewritten tree (one columnar copy, no
+      re-hashing); the old snap partitions disappear with the swap.
+    * promoted snapshots' stage markers are deleted LAST, after every
+      tree is folded (``vacuum_snapshots`` semantics: a marker must not
+      outlive its data, or a re-sent snapshot id with NEW data would be
+      silently skipped).
+
+    Crash-idempotence (r4 review finding): a crash can land between any
+    two steps, leaving some trees folded and others not — so (a) each
+    tree's increment partitions are deleted IMMEDIATELY after that
+    tree's swap, (b) every fold DEDUPLICATES on its natural key
+    (doc_uid / feature id / band row), so a retry that re-folds a
+    half-cleaned state converges to exactly one copy, and (c) the
+    snapshot list is the union of tree partitions AND stage markers, so
+    a retry that crashed after the tree deletes still clears the
+    leftover markers.
 
     Cost: one columnar rewrite of the curated/feature/band tables —
     O(corpus) bytes like any compaction, amortized over however many
@@ -813,9 +837,6 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     readers or increments), like the other maintenance ops
     (merge.compact_buckets). Reference analog: the reference's single-
     table re-index, /root/reference/index_images.py:344-434.
-
-    Idempotent: promoting with no pending snapshots is a no-op; a retry
-    after any crash converges (recovery first, then the same fold).
     """
     t0 = time.time()
     curated_live = f"{out_dir}/curated"
@@ -828,50 +849,71 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
                   f"{out_dir}/{BANDS_DIR}__old",
                   f"{out_dir}/{BANDS_DIR}__tmp")
 
-    snaps = sorted({
+    tree_snaps = {
         name[len("snap="):]
         for tree in (CURATED_INCR, SCRATCH_INCR)
         for name in fsutil.list_names(spark, f"{out_dir}/{tree}")
         if name.startswith("snap=")
-    })
+    }
+    marker_snaps = {
+        name[len("incr-"):-len(".json")]
+        for name in fsutil.list_names(spark, f"{out_dir}/{STAGES_DIR}")
+        if name.startswith("incr-") and name.endswith(".json")
+    }
+    snaps = sorted(tree_snaps | marker_snaps)
     if not snaps:
         return {"promoted_snaps": [], "elapsed_sec": time.time() - t0}
 
-    # fold curated rows: base ∪ every increment, written aside + swapped
+    # fold curated rows: base ∪ every increment, deduped by doc identity
+    # (a retry of a crashed promote sees the already-folded copy AND the
+    # not-yet-deleted increment copy — identical rows, keep one), written
+    # aside + swapped; this tree's increment partitions are deleted
+    # immediately after so no later crash can double-fold them
     incr_curated = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
     docs_folded = 0
     if incr_curated is not None:
         docs_folded = incr_curated.count()
-        merged = read_curated(spark, out_dir)
+        merged = read_curated(spark, out_dir).dropDuplicates(["doc_uid"])
         merged.write.mode("overwrite").partitionBy("split").parquet(
             f"{curated_live}__tmp"
         )
         _swap_dir(spark, curated_live, f"{curated_live}__old",
                   f"{curated_live}__tmp")
         spark.catalog.refreshByPath(curated_live)
+        for s in snaps:
+            fsutil.delete(spark, f"{out_dir}/{CURATED_INCR}/snap={s}")
 
-    # fold feature rows the same way
+    # fold feature rows the same way (dedup by feature id)
     incr_feats = _read_optional(spark, f"{out_dir}/{SCRATCH_INCR}")
     if incr_feats is not None:
-        merged_feats = _existing_features(spark, out_dir,
-                                         exclude_snap="__promote_none__")
+        merged_feats = _existing_features(
+            spark, out_dir, exclude_snap="__promote_none__"
+        ).dropDuplicates(["id"])
         merged_feats.write.mode("overwrite").parquet(f"{feats_live}__tmp")
         _swap_dir(spark, feats_live, f"{feats_live}__old",
                   f"{feats_live}__tmp")
         spark.catalog.refreshByPath(feats_live)
+        for s in snaps:
+            fsutil.delete(spark, f"{out_dir}/{SCRATCH_INCR}/snap={s}")
 
     # merge the band index: relabel every stored row snap=base — one
-    # columnar copy (no re-hashing), written aside + swapped like the
-    # other trees (rewriting the dir from a plan that reads it is the
-    # documented FileNotFound trap, and a checkpoint of the whole band
-    # table would not scale)
+    # columnar copy (no re-hashing), deduped (a retry can see a row under
+    # both its old snap and the folded base), written aside + swapped
+    # (rewriting the dir from a plan that reads it is the documented
+    # FileNotFound trap, and a checkpoint of the whole band table would
+    # not scale)
     from epstein_browser_spark.dedup import N_BAND_PARTITIONS
 
     bands_live = f"{out_dir}/{BANDS_DIR}"
-    bands = _read_optional(spark, bands_live)
+    has_band_snaps = any(
+        n.startswith("snap=") and n != "snap=base"
+        for n in fsutil.list_names(spark, bands_live)
+    )
+    bands = _read_optional(spark, bands_live) if has_band_snaps else None
     if bands is not None:
         (
             bands.select("id", "band", "band_hash", "pband")
+            .dropDuplicates(["id", "band", "band_hash"])
             .withColumn("snap", F.lit("base"))
             .repartition(N_BAND_PARTITIONS, "pband")
             .write.mode("overwrite").partitionBy("snap", "pband")
@@ -881,10 +923,9 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
                   f"{bands_live}__tmp")
         spark.catalog.refreshByPath(bands_live)
 
-    # drop the folded increment trees, then their stage markers
-    for s in snaps:
-        fsutil.delete(spark, f"{out_dir}/{CURATED_INCR}/snap={s}")
-        fsutil.delete(spark, f"{out_dir}/{SCRATCH_INCR}/snap={s}")
+    # every tree folded: clear the promoted snapshots' stage markers
+    # (tree-and-marker union above guarantees a retry reaches this even
+    # when the trees were already cleaned by the crashed attempt)
     for s in snaps:
         marker = _stage_path(out_dir, f"incr-{s}")
         if fsutil.exists(spark, marker):

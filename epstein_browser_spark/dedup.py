@@ -51,7 +51,9 @@ class CapMetrics:
     """
 
     def __init__(self) -> None:
-        self._slots: list[tuple[str, object, list[str]]] = []
+        # (kind, Observation, pre-filter frame, aggregate exprs) — the
+        # frame + exprs back the empty-plan fallback in _values
+        self._slots: list[tuple[str, object, DataFrame, list[Column]]] = []
 
     def attach(self, df: DataFrame, kind: str, dropped: Column,
                group_size: Column | None = None) -> DataFrame:

@@ -2954,16 +2954,10 @@ def q75_conv_dedup(spark, sf_dir):
         F.col("conv_id").isin("c0", "c1", "c2", "c3", "c4")
     ).withColumn("conv_id", F.concat(F.lit("dup_"), F.col("conv_id")))
     allt = tr.unionByName(planted)
-    convs = allt.groupBy("conv_id").agg(
-        F.count("*").alias("n_turns"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda s: s["text"],
-            ),
-        ).alias("conv_text"),
-    )
+    from epstein_browser_spark.curation import conversation_docs
+
+    # the PRODUCTION concatenation kernel — one definition, reused
+    convs = conversation_docs(allt, text_col="text").drop("conv_uid")
     w = Window.partitionBy("conv_hash")
     return (
         convs.withColumn("conv_hash", F.md5("conv_text"))

@@ -302,6 +302,8 @@ def start_incremental_curation_stream(
     near_threshold: float = 0.7,
     max_files_per_trigger: int | None = None,
     snapshot_prefix: str = "stream",
+    redact_pii: bool = False,
+    bpe_merges: list | None = None,
 ):
     """CONTINUOUS curation: arriving transcript batches run the full
     incremental-ingest path (curation.run_curation_increment) as they
@@ -330,11 +332,15 @@ def start_incremental_curation_stream(
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
+        # redact_pii / bpe_merges pass through: a stream over a redacted
+        # (or BPE-budgeted) base must produce increments with the SAME
+        # audit and token columns — silently dropping the flags would
+        # leak raw PII into curated_incr behind allowMissingColumns
         run_curation_increment(
             batch_df.sparkSession, batch_df, out_dir,
             snapshot=f"{snapshot_prefix}-{batch_id:06d}",
             n_buckets=n_buckets, near_threshold=near_threshold,
-            resume=True,
+            resume=True, redact_pii=redact_pii, bpe_merges=bpe_merges,
         )
 
     src = (

@@ -171,3 +171,22 @@ def test_curation_budgets_with_bpe_counts(spark):
     assert got == exp
     ws = cur["clean_text"].str.split().str.len()
     assert (cur.set_index("conv_id")["n_tokens"].values != ws.values).any()
+
+
+def test_non_ascii_line_separators_wrap_like_training(spark):
+    """U+2028/U+0085 are not \\s+ whitespace in Java or RE2, so they stay
+    inside words; without DOTALL Java '.' skipped them and the Spark
+    apply diverged from training and from the RE2 oracle (r4 review)."""
+    w = "foo\u2028bar\u0085x"
+    merges = bpe.train_merges_local([(w, 3), ("foo", 2)], 10)
+    df = spark.createDataFrame(pd.DataFrame({"w": [w, "ab"]}))
+    got = df.select(
+        "w", bpe.tokenize_words(F.col("w"), merges).alias("t")
+    ).toPandas().set_index("w")["t"].to_dict()
+    assert list(got[w]) == ref_apply(w, merges)
+    assert list(got["ab"]) == ref_apply("ab", merges)
+    counts = bpe.doc_bpe_token_counts(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [w]})),
+        merges,
+    ).collect()
+    assert counts[0]["n_bpe_tokens"] == len(ref_apply(w, merges))

@@ -123,3 +123,69 @@ def test_promote_crash_recovery(spark, tmp_path):
     assert m["promoted_snaps"] == ["b1"]
     spark.catalog.refreshByPath(f"{out}/curated")
     assert curation.read_curated(spark, out).count() == before
+
+
+def test_promote_post_swap_crash_window_no_duplicates(spark, tmp_path):
+    """The OTHER crash window (r4 review): promote folded curated/ and
+    died before deleting curated_incr — a retry must converge to exactly
+    one copy of every folded row and still clear the stage marker."""
+    import shutil
+
+    out = str(tmp_path / "crash2")
+    pdf = make_transcripts_pdf(n_convs=8, hot_conv_turns=30)
+    half = len(pdf) // 2
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:half]), out,
+                          n_buckets=2, input_snapshot="s0")
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf.iloc[half:]), out, snapshot="b1",
+        n_buckets=2,
+    )
+    # stash the increment state, promote fully, then re-plant the
+    # increment trees + marker: exactly the state a crash after the
+    # curated swap (but before cleanup) leaves behind
+    incr_copy = str(tmp_path / "incr_copy")
+    shutil.copytree(f"{out}/{curation.CURATED_INCR}", incr_copy)
+    marker = (tmp_path / "crash2" / "_stages" / "incr-b1.json").read_text()
+    before = curation.read_curated(spark, out).count()
+    m1 = curation.promote_increments(spark, out)
+    assert m1["promoted_snaps"] == ["b1"]
+    shutil.copytree(incr_copy, f"{out}/{curation.CURATED_INCR}",
+                    dirs_exist_ok=True)
+    (tmp_path / "crash2" / "_stages" / "incr-b1.json").write_text(marker)
+
+    m2 = curation.promote_increments(spark, out)
+    assert m2["promoted_snaps"] == ["b1"]
+    spark.catalog.refreshByPath(f"{out}/curated")
+    cur = curation.read_curated(spark, out)
+    assert cur.count() == before
+    dup_uids = (cur.groupBy("doc_uid").count()
+                .filter("count > 1").count())
+    assert dup_uids == 0
+    assert not fsutil.exists(spark, f"{out}/_stages/incr-b1.json")
+
+    # marker-only leftover (trees cleaned, marker not): retry clears it
+    (tmp_path / "crash2" / "_stages" / "incr-b1.json").write_text(marker)
+    m3 = curation.promote_increments(spark, out)
+    assert m3["promoted_snaps"] == ["b1"]
+    assert not fsutil.exists(spark, f"{out}/_stages/incr-b1.json")
+    assert curation.read_curated(spark, out).count() == before
+
+
+def test_read_optional_corrupt_table_raises(spark, tmp_path):
+    """An existing-but-unreadable table must FAIL, not read as 'nothing
+    curated yet' (which would silently disable against-corpus dedup)."""
+    import glob
+
+    import pandas as pd
+    import pytest
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(pd.DataFrame({"x": [1, 2]})).write.parquet(p)
+    part = glob.glob(f"{p}/part-*.parquet")[0]
+    with open(part, "wb") as f:
+        f.write(b"not a parquet file at all")
+    spark.catalog.refreshByPath(p)
+    with pytest.raises(Exception):
+        curation._read_optional(spark, p).count()
+    # absent path still maps to None
+    assert curation._read_optional(spark, str(tmp_path / "nope")) is None
