@@ -1291,7 +1291,11 @@ def q42_minhash_pairs_md5(spark, sf_dir):
 
 def _minhash_md5_sql(n_perms: int = 16, n_bands: int = 4, shingle: int = 5,
                      threshold: float = 0.5, max_bucket: int = 200,
-                     id_cap: int = 250) -> str:
+                     id_cap: int = 250, source_sql: str | None = None) -> str:
+    """DuckDB restatement of dedup.minhash_dedup_pairs_md5. ``source_sql``
+    overrides the document source — any SELECT producing (id, text) —
+    so the SAME oracle pipeline covers other granularities (q76 feeds
+    conversation-concatenated docs through it)."""
     width = n_perms // n_bands
     mins = ",\n        ".join(
         f"min(md5(sh || ':{i}')) AS h{i}" for i in range(n_perms)
@@ -1302,14 +1306,18 @@ def _minhash_md5_sql(n_perms: int = 16, n_bands: int = 4, shingle: int = 5,
         )
         for b in range(n_bands)
     )
+    src = source_sql or (
+        f"SELECT doc_id AS id, text FROM documents WHERE doc_id < {id_cap}"
+    )
     return f"""
-WITH g AS (
-  SELECT doc_id AS id,
+WITH srcdocs AS ({src}),
+g AS (
+  SELECT id,
          unnest(list_distinct(list_transform(
            generate_series(1, length(lower(trim(text))) - {shingle - 1}),
            i -> lower(trim(text))[i:i+{shingle - 1}]))) AS sh
-  FROM documents
-  WHERE doc_id < {id_cap} AND length(lower(trim(text))) >= {shingle}),
+  FROM srcdocs
+  WHERE length(lower(trim(text))) >= {shingle}),
 s AS (SELECT id,
         {mins},
         list_distinct(list(sh)) AS grams
@@ -2990,6 +2998,63 @@ FROM convs
 """
 
 
+def q76_conv_neardup(spark, sf_dir):
+    """CONVERSATION-granularity NEAR-dup pairs — the MinHash half of
+    curation's unit='conversation' keep policy, through the md5
+    oracle-able pipeline (q42's twin at conversation granularity):
+    conversations concatenate via the production kernel
+    (curation.conversation_docs), three planted near-duplicate
+    conversations ('edited ' prefixed onto turn 0 of copies of c0–c2)
+    must pair with their originals at jaccard >= 0.7 while staying
+    byte-distinct (exact dedup alone would miss them)."""
+    from epstein_browser_spark.curation import conversation_docs
+
+    tr = _derived_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    planted = tr.filter(
+        F.col("conv_id").isin("c0", "c1", "c2")
+    ).withColumn(
+        "conv_id", F.concat(F.lit("dup_"), F.col("conv_id"))
+    ).withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0,
+               F.concat(F.lit("edited "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    allt = tr.unionByName(planted)
+    convs = conversation_docs(allt, text_col="text").select(
+        "conv_id", "conv_text"
+    )
+    pairs = dedup.minhash_dedup_pairs_md5(
+        convs, text_col="conv_text", id_col="conv_id", threshold=0.7
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q76_sql() -> str:
+    conv_src = """
+  SELECT conv_id AS id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM (
+    SELECT concat('c', CAST(doc_id % 50 AS VARCHAR)) AS conv_id,
+           CAST(floor(doc_id / 50) AS INT) AS turn_idx, text
+    FROM documents
+    UNION ALL
+    SELECT concat('dup_', conv_id),
+           turn_idx,
+           CASE WHEN turn_idx = 0 THEN 'edited ' || text ELSE text END
+    FROM (
+      SELECT concat('c', CAST(doc_id % 50 AS VARCHAR)) AS conv_id,
+             CAST(floor(doc_id / 50) AS INT) AS turn_idx, text
+      FROM documents) base
+    WHERE conv_id IN ('c0', 'c1', 'c2'))
+  GROUP BY conv_id"""
+    return _minhash_md5_sql(threshold=0.7, source_sql=conv_src)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -3030,6 +3095,7 @@ QUERIES: dict[str, tuple] = {
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
     "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
     "q75_conv_dedup": (q75_conv_dedup, _Q75_SQL),
+    "q76_conv_neardup": (q76_conv_neardup, _q76_sql()),
     # --- core extraction / quality / dedup / ANN families ---
     "q16_quality_score": (q16_quality_score, _Q16_SQL),
     "q17_lowq_classify": (q17_lowq_classify, _Q17_SQL),
