@@ -3006,12 +3006,19 @@ def q76_conv_neardup(spark, sf_dir):
     (curation.conversation_docs), three planted near-duplicate
     conversations ('edited ' prefixed onto turn 0 of copies of c0–c2)
     must pair with their originals at jaccard >= 0.7 while staying
-    byte-distinct (exact dedup alone would miss them)."""
+    byte-distinct (exact dedup alone would miss them).
+
+    Bounded at every sf: the md5 permutation hash costs ~10× xxhash64
+    per shingle (the price of SQL-restatability — q20/q42 notes), and a
+    conversation document concatenates ALL its turns, so the input is
+    capped to doc_id < 500 (≤10 turns/conv at any sf) and 8 perms / 2
+    bands — the xxhash64 path in curation stays the production scale
+    form."""
     from epstein_browser_spark.curation import conversation_docs
 
-    tr = _derived_transcripts(spark, sf_dir).select(
-        "conv_id", "turn_idx", "text"
-    )
+    tr = _derived_transcripts(spark, sf_dir).filter(
+        F.col("turn_idx") < 10
+    ).select("conv_id", "turn_idx", "text")
     planted = tr.filter(
         F.col("conv_id").isin("c0", "c1", "c2")
     ).withColumn(
@@ -3027,7 +3034,8 @@ def q76_conv_neardup(spark, sf_dir):
         "conv_id", "conv_text"
     )
     pairs = dedup.minhash_dedup_pairs_md5(
-        convs, text_col="conv_text", id_col="conv_id", threshold=0.7
+        convs, text_col="conv_text", id_col="conv_id", threshold=0.7,
+        n_perms=8, n_bands=2,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -3041,7 +3049,7 @@ def _q76_sql() -> str:
   FROM (
     SELECT concat('c', CAST(doc_id % 50 AS VARCHAR)) AS conv_id,
            CAST(floor(doc_id / 50) AS INT) AS turn_idx, text
-    FROM documents
+    FROM documents WHERE floor(doc_id / 50) < 10
     UNION ALL
     SELECT concat('dup_', conv_id),
            turn_idx,
@@ -3049,10 +3057,11 @@ def _q76_sql() -> str:
     FROM (
       SELECT concat('c', CAST(doc_id % 50 AS VARCHAR)) AS conv_id,
              CAST(floor(doc_id / 50) AS INT) AS turn_idx, text
-      FROM documents) base
+      FROM documents WHERE floor(doc_id / 50) < 10) base
     WHERE conv_id IN ('c0', 'c1', 'c2'))
   GROUP BY conv_id"""
-    return _minhash_md5_sql(threshold=0.7, source_sql=conv_src)
+    return _minhash_md5_sql(threshold=0.7, n_perms=8, n_bands=2,
+                            source_sql=conv_src)
 
 
 # ---------------------------------------------------------------------------
