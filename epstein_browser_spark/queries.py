@@ -1237,7 +1237,14 @@ def q39_search_page(spark, sf_dir):
             ).alias("excerpt"),
         )
     )
-    unioned = src.unionByName(txt)
+    # materialize the match set ONCE: both the page rows and the metadata
+    # aggregate consume it, and as plain lazy branches each would
+    # re-evaluate the full search (two scans + two anti-joins — the r4
+    # paired bench measured the double evaluation as q39's entire 1.59×
+    # delta vs r2). The match set is the SMALL post-filter frame
+    # (hundreds of rows), so an eager localCheckpoint is cheap at any
+    # corpus size — at 100 TB this is exactly the frame you'd cache.
+    unioned = src.unionByName(txt).localCheckpoint(eager=True)
     meta = unioned.agg(
         F.count("*").alias("total_count"),
         F.ceil(F.count("*") / per_page).alias("n_pages"),
