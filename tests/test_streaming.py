@@ -442,3 +442,63 @@ def test_stream_incremental_curation_equals_batch(spark, tmp_path):
     assert sorted(exp.columns) == cols
     import pandas as pd
     pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_stream_then_promote_then_stream(spark, tmp_path):
+    """Maintenance composes with continuous ingest: stream two batches,
+    STOP, promote (stream snapshots fold into the base), stream a third
+    batch against the rebased corpus — dedup decisions and the final
+    corpus match the never-promoted pipeline."""
+    import shutil
+
+    from epstein_browser_spark import curation, fsutil
+    from epstein_browser_spark.streaming import (
+        start_incremental_curation_stream,
+    )
+    from epstein_browser_spark.synth import make_transcripts_pdf
+
+    pdf = make_transcripts_pdf(n_convs=20, hot_conv_turns=40)
+    q = len(pdf) // 4
+    base, p1, p2, p3 = (pdf.iloc[:q], pdf.iloc[q:2 * q],
+                        pdf.iloc[2 * q:3 * q], pdf.iloc[3 * q:])
+
+    out_a = str(tmp_path / "with_promote")
+    curation.run_curation(spark, spark.createDataFrame(base), out_a,
+                          n_buckets=4, input_snapshot="s0")
+    out_b = str(tmp_path / "no_promote")
+    shutil.copytree(out_a, out_b)
+
+    def stream_files(out_dir, in_dir, ckpt, parts):
+        for part in parts:
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "append").parquet(in_dir)
+            qy = start_incremental_curation_stream(
+                spark, in_dir, out_dir, ckpt, n_buckets=4,
+                max_files_per_trigger=1)
+            qy.awaitTermination(300)
+
+    stream_files(out_a, str(tmp_path / "in_a"), str(tmp_path / "ck_a"),
+                 [p1, p2])
+    stream_files(out_b, str(tmp_path / "in_b"), str(tmp_path / "ck_b"),
+                 [p1, p2])
+
+    # promote ONLY pipeline A (stream stopped = quiesced), then continue
+    m = curation.promote_increments(spark, out_a)
+    assert len(m["promoted_snaps"]) == 2
+    assert not fsutil.list_names(
+        spark, f"{out_a}/{curation.SCRATCH_INCR}") or all(
+        not n.startswith("snap=") for n in fsutil.list_names(
+            spark, f"{out_a}/{curation.SCRATCH_INCR}"))
+
+    stream_files(out_a, str(tmp_path / "in_a"), str(tmp_path / "ck_a"),
+                 [p3])
+    stream_files(out_b, str(tmp_path / "in_b"), str(tmp_path / "ck_b"),
+                 [p3])
+
+    import pandas as pd
+    got = (curation.read_curated(spark, out_a)
+           .orderBy("doc_uid").toPandas().reset_index(drop=True))
+    exp = (curation.read_curated(spark, out_b)
+           .orderBy("doc_uid").toPandas().reset_index(drop=True))
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
