@@ -71,8 +71,14 @@ def _stage_path(out_dir: str, stage: str) -> str:
 
 
 def stage_completed(spark: SparkSession, out_dir: str, stage: str,
-                    input_snapshot: str) -> dict | None:
-    """The stage's manifest when it completed against this snapshot."""
+                    input_snapshot: str,
+                    require: dict | None = None) -> dict | None:
+    """The stage's manifest when it completed against this snapshot AND
+    with the same semantics-affecting settings. ``require`` extends the
+    resume key: a completed marker whose recorded value differs (or is
+    absent) does NOT count as completed — re-running a finished job with
+    e.g. ``bpe_merges`` newly enabled must recompute, not silently keep
+    the whitespace-proxy token counts (r4 review finding)."""
     raw = fsutil.read_text(spark, _stage_path(out_dir, stage))
     if raw is None:
         return None
@@ -80,9 +86,13 @@ def stage_completed(spark: SparkSession, out_dir: str, stage: str,
         m = json.loads(raw)
     except json.JSONDecodeError:
         return None
-    if m.get("status") == "completed" and m.get("input_snapshot") == input_snapshot:
-        return m
-    return None
+    if not (m.get("status") == "completed"
+            and m.get("input_snapshot") == input_snapshot):
+        return None
+    for k, v in (require or {}).items():
+        if m.get(k) != v:
+            return None
+    return m
 
 
 def _mark_stage(spark: SparkSession, out_dir: str, stage: str,
@@ -338,7 +348,11 @@ def run_curation(
                     {"rows_out": ext["rows_out"]})
 
     # stage 2: curate + split + manifests
-    done = resume and stage_completed(spark, out_dir, "curate", input_snapshot)
+    token_counter = "bpe" if bpe_merges is not None else "whitespace"
+    done = resume and stage_completed(
+        spark, out_dir, "curate", input_snapshot,
+        require={"unit": unit, "token_counter": token_counter},
+    )
     if done:
         metrics["curate"] = {**done, "skipped": True}
         metrics["elapsed_sec"] = time.time() - t0
@@ -429,7 +443,8 @@ def run_curation(
     metrics["curate"] = _mark_stage(
         spark, out_dir, "curate", input_snapshot,
         {"n_docs": n_curated, "splits": split_counts,
-         "unit": unit, "stage_sec": stage_sec,
+         "unit": unit, "token_counter": token_counter,
+         "stage_sec": stage_sec,
          # what the bounded-candidate caps dropped (no silent truncation):
          # the near-dup pipeline executed above, so the observations exist
          "cap_metrics": caps.summary()},
@@ -474,9 +489,8 @@ def _existing_bands(spark: SparkSession, out_dir: str, exclude_snap: str,
     the probe batch, so the corpus-side read is a statically
     partition-pruned scan. None when no index exists yet (caller falls
     back to banding the feature table on the fly)."""
-    try:
-        bands = spark.read.parquet(f"{out_dir}/{BANDS_DIR}")
-    except Exception:
+    bands = _read_optional(spark, f"{out_dir}/{BANDS_DIR}")
+    if bands is None:
         return None
     pbands = sorted(
         r["pband"]
@@ -638,7 +652,11 @@ def run_curation_increment(
             f"snapshot={snapshot!r} is reserved; pick a batch-unique id"
         )
     stage = f"incr-{snapshot}"
-    done = resume and stage_completed(spark, out_dir, stage, snapshot)
+    token_counter = "bpe" if bpe_merges is not None else "whitespace"
+    done = resume and stage_completed(
+        spark, out_dir, stage, snapshot,
+        require={"token_counter": token_counter},
+    )
     if done:
         return {"curate": {**done, "skipped": True},
                 "elapsed_sec": time.time() - t0}
@@ -675,7 +693,8 @@ def run_curation_increment(
         # nothing to write — an empty partitioned parquet dir would crash
         # the read-back on schema inference, and the index gains nothing
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
-                              {"n_docs": 0, "splits": {}})
+                              {"n_docs": 0, "splits": {},
+                               "token_counter": token_counter})
         return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
     # near-dup features for the increment → disk (they ARE the index rows
@@ -767,6 +786,7 @@ def run_curation_increment(
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
                            "splits": split_counts,
+                           "token_counter": token_counter,
                            "cap_metrics": caps.summary()})
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
@@ -821,15 +841,19 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
       outlive its data, or a re-sent snapshot id with NEW data would be
       silently skipped).
 
-    Crash-idempotence (r4 review finding): a crash can land between any
-    two steps, leaving some trees folded and others not — so (a) each
-    tree's increment partitions are deleted IMMEDIATELY after that
-    tree's swap, (b) every fold DEDUPLICATES on its natural key
-    (doc_uid / feature id / band row), so a retry that re-folds a
-    half-cleaned state converges to exactly one copy, and (c) the
-    snapshot list is the union of tree partitions AND stage markers, so
-    a retry that crashed after the tree deletes still clears the
-    leftover markers.
+    Crash-idempotence (r4 review findings): a crash can land between any
+    two steps, leaving some trees folded and others not — so (a) ONLY
+    snapshots with a COMPLETED stage marker fold (an unmarked tree is a
+    crashed increment's half-commit; folding its features would make the
+    increment's retry anti-join its own documents away — it is left for
+    that retry), (b) each tree's folded partitions are deleted
+    IMMEDIATELY after that tree's swap, (c) every fold DEDUPLICATES on
+    its natural key (doc_uid / feature id / band row), so a retry that
+    re-folds a half-cleaned state converges to exactly one copy, and
+    (d) markers clear for snapshots folded now OR folded by a crashed
+    promote (n_docs > 0, trees gone) — while a ZERO-doc marker with no
+    trees (an entirely-redelivered batch) survives as the redelivery
+    short-circuit it is.
 
     Cost: one columnar rewrite of the curated/feature/band tables —
     O(corpus) bytes like any compaction, amortized over however many
@@ -855,66 +879,108 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
         for name in fsutil.list_names(spark, f"{out_dir}/{tree}")
         if name.startswith("snap=")
     }
-    marker_snaps = {
-        name[len("incr-"):-len(".json")]
-        for name in fsutil.list_names(spark, f"{out_dir}/{STAGES_DIR}")
-        if name.startswith("incr-") and name.endswith(".json")
-    }
-    snaps = sorted(tree_snaps | marker_snaps)
-    if not snaps:
+    # ONLY snapshots with a COMPLETED incr-<snap> marker fold (r4 review
+    # finding): an unmarked tree is a crashed increment's half-commit —
+    # folding its features into the unlabeled base would make the
+    # increment's own retry anti-join every document against its folded
+    # self and permanently commit 0 docs. Unmarked trees are left for
+    # the increment retry (which overwrites its own partitions).
+    marker_docs: dict[str, int] = {}
+    for name in fsutil.list_names(spark, f"{out_dir}/{STAGES_DIR}"):
+        if not (name.startswith("incr-") and name.endswith(".json")):
+            continue
+        raw = fsutil.read_text(spark, f"{out_dir}/{STAGES_DIR}/{name}")
+        try:
+            m = json.loads(raw) if raw else {}
+        except json.JSONDecodeError:
+            continue
+        if m.get("status") == "completed":
+            marker_docs[name[len("incr-"):-len(".json")]] = int(
+                m.get("n_docs", 0))
+    fold = sorted(s for s in marker_docs if s in tree_snaps)
+    # markers to clear: folded this run, or folded by a crashed promote
+    # (n_docs > 0 but trees already gone). A ZERO-doc marker with no
+    # trees is the redelivery short-circuit for an entirely-redelivered
+    # batch — nothing was ever folded, so it stays.
+    clear = sorted(s for s, n in marker_docs.items()
+                   if s in tree_snaps or n > 0)
+    if not fold and not clear:
         return {"promoted_snaps": [], "elapsed_sec": time.time() - t0}
 
-    # fold curated rows: base ∪ every increment, deduped by doc identity
-    # (a retry of a crashed promote sees the already-folded copy AND the
-    # not-yet-deleted increment copy — identical rows, keep one), written
-    # aside + swapped; this tree's increment partitions are deleted
+    def _tree_snapset(tree: str) -> set[str]:
+        return {
+            n[len("snap="):]
+            for n in fsutil.list_names(spark, f"{out_dir}/{tree}")
+            if n.startswith("snap=")
+        }
+
+    # fold curated rows: base ∪ the MARKED increments, deduped by doc
+    # identity (a retry of a crashed promote sees the already-folded copy
+    # AND the not-yet-deleted increment copy — identical rows, keep one),
+    # written aside + swapped; this tree's folded partitions are deleted
     # immediately after so no later crash can double-fold them
-    incr_curated = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
     docs_folded = 0
-    if incr_curated is not None:
+    cur_fold = sorted(_tree_snapset(CURATED_INCR) & set(fold))
+    if cur_fold:
+        incr_curated = spark.read.parquet(
+            f"{out_dir}/{CURATED_INCR}"
+        ).filter(F.col("snap").isin(cur_fold)).drop("snap")
         docs_folded = incr_curated.count()
-        merged = read_curated(spark, out_dir).dropDuplicates(["doc_uid"])
-        merged.write.mode("overwrite").partitionBy("split").parquet(
-            f"{curated_live}__tmp"
-        )
+        base = _read_optional(spark, curated_live)
+        merged = (incr_curated if base is None
+                  else base.unionByName(incr_curated,
+                                        allowMissingColumns=True))
+        merged.dropDuplicates(["doc_uid"]).write.mode(
+            "overwrite").partitionBy("split").parquet(f"{curated_live}__tmp")
         _swap_dir(spark, curated_live, f"{curated_live}__old",
                   f"{curated_live}__tmp")
         spark.catalog.refreshByPath(curated_live)
-        for s in snaps:
+        for s in cur_fold:
             fsutil.delete(spark, f"{out_dir}/{CURATED_INCR}/snap={s}")
 
     # fold feature rows the same way (dedup by feature id)
-    incr_feats = _read_optional(spark, f"{out_dir}/{SCRATCH_INCR}")
-    if incr_feats is not None:
-        merged_feats = _existing_features(
-            spark, out_dir, exclude_snap="__promote_none__"
+    feat_fold = sorted(_tree_snapset(SCRATCH_INCR) & set(fold))
+    if feat_fold:
+        incr_feats = spark.read.parquet(
+            f"{out_dir}/{SCRATCH_INCR}"
+        ).filter(F.col("snap").isin(feat_fold)).drop("snap")
+        base_feats = _read_optional(spark, feats_live)
+        merged_feats = (
+            incr_feats if base_feats is None
+            else base_feats.unionByName(incr_feats.select(base_feats.columns))
         ).dropDuplicates(["id"])
         merged_feats.write.mode("overwrite").parquet(f"{feats_live}__tmp")
         _swap_dir(spark, feats_live, f"{feats_live}__old",
                   f"{feats_live}__tmp")
         spark.catalog.refreshByPath(feats_live)
-        for s in snaps:
+        for s in feat_fold:
             fsutil.delete(spark, f"{out_dir}/{SCRATCH_INCR}/snap={s}")
 
-    # merge the band index: relabel every stored row snap=base — one
-    # columnar copy (no re-hashing), deduped (a retry can see a row under
-    # both its old snap and the folded base), written aside + swapped
-    # (rewriting the dir from a plan that reads it is the documented
-    # FileNotFound trap, and a checkpoint of the whole band table would
-    # not scale)
+    # merge the band index: relabel the MARKED snapshots' rows (plus the
+    # existing base) snap=base — one columnar copy (no re-hashing),
+    # deduped (a retry can see a row under both its old snap and the
+    # folded base); unmarked snapshots' partitions pass through
+    # untouched. Written aside + swapped (rewriting the dir from a plan
+    # that reads it is the documented FileNotFound trap, and a
+    # checkpoint of the whole band table would not scale)
     from epstein_browser_spark.dedup import N_BAND_PARTITIONS
 
     bands_live = f"{out_dir}/{BANDS_DIR}"
-    has_band_snaps = any(
-        n.startswith("snap=") and n != "snap=base"
-        for n in fsutil.list_names(spark, bands_live)
-    )
-    bands = _read_optional(spark, bands_live) if has_band_snaps else None
-    if bands is not None:
-        (
-            bands.select("id", "band", "band_hash", "pband")
+    band_fold = sorted(_tree_snapset(BANDS_DIR) & set(fold))
+    if band_fold:
+        bands = spark.read.parquet(bands_live)
+        fold_set = set(band_fold) | {"base"}
+        folded = (
+            bands.filter(F.col("snap").isin(sorted(fold_set)))
+            .select("id", "band", "band_hash", "pband")
             .dropDuplicates(["id", "band", "band_hash"])
             .withColumn("snap", F.lit("base"))
+        )
+        passthrough = bands.filter(
+            ~F.col("snap").isin(sorted(fold_set))
+        ).select("id", "band", "band_hash", "pband", "snap")
+        (
+            folded.unionByName(passthrough)
             .repartition(N_BAND_PARTITIONS, "pband")
             .write.mode("overwrite").partitionBy("snap", "pband")
             .parquet(f"{bands_live}__tmp")
@@ -924,14 +990,14 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
         spark.catalog.refreshByPath(bands_live)
 
     # every tree folded: clear the promoted snapshots' stage markers
-    # (tree-and-marker union above guarantees a retry reaches this even
-    # when the trees were already cleaned by the crashed attempt)
-    for s in snaps:
+    # (the `clear` set also covers markers whose trees a crashed promote
+    # already cleaned)
+    for s in clear:
         marker = _stage_path(out_dir, f"incr-{s}")
         if fsutil.exists(spark, marker):
             fsutil.delete(spark, marker, recursive=False)
 
-    metrics = {"promoted_snaps": snaps, "docs_folded": int(docs_folded),
+    metrics = {"promoted_snaps": clear, "docs_folded": int(docs_folded),
                "elapsed_sec": time.time() - t0}
     fsutil.mkdirs(spark, f"{out_dir}/{STAGES_DIR}")
     fsutil.write_text(spark, _stage_path(out_dir, "promote-last"),

@@ -1242,9 +1242,15 @@ def q39_search_page(spark, sf_dir):
     # re-evaluate the full search (two scans + two anti-joins — the r4
     # paired bench measured the double evaluation as q39's entire 1.59×
     # delta vs r2). The match set is the SMALL post-filter frame
-    # (hundreds of rows), so an eager localCheckpoint is cheap at any
-    # corpus size — at 100 TB this is exactly the frame you'd cache.
-    unioned = src.unionByName(txt).localCheckpoint(eager=True)
+    # (hundreds of rows): persist + eager count (NOT localCheckpoint —
+    # persisted blocks keep their lineage, so an executor loss recomputes
+    # instead of failing the query; the r1 rule applies: an unmaterialized
+    # persist referenced twice in one plan recomputes per side, hence the
+    # count first). At 100 TB this is exactly the frame you'd cache.
+    from pyspark import StorageLevel
+
+    unioned = src.unionByName(txt).persist(StorageLevel.MEMORY_AND_DISK)
+    unioned.count()
     meta = unioned.agg(
         F.count("*").alias("total_count"),
         F.ceil(F.count("*") / per_page).alias("n_pages"),

@@ -189,3 +189,90 @@ def test_read_optional_corrupt_table_raises(spark, tmp_path):
         curation._read_optional(spark, p).count()
     # absent path still maps to None
     assert curation._read_optional(spark, str(tmp_path / "nope")) is None
+
+
+def test_promote_skips_half_committed_increment(spark, tmp_path):
+    """An increment that crashed after writing its feature/band
+    partitions but BEFORE its stage marker must NOT fold (folding its
+    features would make the increment's retry anti-join its own docs
+    away and commit 0 docs — r4 review). The retry completes normally
+    after a promote ran in between."""
+    out = str(tmp_path / "halfcommit")
+    pdf = make_transcripts_pdf(n_convs=10, hot_conv_turns=30)
+    half = len(pdf) // 2
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:half]), out,
+                          n_buckets=2, input_snapshot="s0")
+    inc_sdf = spark.createDataFrame(pdf.iloc[half:])
+    m = curation.run_curation_increment(spark, inc_sdf, out, snapshot="b1",
+                                        n_buckets=2)
+    n_docs_b1 = m["curate"]["n_docs"]
+    assert n_docs_b1 > 0
+    # simulate the half-commit: features + bands exist, marker and
+    # curated rows do NOT (the state after a crash mid-increment)
+    fsutil.delete(spark, f"{out}/_stages/incr-b1.json", recursive=False)
+    fsutil.delete(spark, f"{out}/{curation.CURATED_INCR}/snap=b1")
+
+    mp = curation.promote_increments(spark, out)
+    assert mp["promoted_snaps"] == []          # nothing marked -> no fold
+    assert fsutil.exists(spark, f"{out}/{curation.SCRATCH_INCR}/snap=b1")
+
+    # the increment retry (same snapshot) now completes with its docs
+    m2 = curation.run_curation_increment(spark, inc_sdf, out, snapshot="b1",
+                                         n_buckets=2)
+    assert m2["curate"]["n_docs"] == n_docs_b1
+
+
+def test_promote_keeps_zero_doc_redelivery_marker(spark, tmp_path):
+    """A fully-redelivered batch leaves a 0-doc marker and no trees;
+    promote must keep that marker (it is the redelivery short-circuit)
+    and not report the snapshot as promoted."""
+    out = str(tmp_path / "zerodoc")
+    pdf = make_transcripts_pdf(n_convs=8, hot_conv_turns=30)
+    curation.run_curation(spark, spark.createDataFrame(pdf), out,
+                          n_buckets=2, input_snapshot="s0")
+    # redeliver the SAME data as an increment: everything dedups away
+    m = curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf), out, snapshot="redeliver",
+        n_buckets=2)
+    assert m["curate"]["n_docs"] == 0
+    mp = curation.promote_increments(spark, out)
+    assert "redeliver" not in mp["promoted_snaps"]
+    assert fsutil.exists(spark, f"{out}/_stages/incr-redeliver.json")
+    # ... and the marker still short-circuits a re-redelivery
+    m2 = curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf), out, snapshot="redeliver",
+        n_buckets=2)
+    assert m2["curate"].get("skipped") is True
+
+
+def test_resume_key_includes_token_counter(spark, tmp_path):
+    """Re-running a completed job with bpe_merges newly enabled must
+    RECOMPUTE the curate stage (r4 review: the resume marker used to
+    match on input_snapshot alone and silently kept proxy counts)."""
+    from epstein_browser_spark import bpe
+
+    out = str(tmp_path / "bperesume")
+    pdf = make_transcripts_pdf(n_convs=6, hot_conv_turns=20)
+    sdf = spark.createDataFrame(pdf)
+    m1 = curation.run_curation(spark, sdf, out, n_buckets=2,
+                               input_snapshot="s0")
+    assert m1["curate"].get("skipped") is None
+    ws_tokens = {r["doc_uid"]: r["n_tokens"] for r in
+                 spark.read.parquet(f"{out}/curated")
+                 .select("doc_uid", "n_tokens").collect()}
+
+    merges = bpe.train_merges_local([("the", 5), ("record", 4),
+                                     ("flight", 3)], 10)
+    m2 = curation.run_curation(spark, sdf, out, n_buckets=2,
+                               input_snapshot="s0", bpe_merges=merges)
+    assert m2["curate"].get("skipped") is None   # NOT skipped: recomputed
+    assert m2["curate"]["token_counter"] == "bpe"
+    spark.catalog.refreshByPath(f"{out}/curated")
+    bpe_tokens = {r["doc_uid"]: r["n_tokens"] for r in
+                  spark.read.parquet(f"{out}/curated")
+                  .select("doc_uid", "n_tokens").collect()}
+    assert bpe_tokens != ws_tokens
+    # identical rerun WITH the same setting resumes
+    m3 = curation.run_curation(spark, sdf, out, n_buckets=2,
+                               input_snapshot="s0", bpe_merges=merges)
+    assert m3["curate"].get("skipped") is True
