@@ -210,13 +210,12 @@ def conversation_exact_kept(convs: DataFrame) -> DataFrame:
     """Exact conversation dedup: keep the min conv_uid per concatenated-
     text hash — the conversation-granularity twin of the turn path's
     content-hash keep rule."""
-    hashed = convs.withColumn("conv_hash", F.md5("conv_text"))
-    keep = hashed.groupBy("conv_hash").agg(
-        F.min("conv_uid").alias("_keep_uid")
+    from epstein_browser_spark.dedup import keep_min_per_hash
+
+    return keep_min_per_hash(
+        convs.withColumn("conv_hash", F.md5("conv_text")),
+        "conv_hash", "conv_uid",
     )
-    return hashed.join(keep, "conv_hash").filter(
-        F.col("conv_uid") == F.col("_keep_uid")
-    ).drop("_keep_uid")
 
 
 def _gated_unique_turns(extracted: DataFrame) -> DataFrame:
@@ -251,13 +250,10 @@ def _gated_exact_kept(extracted: DataFrame) -> DataFrame:
     min-uid-per-hash alone would keep every same-uid copy because
     identical uids trivially equal the group min and id_a < id_b pairing
     never pairs equal ids — hence the uid collapse first."""
-    docs = _gated_unique_turns(extracted)
-    keep = docs.groupBy("content_hash").agg(
-        F.min("doc_uid").alias("_keep_uid")
-    )
-    return docs.join(keep, "content_hash").filter(
-        F.col("doc_uid") == F.col("_keep_uid")
-    ).drop("_keep_uid")
+    from epstein_browser_spark.dedup import keep_min_per_hash
+
+    return keep_min_per_hash(_gated_unique_turns(extracted),
+                             "content_hash", "doc_uid")
 
 
 def _annotate(canonical: DataFrame, redact_pii: bool,
@@ -268,24 +264,14 @@ def _annotate(canonical: DataFrame, redact_pii: bool,
     ``bpe_merges`` (a trained merges table, bpe.py) switches ``n_tokens``
     from the whitespace proxy to REAL BPE counts — what the downstream
     packing/mixture budgets actually consume — via the JVM literal-replace
-    chain (explode words → chain → per-doc sum, no Python)."""
-    lang = langid_ngram_table(canonical, "clean_text", "doc_uid").select(
-        F.col("id").alias("doc_uid"), "predicted_lang"
-    )
-    out = canonical.join(lang, "doc_uid", "left")
-    if bpe_merges is not None:
-        from epstein_browser_spark import bpe
+    chain (explode words → chain → per-doc sum, no Python).
 
-        counts = bpe.doc_bpe_token_counts(
-            out, bpe_merges, text_col="clean_text", id_col="doc_uid"
-        ).select(F.col("id").alias("doc_uid"),
-                 F.col("n_bpe_tokens").alias("n_tokens"))
-        out = out.join(counts, "doc_uid", "left").withColumn(
-            "n_tokens", F.coalesce("n_tokens", F.lit(0))
-        )
-    else:
-        out = out.withColumn("n_tokens", token_count(F.col("clean_text")))
-    out = out.withColumn("split", deterministic_split(F.col("conv_id")))
+    Ordering: redaction runs FIRST (identity decisions already happened
+    upstream on the original text), so every stored statistic — language
+    ID, n_tokens, n_pii — describes the text the table actually contains;
+    counting tokens on the pre-redaction text would overstate the budget
+    of PII-heavy documents and desynchronize packing (r4 review)."""
+    out = canonical
     if redact_pii:
         from epstein_browser_spark import redaction
 
@@ -303,7 +289,75 @@ def _annotate(canonical: DataFrame, redact_pii: bool,
             c = F.regexp_count("clean_text", F.lit(tag))
             n_pii = c if n_pii is None else n_pii + c
         out = out.withColumn("n_pii", n_pii)
-    return out
+    lang = langid_ngram_table(out, "clean_text", "doc_uid").select(
+        F.col("id").alias("doc_uid"), "predicted_lang"
+    )
+    out = out.join(lang, "doc_uid", "left")
+    if bpe_merges is not None:
+        from epstein_browser_spark import bpe
+
+        counts = bpe.doc_bpe_token_counts(
+            out, bpe_merges, text_col="clean_text", id_col="doc_uid"
+        ).select(F.col("id").alias("doc_uid"),
+                 F.col("n_bpe_tokens").alias("n_tokens"))
+        out = out.join(counts, "doc_uid", "left").withColumn(
+            "n_tokens", F.coalesce("n_tokens", F.lit(0))
+        )
+    else:
+        out = out.withColumn("n_tokens", token_count(F.col("clean_text")))
+    return out.withColumn("split", deterministic_split(F.col("conv_id")))
+
+
+def _write_split_manifests(spark: SparkSession, curated, out_dir: str,
+                           base_fields: dict, name_fn,
+                           fill_empty: bool = False) -> dict:
+    """ONE manifest writer for the base job and increments (their copies
+    had drifted — increments lacked total_chars and the language
+    histogram, so cross-file aggregation under-counted; r4 review).
+    Returns {split: n_docs}. ``curated=None`` means a zero-doc run."""
+    split_stats = [] if curated is None else (
+        curated.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("chars_out").alias("total_chars"),
+        )
+        .collect()
+    )
+    lang_hist = [] if curated is None else (
+        curated.groupBy("split", "predicted_lang").count().collect()
+    )
+    langs_by_split: dict[str, dict[str, int]] = {}
+    for r in lang_hist:
+        langs_by_split.setdefault(r["split"], {})[r["predicted_lang"]] = (
+            int(r["count"]))
+    fsutil.mkdirs(spark, f"{out_dir}/manifests")
+    split_counts: dict[str, int] = {}
+    for r in split_stats:
+        sp = r["split"]
+        man = {
+            "split": sp, **base_fields,
+            "n_docs": int(r["n_docs"]),
+            "n_convs": int(r["n_convs"]),
+            "total_tokens": int(r["total_tokens"] or 0),
+            "total_chars": int(r["total_chars"] or 0),
+            "languages": langs_by_split.get(sp, {}),
+        }
+        fsutil.write_text(spark, f"{out_dir}/manifests/{name_fn(sp)}",
+                          json.dumps(man))
+        split_counts[sp] = man["n_docs"]
+    if fill_empty:
+        for sp in SPLIT_NAMES:  # empty splits still get explicit manifests
+            if sp not in split_counts:
+                fsutil.write_text(
+                    spark, f"{out_dir}/manifests/{name_fn(sp)}",
+                    json.dumps({"split": sp, **base_fields, "n_docs": 0,
+                                "n_convs": 0, "total_tokens": 0,
+                                "total_chars": 0, "languages": {}}),
+                )
+                split_counts[sp] = 0
+    return split_counts
 
 
 def run_curation(
@@ -347,11 +401,17 @@ def run_curation(
         _mark_stage(spark, out_dir, "extract", input_snapshot,
                     {"rows_out": ext["rows_out"]})
 
-    # stage 2: curate + split + manifests
+    # stage 2: curate + split + manifests. The resume key includes EVERY
+    # semantics-affecting setting — a completed marker from a run with
+    # different redaction/threshold/granularity/tokenizer must recompute,
+    # not silently skip (r4 review: redact_pii newly enabled would have
+    # left raw PII in the table behind a "skipped" success)
     token_counter = "bpe" if bpe_merges is not None else "whitespace"
+    settings = {"unit": unit, "token_counter": token_counter,
+                "redact_pii": redact_pii, "near_threshold": near_threshold,
+                "max_bucket": max_bucket}
     done = resume and stage_completed(
-        spark, out_dir, "curate", input_snapshot,
-        require={"unit": unit, "token_counter": token_counter},
+        spark, out_dir, "curate", input_snapshot, require=settings,
     )
     if done:
         metrics["curate"] = {**done, "skipped": True}
@@ -363,87 +423,70 @@ def run_curation(
     stage_sec = {}
     caps = CapMetrics()
     t1 = time.time()
-    extracted = spark.read.parquet(f"{out_dir}/extract/data")
-    curated = curate_documents(
-        extracted, near_threshold=near_threshold,
-        scratch_dir=f"{out_dir}/_scratch/minhash",
-        redact_pii=redact_pii,
-        cap_metrics=caps, max_bucket=max_bucket, unit=unit,
-        bpe_merges=bpe_merges,
-    ).drop("bucket")
-    # curate_documents runs the near-dup pairs + connected components
-    # eagerly (CC is an iterative collect loop); everything after is lazy
-    stage_sec["dedup_pairs_cc"] = round(time.time() - t1, 3)
+    # _read_optional: a zero-row input corpus leaves extract/data with
+    # only _SUCCESS (schema inference fails) — that is a legitimate
+    # zero-doc run, not an error (r4 review)
+    extracted = _read_optional(spark, f"{out_dir}/extract/data")
+    if extracted is not None:
+        curated = curate_documents(
+            extracted, near_threshold=near_threshold,
+            scratch_dir=f"{out_dir}/_scratch/minhash",
+            redact_pii=redact_pii,
+            cap_metrics=caps, max_bucket=max_bucket, unit=unit,
+            bpe_merges=bpe_merges,
+        ).drop("bucket")
+        # curate_documents runs the near-dup pairs + connected components
+        # eagerly (CC is an iterative collect loop); the rest is lazy
+        stage_sec["dedup_pairs_cc"] = round(time.time() - t1, 3)
+        t1 = time.time()
+        # persist the LSH band index of the scratch features: future
+        # incremental batches probe it as a pband-pruned scan instead of
+        # re-banding every stored signature (run_curation_increment)
+        base_feats = _read_optional(spark, f"{out_dir}/_scratch/minhash")
+        if base_feats is not None:
+            _write_band_index(base_feats, out_dir, snap="base")
+        else:
+            # zero features this run: a PREVIOUS run's base band index
+            # would otherwise outlive the (truncated) feature table
+            fsutil.delete(spark, f"{out_dir}/{BANDS_DIR}/snap=base")
+        stage_sec["band_index"] = round(time.time() - t1, 3)
+        t1 = time.time()
+        # one materialization feeds the write AND the manifest aggregates
+        # — without it each consumer recomputes the dedup pipeline
+        curated = curated.localCheckpoint(eager=True)
+        stage_sec["gate_stats_materialize"] = round(time.time() - t1, 3)
+    else:
+        curated = None
     t1 = time.time()
-    # persist the LSH band index of the scratch features: future
-    # incremental batches probe it as a pband-pruned scan instead of
-    # re-banding every stored signature (run_curation_increment)
-    base_feats = _read_optional(spark, f"{out_dir}/_scratch/minhash")
-    if base_feats is not None:  # None: gate kept zero docs, no features
-        _write_band_index(base_feats, out_dir, snap="base")
-    stage_sec["band_index"] = round(time.time() - t1, 3)
-    t1 = time.time()
-    # one materialization feeds the write AND the manifest aggregates —
-    # without it each consumer recomputes the dedup pipeline
-    curated = curated.localCheckpoint(eager=True)
-    stage_sec["gate_stats_materialize"] = round(time.time() - t1, 3)
-    t1 = time.time()
-    if not curated.isEmpty():
-        fsutil.write_partition_overwrite(curated, f"{out_dir}/curated",
-                                         partition_col="split")
-    # zero survivors: no write — a parquet dir holding only _SUCCESS
-    # breaks schema inference on read-back (the same crash mode the
-    # increment path guards); read_curated tolerates the missing dir
+    # install the curated table by FULL swap, not dynamic overwrite: the
+    # curate stage always produces the complete table, and a re-run under
+    # a new input snapshot must not leave a previous run's partitions
+    # behind (dynamic overwrite only replaces splits present in the new
+    # output — and the zero-survivor run replaces none; r4 review)
+    curated_live = f"{out_dir}/curated"
+    _recover_swap(spark, curated_live, f"{curated_live}__old",
+                  f"{curated_live}__tmp")
+    if curated is not None and not curated.isEmpty():
+        curated.write.mode("overwrite").partitionBy("split").parquet(
+            f"{curated_live}__tmp")
+        _swap_dir(spark, curated_live, f"{curated_live}__old",
+                  f"{curated_live}__tmp")
+    elif fsutil.exists(spark, curated_live):
+        fsutil.delete(spark, curated_live)
+    spark.catalog.refreshByPath(curated_live)
 
     # per-split manifests: bounded aggregates (3 splits × |langs|)
-    split_stats = (
-        curated.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("conv_id").alias("n_convs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("chars_out").alias("total_chars"),
-        )
-        .collect()
+    split_counts = _write_split_manifests(
+        spark, curated, out_dir, {"input_snapshot": input_snapshot},
+        lambda sp: f"split-{sp}.json", fill_empty=True,
     )
-    lang_hist = (
-        curated.groupBy("split", "predicted_lang").count().collect()
-    )
-    langs_by_split: dict[str, dict[str, int]] = {}
-    for r in lang_hist:
-        langs_by_split.setdefault(r["split"], {})[r["predicted_lang"]] = int(r["count"])
-    fsutil.mkdirs(spark, f"{out_dir}/manifests")
-    split_counts = {}
-    for r in split_stats:
-        s = r["split"]
-        man = {
-            "split": s,
-            "input_snapshot": input_snapshot,
-            "n_docs": int(r["n_docs"]),
-            "n_convs": int(r["n_convs"]),
-            "total_tokens": int(r["total_tokens"] or 0),
-            "total_chars": int(r["total_chars"] or 0),
-            "languages": langs_by_split.get(s, {}),
-        }
-        fsutil.write_text(spark, f"{out_dir}/manifests/split-{s}.json",
-                          json.dumps(man))
-        split_counts[s] = man["n_docs"]
-    for s in SPLIT_NAMES:  # empty splits still get an explicit manifest
-        if s not in split_counts:
-            fsutil.write_text(
-                spark, f"{out_dir}/manifests/split-{s}.json",
-                json.dumps({"split": s, "input_snapshot": input_snapshot,
-                            "n_docs": 0, "n_convs": 0, "total_tokens": 0,
-                            "total_chars": 0, "languages": {}}),
-            )
-            split_counts[s] = 0
 
     stage_sec["write_manifests"] = round(time.time() - t1, 3)
     n_curated = sum(split_counts.values())
     metrics["curate"] = _mark_stage(
         spark, out_dir, "curate", input_snapshot,
         {"n_docs": n_curated, "splits": split_counts,
-         "unit": unit, "token_counter": token_counter,
+         **settings,
          "stage_sec": stage_sec,
          # what the bounded-candidate caps dropped (no silent truncation):
          # the near-dup pipeline executed above, so the observations exist
@@ -497,7 +540,7 @@ def _existing_bands(spark: SparkSession, out_dir: str, exclude_snap: str,
         for r in probe_bands.select("pband").distinct().collect()
     )
     return (
-        bands.filter(F.col("snap") != exclude_snap)
+        _snap_str(bands).filter(F.col("snap") != exclude_snap)
         .filter(F.col("pband").isin(pbands))
         .drop("snap", "pband")
     )
@@ -523,6 +566,15 @@ def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
         if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
             return None
         raise
+
+
+def _snap_str(df: DataFrame) -> DataFrame:
+    """Partition-type inference reads an all-numeric ``snap=`` tree as
+    INT; a string comparison/isin against such a column evaluates to
+    NULL and silently drops EVERY row (filter(snap != 'x') on an int
+    column keeps nothing) — so every reader of a snap-partitioned tree
+    normalizes the column to string first (r4 review)."""
+    return df.withColumn("snap", F.col("snap").cast("string"))
 
 
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -560,7 +612,8 @@ def _existing_curated(spark: SparkSession, out_dir: str,
     base = _read_optional(spark, f"{out_dir}/curated")
     incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
     if incr is not None:
-        incr = incr.filter(F.col("snap") != exclude_snap).drop("snap")
+        incr = _snap_str(incr).filter(
+            F.col("snap") != exclude_snap).drop("snap")
     if base is None:
         return incr
     if incr is None:
@@ -577,7 +630,8 @@ def _existing_features(spark: SparkSession, out_dir: str,
     feats = _read_optional(spark, f"{out_dir}/_scratch/minhash")
     incr = _read_optional(spark, f"{out_dir}/{SCRATCH_INCR}")
     if incr is not None:
-        incr = incr.filter(F.col("snap") != exclude_snap).drop("snap")
+        incr = _snap_str(incr).filter(
+            F.col("snap") != exclude_snap).drop("snap")
     if feats is None:
         return incr
     if incr is None:
@@ -653,9 +707,11 @@ def run_curation_increment(
         )
     stage = f"incr-{snapshot}"
     token_counter = "bpe" if bpe_merges is not None else "whitespace"
+    incr_settings = {"token_counter": token_counter,
+                     "redact_pii": redact_pii,
+                     "near_threshold": near_threshold}
     done = resume and stage_completed(
-        spark, out_dir, stage, snapshot,
-        require={"token_counter": token_counter},
+        spark, out_dir, stage, snapshot, require=incr_settings,
     )
     if done:
         return {"curate": {**done, "skipped": True},
@@ -693,8 +749,7 @@ def run_curation_increment(
         # nothing to write — an empty partitioned parquet dir would crash
         # the read-back on schema inference, and the index gains nothing
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
-                              {"n_docs": 0, "splits": {},
-                               "token_counter": token_counter})
+                              {"n_docs": 0, "splits": {}, **incr_settings})
         return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
     # near-dup features for the increment → disk (they ARE the index rows
@@ -705,7 +760,7 @@ def run_curation_increment(
         .withColumn("snap", F.lit(snapshot)),
         feats_dir, partition_col="snap",
     )
-    new_feats = spark.read.parquet(feats_dir).filter(
+    new_feats = _snap_str(spark.read.parquet(feats_dir)).filter(
         F.col("snap") == snapshot
     ).drop("snap")
     _write_band_index(new_feats, out_dir, snap=snapshot)
@@ -764,29 +819,14 @@ def run_curation_increment(
         out, f"{out_dir}/{CURATED_INCR}", partition_col=["snap", "split"]
     )
 
-    split_stats = (
-        out.groupBy("split")
-        .agg(F.count("*").alias("n_docs"),
-             F.countDistinct("conv_id").alias("n_convs"),
-             F.sum("n_tokens").alias("total_tokens"))
-        .collect()
+    split_counts = _write_split_manifests(
+        spark, out.drop("snap"), out_dir, {"snapshot": snapshot},
+        lambda sp: f"incr-{snapshot}-{sp}.json",
     )
-    fsutil.mkdirs(spark, f"{out_dir}/manifests")
-    split_counts = {}
-    for r in split_stats:
-        man = {"split": r["split"], "snapshot": snapshot,
-               "n_docs": int(r["n_docs"]), "n_convs": int(r["n_convs"]),
-               "total_tokens": int(r["total_tokens"] or 0)}
-        fsutil.write_text(
-            spark, f"{out_dir}/manifests/incr-{snapshot}-{r['split']}.json",
-            json.dumps(man),
-        )
-        split_counts[r["split"]] = man["n_docs"]
 
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
-                           "splits": split_counts,
-                           "token_counter": token_counter,
+                           "splits": split_counts, **incr_settings,
                            "cap_metrics": caps.summary()})
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
@@ -873,11 +913,14 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
                   f"{out_dir}/{BANDS_DIR}__old",
                   f"{out_dir}/{BANDS_DIR}__tmp")
 
+    # BANDS_DIR included: a crash between the scratch-tree cleanup and
+    # the band swap must leave the snapshot fold-eligible on retry, or
+    # its band partitions would be orphaned while the marker clears
     tree_snaps = {
         name[len("snap="):]
-        for tree in (CURATED_INCR, SCRATCH_INCR)
+        for tree in (CURATED_INCR, SCRATCH_INCR, BANDS_DIR)
         for name in fsutil.list_names(spark, f"{out_dir}/{tree}")
-        if name.startswith("snap=")
+        if name.startswith("snap=") and name != "snap=base"
     }
     # ONLY snapshots with a COMPLETED incr-<snap> marker fold (r4 review
     # finding): an unmarked tree is a crashed increment's half-commit —
@@ -922,9 +965,9 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     docs_folded = 0
     cur_fold = sorted(_tree_snapset(CURATED_INCR) & set(fold))
     if cur_fold:
-        incr_curated = spark.read.parquet(
+        incr_curated = _snap_str(spark.read.parquet(
             f"{out_dir}/{CURATED_INCR}"
-        ).filter(F.col("snap").isin(cur_fold)).drop("snap")
+        )).filter(F.col("snap").isin(cur_fold)).drop("snap")
         docs_folded = incr_curated.count()
         base = _read_optional(spark, curated_live)
         merged = (incr_curated if base is None
@@ -941,9 +984,9 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     # fold feature rows the same way (dedup by feature id)
     feat_fold = sorted(_tree_snapset(SCRATCH_INCR) & set(fold))
     if feat_fold:
-        incr_feats = spark.read.parquet(
+        incr_feats = _snap_str(spark.read.parquet(
             f"{out_dir}/{SCRATCH_INCR}"
-        ).filter(F.col("snap").isin(feat_fold)).drop("snap")
+        )).filter(F.col("snap").isin(feat_fold)).drop("snap")
         base_feats = _read_optional(spark, feats_live)
         merged_feats = (
             incr_feats if base_feats is None
@@ -968,7 +1011,7 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     bands_live = f"{out_dir}/{BANDS_DIR}"
     band_fold = sorted(_tree_snapset(BANDS_DIR) & set(fold))
     if band_fold:
-        bands = spark.read.parquet(bands_live)
+        bands = _snap_str(spark.read.parquet(bands_live))
         fold_set = set(band_fold) | {"base"}
         folded = (
             bands.filter(F.col("snap").isin(sorted(fold_set)))

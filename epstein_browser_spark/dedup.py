@@ -119,6 +119,18 @@ class CapMetrics:
         return agg
 
 
+def keep_min_per_hash(df: DataFrame, hash_col: str, id_col: str) -> DataFrame:
+    """THE exact-dedup keep rule, in one place: keep the row with the
+    minimum ``id_col`` per ``hash_col`` group (one partial-aggregable
+    shuffle + an equi-join back). Shared by the turn- and conversation-
+    granularity curation paths — the rule's two hand-rolled copies kept
+    having to stay in lockstep by convention (r4 review)."""
+    keep = df.groupBy(hash_col).agg(F.min(id_col).alias("_keep_id"))
+    return df.join(keep, hash_col).filter(
+        F.col(id_col) == F.col("_keep_id")
+    ).drop("_keep_id")
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (content_hash, n_docs, keep_id)."""

@@ -5,6 +5,7 @@ promoted corpus and the unpromoted snapshot tree, (3) the snapshot unions
 collapse (one features table, snap=base-only band index, no stage
 markers), (4) idempotence."""
 
+import json
 import shutil
 
 import pandas as pd
@@ -276,3 +277,116 @@ def test_resume_key_includes_token_counter(spark, tmp_path):
     m3 = curation.run_curation(spark, sdf, out, n_buckets=2,
                                input_snapshot="s0", bpe_merges=merges)
     assert m3["curate"].get("skipped") is True
+
+
+def test_resume_key_includes_redact_pii(spark, tmp_path):
+    """Re-running a completed job with redact_pii newly enabled must
+    recompute (r4 review pass 3): raw PII must not survive behind a
+    skipped-success."""
+    out = str(tmp_path / "piiresume")
+    pdf = pd.DataFrame([{
+        "conv_id": "a", "turn_idx": 0, "role": "user", "tool": None,
+        "ts": pd.Timestamp("2025-03-01"),
+        "text": "please send the archived records to analyst@example.com "
+                "before the deposition begins tomorrow morning",
+    }])
+    pdf["tool"] = pdf["tool"].astype("string")
+    sdf = spark.createDataFrame(pdf)
+    m1 = curation.run_curation(spark, sdf, out, n_buckets=2,
+                               input_snapshot="s0")
+    assert m1["curate"].get("skipped") is None
+    m2 = curation.run_curation(spark, sdf, out, n_buckets=2,
+                               input_snapshot="s0", redact_pii=True)
+    assert m2["curate"].get("skipped") is None   # recomputed
+    spark.catalog.refreshByPath(f"{out}/curated")
+    txt = spark.read.parquet(f"{out}/curated").collect()[0]["clean_text"]
+    assert "<EMAIL>" in txt and "analyst@" not in txt
+
+
+def test_numeric_snapshot_ids_end_to_end(spark, tmp_path):
+    """All-numeric snapshot ids: partition inference reads snap as INT,
+    and string comparisons against it become NULL — which used to make
+    _existing_features/_existing_curated filter out EVERY row (probes
+    against nothing) and promote drop passthrough partitions. The snap
+    column is normalized to string at every read (r4 review pass 3)."""
+    out = str(tmp_path / "numsnap")
+    pdf = make_transcripts_pdf(n_convs=10, hot_conv_turns=30)
+    third = len(pdf) // 3
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:third]),
+                          out, n_buckets=2, input_snapshot="s0")
+    m1 = curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf.iloc[third:2 * third]), out,
+        snapshot="20240101", n_buckets=2)
+    assert m1["curate"]["n_docs"] > 0
+    n_after_1 = curation.read_curated(spark, out).count()
+    # REDELIVER the same batch under a new numeric id: the against-corpus
+    # probe must drop everything (with the int-typed snap bug it admitted
+    # every doc again)
+    m2 = curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf.iloc[third:2 * third]), out,
+        snapshot="20240102", n_buckets=2)
+    assert m2["curate"]["n_docs"] == 0
+    assert curation.read_curated(spark, out).count() == n_after_1
+    # promote with numeric snaps folds cleanly
+    mp = curation.promote_increments(spark, out)
+    assert "20240101" in mp["promoted_snaps"]
+    spark.catalog.refreshByPath(f"{out}/curated")
+    assert curation.read_curated(spark, out).count() == n_after_1
+
+
+def test_rerun_new_snapshot_replaces_stale_partitions(spark, tmp_path):
+    """The curate stage installs the table by FULL swap: a re-run under a
+    new input snapshot whose gate keeps zero docs must not leave the
+    previous snapshot's partitions readable (r4 review pass 3)."""
+    import pytest
+
+    out = str(tmp_path / "stale")
+    good = make_transcripts_pdf(n_convs=6, hot_conv_turns=20)
+    m1 = curation.run_curation(spark, spark.createDataFrame(good), out,
+                               n_buckets=2, input_snapshot="v1")
+    assert m1["curate"]["n_docs"] > 0
+    junk = good.copy()
+    junk["text"] = "x"          # every row fails the gate
+    m2 = curation.run_curation(spark, spark.createDataFrame(junk), out,
+                               n_buckets=2, input_snapshot="v2",
+                               resume=False)
+    assert m2["curate"]["n_docs"] == 0
+    with pytest.raises(FileNotFoundError):
+        curation.read_curated(spark, out)
+    man = json.loads((tmp_path / "stale" / "manifests" /
+                      "split-train.json").read_text())
+    assert man["n_docs"] == 0 and man["input_snapshot"] == "v2"
+
+
+def test_run_curation_empty_input_corpus(spark, tmp_path):
+    """A zero-row input (empty daily partition) completes with zero-doc
+    manifests instead of crashing on schema inference."""
+    import pytest
+
+    from epstein_browser_spark.pipeline import TRANSCRIPTS_SCHEMA
+
+    out = str(tmp_path / "emptyin")
+    empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    m = curation.run_curation(spark, empty, out,
+                              n_buckets=2, input_snapshot="s0")
+    assert m["curate"]["n_docs"] == 0
+    with pytest.raises(FileNotFoundError):
+        curation.read_curated(spark, out)
+
+
+def test_n_tokens_counted_on_stored_text(spark, tmp_path):
+    """With redact_pii the stored n_tokens describes the REDACTED text
+    the table contains (one <EMAIL> token), not the original."""
+    out = str(tmp_path / "ntok")
+    pdf = pd.DataFrame([{
+        "conv_id": "a", "turn_idx": 0, "role": "user", "tool": None,
+        "ts": pd.Timestamp("2025-03-01"),
+        "text": "contact first.person@example.com second.person@example.com "
+                "third.person@example.com about the archived records now",
+    }])
+    pdf["tool"] = pdf["tool"].astype("string")
+    curation.run_curation(spark, spark.createDataFrame(pdf), out,
+                          n_buckets=2, input_snapshot="s0",
+                          redact_pii=True)
+    row = spark.read.parquet(f"{out}/curated").collect()[0]
+    assert row["n_tokens"] == len(row["clean_text"].split())
