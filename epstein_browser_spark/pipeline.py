@@ -109,9 +109,16 @@ def extract_transcripts(
         df.sortWithinPartitions("conv_id", "turn_idx")
         .mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
     )
-    # JVM-side finishers: rebuild ts, zip span arrays into structs, recompute
-    # bucket (deterministic from conv_id — cheaper than shipping via Arrow),
-    # and hash content (built-in md5, codegen)
+    return finish_extracted(out, n_buckets)
+
+
+def finish_extracted(out: DataFrame, n_buckets: int) -> DataFrame:
+    """THE JVM-side finisher block — rebuild ts from epoch micros, zip the
+    flat span arrays into structs, recompute bucket (deterministic from
+    conv_id — cheaper than shipping via Arrow), md5 content hash — shared
+    by batch (extract_transcripts) and stream (streaming.extract_stream):
+    a drifted copy of the content_hash definition would silently corrupt
+    dedup/upsert semantics across the two paths (r4 review)."""
     out = (
         out.withColumn("ts", F.timestamp_micros("ts_us"))
         .drop("ts_us")

@@ -172,10 +172,18 @@ def lsh_probe_buckets(dim: int, n_planes: int, query_vec: list[float],
     base = 0
     for b in bits:
         base = base * 2 + b
+    from itertools import combinations
+
     buckets = {base}
-    if n_flip >= 1:
-        for i in range(n_planes):
-            buckets.add(base ^ (1 << (n_planes - 1 - i)))
+    for r in range(1, n_flip + 1):
+        # every bucket within r sign-bit flips — C(n_planes, r) masks per
+        # radius (the docstring's contract; r4 review: n_flip >= 2 used
+        # to silently degrade to the 1-flip neighborhood)
+        for planes in combinations(range(n_planes), r):
+            mask = 0
+            for i in planes:
+                mask |= 1 << (n_planes - 1 - i)
+            buckets.add(base ^ mask)
     return sorted(buckets)
 
 
@@ -365,9 +373,10 @@ def ivf_topk(
         # for assignment + probe (recomputing would re-run the Lloyd jobs
         # per consumer); they are a k×dim local relation, already "cached"
         cents = cents.localCheckpoint(eager=True)
-        assigned = _assign_to(embeddings, cents, id_col, vec_col)
-    else:
-        assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    # both quantizers assign against the SAME cents frame — the rank
+    # branch used to rebuild the centroid scan inside ivf_assign, putting
+    # the orderBy+limit corpus scan in the plan twice (r4 review)
+    assigned = _assign_to(embeddings, cents, id_col, vec_col)
     qcells = (
         cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("cid"))
@@ -438,6 +447,7 @@ def pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 16,
     (= its own id) of subspace s. No k-means, so the whole index is
     value-oracle-checkable; swap in trained codebooks when recall matters
     more than reproducibility. m·k rows total — always broadcast."""
+    _check_corpus_dim(embeddings, vec_col, m)
     base = (
         embeddings.select(F.col(id_col).alias("code"),
                           F.col(vec_col).alias("_v"))
@@ -474,15 +484,7 @@ def kmeans_pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 16,
         )
     for s in books:
         books[s].sort()
-    subv = embeddings.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col(vec_col).alias("_v"),
-    ).select(
-        id_col, "sub",
-        F.slice("_v", F.col("sub") * (F.size("_v") / m).cast("int") + 1,
-                (F.size("_v") / m).cast("int")).alias("svec"),
-    )
+    subv = _subvectors(embeddings, m, id_col, vec_col)
     sv = F.col("svec")
     for _ in range(n_iters):
         code_expr = None
@@ -558,15 +560,9 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
     keeps ONE set of books for encode + ADC)."""
     if cb is None:
         cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
-    subv = embeddings.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col(vec_col).alias("_v"),
-    ).select(
-        id_col, "sub",
-        F.slice("_v", F.col("sub") * (F.size("_v") / m).cast("int") + 1,
-                (F.size("_v") / m).cast("int")).alias("svec"),
-    )
+    else:
+        _check_corpus_dim(embeddings, vec_col, m)
+    subv = _subvectors(embeddings, m, id_col, vec_col)
     # same argmin-under-constant-shift trick as ivf_assign: |s|² is
     # constant per (id, sub), so only c·c (projected on the m·k-row
     # broadcast side) and s·c (ONE fold per pair) are evaluated
@@ -589,6 +585,35 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
             F.array_sort(F.collect_list(F.struct("sub", "code"))),
             lambda s: s.code,
         ).alias("codes")
+    )
+
+
+def _check_corpus_dim(embeddings: DataFrame, vec_col: str, m: int) -> None:
+    """The corpus vectors' dimension must divide m, or the integer slice
+    width silently drops the trailing dims from codebooks AND codes (the
+    same failure _check_pq_dims guards for the query). Costs one
+    first-row job; empty corpora pass (nothing to truncate)."""
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is not None and row["d"] is not None and row["d"] % m != 0:
+        raise ValueError(
+            f"embedding dim {row['d']} not divisible by m={m}: the "
+            "trailing dims would be silently dropped from codebooks/codes"
+        )
+
+
+def _subvectors(embeddings: DataFrame, m: int, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(id, sub, svec) — each vector's m equal slices; ONE definition
+    shared by training (kmeans_pq_codebooks) and encoding (pq_encode) so
+    the two can never slice differently."""
+    return embeddings.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        id_col, "sub",
+        F.slice("_v", F.col("sub") * (F.size("_v") / m).cast("int") + 1,
+                (F.size("_v") / m).cast("int")).alias("svec"),
     )
 
 

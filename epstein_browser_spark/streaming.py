@@ -28,14 +28,15 @@ from epstein_browser_spark.udfs import EXTRACT_SCHEMA, extract_map_in_pandas
 
 
 def read_transcripts_stream(spark: SparkSession, input_dir: str,
-                            max_files_per_trigger: int = 16) -> DataFrame:
+                            max_files_per_trigger: int | None = 16
+                            ) -> DataFrame:
     """Incremental file-source stream over a directory of transcript
-    parquet files (new files picked up per micro-batch)."""
-    return (
-        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    parquet files (new files picked up per micro-batch). ``None`` leaves
+    the trigger size to Spark (no option set)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
 
 
 def extract_stream(stream_df: DataFrame, n_buckets: int = 32) -> DataFrame:
@@ -44,23 +45,13 @@ def extract_stream(stream_df: DataFrame, n_buckets: int = 32) -> DataFrame:
     DataFrames can't repartition-by-column mid-stream the same way, so the
     micro-batch is extracted as-read; bucket assignment still happens for
     layout."""
+    from epstein_browser_spark.pipeline import finish_extracted
+
     df = stream_df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
     out = df.mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
-    out = (
-        out.withColumn("ts", F.timestamp_micros("ts_us"))
-        .drop("ts_us")
-        .withColumn(
-            "spans",
-            F.arrays_zip(
-                F.col("span_starts").alias("start"),
-                F.col("span_ends").alias("end"),
-                F.col("span_kinds").alias("kind"),
-            ).cast("array<struct<start:int,end:int,kind:string>>"),
-        )
-        .drop("span_starts", "span_ends", "span_kinds")
-    )
-    out = with_bucket(out, n_buckets)
-    return out.withColumn("content_hash", F.md5(F.coalesce("clean_text", F.lit(""))))
+    # the SAME finisher block as batch extract_transcripts — content_hash
+    # etc. cannot drift between the two paths
+    return finish_extracted(out, n_buckets)
 
 
 def start_extraction_stream(
@@ -77,6 +68,10 @@ def start_extraction_stream(
     out = extract_stream(read_transcripts_stream(spark, input_dir), n_buckets)
     return (
         out.writeStream.format("parquet")
+        # bucket-partitioned like the batch sink: without it the streamed
+        # table cannot be bucket-pruned or bucket-rewritten by the
+        # maintenance ops (r4 review)
+        .partitionBy("bucket")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
@@ -158,10 +153,21 @@ def dedup_stream(extracted_stream: DataFrame,
     viable at 10^12 turns: unbounded `dropDuplicates` state would grow with
     the corpus, while here the store holds only the active watermark
     window (global cross-time dedup stays a batch merge job — see
-    merge.py)."""
-    return extracted_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    merge.py).
+
+    Parse-failed and empty-clean_text turns all share ``md5('')`` — a
+    content hash that does not mean "same content" — so they bypass the
+    hash dedup entirely (r4 review: keying them would silently drop
+    every failed/empty turn after the first per watermark window)."""
+    s = extracted_stream.withWatermark("ts", watermark)
+    meaningless = (
+        F.col("parse_failed")
+        | (F.length(F.coalesce("clean_text", F.lit(""))) == 0)
+    )
+    deduped = s.filter(~meaningless).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+    return deduped.unionByName(s.filter(meaningless))
 
 
 def hourly_event_counts_stream(events_stream: DataFrame,
@@ -262,7 +268,20 @@ def start_upsert_stream(
     from epstein_browser_spark.merge import upsert_into_bucketed
 
     def _sink(batch_df, batch_id):
-        batch_df = batch_df.localCheckpoint(eager=True)
+        from pyspark.sql import Window
+
+        # one row per key WITHIN the batch (latest ts, content_hash
+        # tiebreak): a source retry can deliver the same (conv_id,
+        # turn_idx) twice in one trigger, and upsert_into_bucketed's
+        # anti-join removes only TARGET rows — both copies would land
+        # (r4 review)
+        kw = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            F.col("ts").desc(), F.col("content_hash"))
+        batch_df = (
+            batch_df.withColumn("_kr", F.row_number().over(kw))
+            .filter(F.col("_kr") == 1).drop("_kr")
+            .localCheckpoint(eager=True)
+        )
         if batch_df.isEmpty():
             return
         # bootstrap check through the Hadoop FS layer — a local
@@ -279,11 +298,7 @@ def start_upsert_stream(
             bucket_key="conv_id", n_buckets=n_buckets,
         )
 
-    src = (
-        read_transcripts_stream(spark, input_dir, max_files_per_trigger)
-        if max_files_per_trigger is not None
-        else read_transcripts_stream(spark, input_dir)
-    )
+    src = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
     out = extract_stream(src, n_buckets)
     return (
         out.writeStream.foreachBatch(_sink)
@@ -343,11 +358,7 @@ def start_incremental_curation_stream(
             resume=True, redact_pii=redact_pii, bpe_merges=bpe_merges,
         )
 
-    src = (
-        read_transcripts_stream(spark, input_dir, max_files_per_trigger)
-        if max_files_per_trigger is not None
-        else read_transcripts_stream(spark, input_dir)
-    )
+    src = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
     return (
         src.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)

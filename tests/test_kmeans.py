@@ -131,3 +131,32 @@ def test_kmeans_empty_cluster_keeps_previous(spark):
     assert len(cents) == 4
     for r in cents:
         assert all(np.isfinite(x) for x in r["cvec"])
+
+
+def test_lsh_multiprobe_radius_two(spark):
+    """n_flip=2 must generate the FULL 2-flip neighborhood (1 + C(n,1) +
+    C(n,2) buckets), not silently degrade to radius 1 (r4 review)."""
+    q = [1.0] + [0.0] * 63
+    b1 = similarity.lsh_probe_buckets(64, 6, q, n_flip=1)
+    b2 = similarity.lsh_probe_buckets(64, 6, q, n_flip=2)
+    assert len(b1) == 1 + 6
+    assert len(b2) == 1 + 6 + 15
+    assert set(b1) <= set(b2)
+
+
+def test_pq_corpus_dim_must_divide_m(spark):
+    """A corpus whose dim % m != 0 raises instead of silently truncating
+    the trailing dims out of codebooks and codes (r4 review)."""
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[float(i) for i in range(10)]] * 3,
+    })
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(pdf, schema)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(df, m=4, k=2).collect()
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_encode(df, m=4, k=2).collect()

@@ -502,3 +502,88 @@ def test_stream_then_promote_then_stream(spark, tmp_path):
            .orderBy("doc_uid").toPandas().reset_index(drop=True))
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_stream_upsert_dedupes_within_batch(spark, tmp_path):
+    """The same (conv_id, turn_idx) delivered TWICE within one trigger
+    (two files, maxFilesPerTrigger default) must land once, as the latest
+    version (r4 review: the upsert anti-join removes only target rows,
+    so in-batch duplicates both inserted)."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import start_upsert_stream
+
+    def mk(rows, ts):
+        return pd.DataFrame({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": [r[2] for r in rows],
+            "tool": pd.array([None] * len(rows), dtype="string"),
+            "ts": pd.to_datetime([ts] * len(rows)),
+        })
+
+    in_dir = str(tmp_path / "in")
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(mk([
+        ("conv_a", 0, "the original first turn with plenty of words here"),
+    ], "2024-01-01 00:00:00")).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(mk([
+        ("conv_a", 0, "the corrected retry of the very same first turn"),
+    ], "2024-01-01 00:05:00")).coalesce(1).write.mode("append").parquet(
+        in_dir)
+
+    q = start_upsert_stream(spark, in_dir, tgt, ckpt, n_buckets=4)
+    q.awaitTermination(180)
+    spark.catalog.refreshByPath(tgt)
+    rows = spark.read.parquet(tgt).collect()
+    assert len(rows) == 1
+    assert "corrected retry" in rows[0]["clean_text"]
+
+
+def test_dedup_stream_keeps_failed_and_empty_rows(spark, tmp_path):
+    """Parse-failed turns all hash to md5('') — they must pass through
+    the streaming dedup untouched instead of collapsing to one row per
+    watermark window (r4 review)."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import (
+        dedup_stream,
+        extract_stream,
+        read_transcripts_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_idx": pd.array([0, 1, 2, 0], dtype="int32"),
+        "role": ["user"] * 4,
+        # two distinct gibberish turns (both fail extraction/empty) and
+        # two meaningful identical turns (true duplicates)
+        "text": ["x", "zz",
+                 "a meaningful sentence about the archived flight records",
+                 "a meaningful sentence about the archived flight records"],
+        "tool": pd.array([None] * 4, dtype="string"),
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 4),
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_stream(extract_stream(
+            read_transcripts_stream(spark, in_dir), n_buckets=4))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    spark.catalog.refreshByPath(out_dir)
+    got = spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx").collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in got)
+    # both failed/empty turns kept; the meaningful duplicate collapsed
+    assert ("a", 0) in keys and ("a", 1) in keys
+    assert len([k for k in keys if k in (("a", 2), ("b", 0))]) == 1
