@@ -181,39 +181,52 @@ def curate_documents(
 
 def conversation_docs(turns: DataFrame,
                       text_col: str = "clean_text") -> DataFrame:
-    """(conv_uid, conv_id, conv_text, n_turns) — one document per
-    conversation: gate-passing turns concatenated in (turn_idx) order
+    """(conv_uid, conv_id, conv_text, conv_key, n_turns) — one document
+    per conversation: gate-passing turns concatenated in (turn_idx) order
     (array_sort on struct(turn_idx, text): deterministic under any
     partitioning). One partial-aggregable groupBy on conv_id. The ONE
     definition of the conversation-concatenation kernel — q75's
     oracle-able twin reuses it rather than re-implementing (a drifted
-    copy would silently de-synchronize the documented policy)."""
+    copy would silently de-synchronize the documented policy).
+
+    ``conv_key`` is the conversation's EXACT-identity digest: the md5 of
+    the '|'-joined per-turn md5 digests. Hashing the joined ``conv_text``
+    instead was the r4 ADVICE bug: '\\n' can appear inside a turn, so
+    ['a\\nb'] and ['a','b'] produced identical conv_text and exact dedup
+    atomically dropped one of two genuinely different conversations.
+    Fixed-width hex digests joined by a constant separator are injective
+    over turn lists, so conv_key is turn-boundary-safe while conv_text
+    keeps the natural newline join for shingling/stats."""
+    sorted_turns = F.array_sort(F.collect_list(F.struct("turn_idx", text_col)))
     return (
         turns.groupBy("conv_id")
-        .agg(
+        .agg(sorted_turns.alias("_turns"), F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
             F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("turn_idx", text_col))
-                    ),
-                    lambda s: s[text_col],
-                ),
+                "\n", F.transform(F.col("_turns"), lambda s: s[text_col])
             ).alias("conv_text"),
-            F.count("*").alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(F.col("_turns"), lambda s: F.md5(s[text_col])),
+                )
+            ).alias("conv_key"),
+            "n_turns",
+            F.xxhash64("conv_id").alias("conv_uid"),
         )
-        .withColumn("conv_uid", F.xxhash64("conv_id"))
     )
 
 
 def conversation_exact_kept(convs: DataFrame) -> DataFrame:
-    """Exact conversation dedup: keep the min conv_uid per concatenated-
-    text hash — the conversation-granularity twin of the turn path's
-    content-hash keep rule."""
+    """Exact conversation dedup: keep the min conv_uid per conversation
+    identity digest (``conv_key`` — turn-boundary-safe, see
+    :func:`conversation_docs`) — the conversation-granularity twin of the
+    turn path's content-hash keep rule."""
     from epstein_browser_spark.dedup import keep_min_per_hash
 
     return keep_min_per_hash(
-        convs.withColumn("conv_hash", F.md5("conv_text")),
+        convs.withColumn("conv_hash", F.col("conv_key")),
         "conv_hash", "conv_uid",
     )
 
@@ -510,9 +523,22 @@ def _write_band_index(feats: DataFrame, out_dir: str, snap: str) -> None:
     """Persist the uncapped LSH band index of a feature batch under
     ``_scratch/minhash_bands/snap=<snap>/pband=N/`` — the pruned-probe
     structure future increments scan instead of re-banding every stored
-    signature (dedup.band_index)."""
+    signature (dedup.band_index).
+
+    The snapshot's whole subtree is DELETED first: the write below is a
+    dynamic partition overwrite at (snap, pband) granularity, which only
+    replaces the pbands present in the NEW batch — a re-run whose feature
+    table populates fewer pbands (base recurate over a changed corpus)
+    would otherwise keep the previous run's rows in the untouched pband
+    partitions, and those ghost rows inflate probe bucket sizes past
+    max_bucket so increments silently drop near-dup candidates (r4
+    ADVICE, medium). The delete→write window is crash-consistent at the
+    JOB level: the caller's stage marker is written only after this
+    returns, so a crash inside the window re-runs the whole stage, and
+    increments against a marker-less base are already out of contract."""
     from epstein_browser_spark.dedup import N_BAND_PARTITIONS, band_index
 
+    fsutil.delete(feats.sparkSession, f"{out_dir}/{BANDS_DIR}/snap={snap}")
     fsutil.write_partition_overwrite(
         band_index(feats.select("id", "sig"))
         .withColumn("snap", F.lit(snap))

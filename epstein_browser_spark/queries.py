@@ -288,9 +288,15 @@ WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber),
 
 def q09_customers_no_orders(spark, sf_dir):
     """J1/J2: left-anti join = work-remaining selection (reference:
-    unprocessed-images query, /root/reference/ocr_processor.py:140-147)."""
+    unprocessed-images query, /root/reference/ocr_processor.py:140-147).
+    "No FINALIZED order" (o_orderstatus='F'), the reference's
+    'not yet completed' semantics — and non-vacuous at sf0.01 (the
+    plain no-orders form returned 0 rows there, pinning nothing;
+    VERDICT r4 item 6). The status filter is pushed below the anti-join
+    build side, so the shuffled right side shrinks to one status
+    partition's worth of keys."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -298,7 +304,9 @@ def q09_customers_no_orders(spark, sf_dir):
 
 _Q09_SQL = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
 """
 
 
@@ -1250,18 +1258,31 @@ def q39_search_page(spark, sf_dir):
     from pyspark import StorageLevel
 
     unioned = src.unionByName(txt).persist(StorageLevel.MEMORY_AND_DISK)
-    unioned.count()
-    meta = unioned.agg(
-        F.count("*").alias("total_count"),
-        F.ceil(F.count("*") / per_page).alias("n_pages"),
-    )
-    rank_cls = F.when(F.col("match_type") == "source", 1).otherwise(2)
-    page = _paginate(
-        unioned.select("doc_id", "match_type", "excerpt", "n_chars",
-                       rank_cls.alias("_rank_cls")),
-        [F.asc("_rank_cls"), F.desc("n_chars"), F.asc("doc_id")], 11, 20,
-    ).select("doc_id", "match_type", "excerpt", "rn")
-    return page.crossJoin(F.broadcast(meta))
+    try:
+        unioned.count()
+        meta = unioned.agg(
+            F.count("*").alias("total_count"),
+            F.ceil(F.count("*") / per_page).alias("n_pages"),
+        )
+        rank_cls = F.when(F.col("match_type") == "source", 1).otherwise(2)
+        page = _paginate(
+            unioned.select("doc_id", "match_type", "excerpt", "n_chars",
+                           rank_cls.alias("_rank_cls")),
+            [F.asc("_rank_cls"), F.desc("n_chars"), F.asc("doc_id")], 11, 20,
+        ).select("doc_id", "match_type", "excerpt", "rn")
+        # Materialize the ONE-page result (≤ per_page rows + the scalar
+        # metadata) eagerly, so the cached match set can be released
+        # before returning — without this, every invocation in a
+        # long-lived session (bench loops, repeated driver runs) leaked
+        # one cached block (r4 ADVICE). localCheckpoint is acceptable
+        # HERE because the checkpointed frame is the bounded page, not
+        # the match set: losing its (page-sized, MEMORY_AND_DISK)
+        # blocks to an executor loss fails just this query — a cheap
+        # retry — and the blocks are ContextCleaner-collected when the
+        # frame goes out of scope, which persisted plans are not.
+        return page.crossJoin(F.broadcast(meta)).localCheckpoint(eager=True)
+    finally:
+        unioned.unpersist()
 
 
 _Q39_SQL = """
@@ -2071,7 +2092,7 @@ def q59_sequence_packing(spark, sf_dir):
     )
     packed = textstats.pack_sequences(toks, budget=512, shard_col=shard)
     return packed.select(
-        "doc_id", "n_tokens", "shard",
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "shard",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("seq_in_shard").cast("long").alias("seq_in_shard"),
     )
@@ -2089,9 +2110,10 @@ WITH t AS (
                          w -> w <> '')) AS n_tokens,
          CAST(({_Q59_SHARD}) % 8 AS INT) AS shard
   FROM documents)
-SELECT doc_id, n_tokens, shard,
-       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
        CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
                   / 512.0) AS BIGINT) AS seq_in_shard
@@ -2586,7 +2608,8 @@ WITH t AS (
                          w -> w <> '')) AS n_tok
   FROM documents),
 cells AS (
-  SELECT lang, split, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  SELECT lang, split, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
   FROM t GROUP BY lang, split),
 tot AS (SELECT sum(n_tokens) AS total FROM cells)
 SELECT lang, split, n_docs, n_tokens,
@@ -2863,8 +2886,9 @@ t AS (
          CAST(({_Q59_SHARD}) % 8 AS INT) AS shard
   FROM documents d LEFT JOIN c USING (doc_id))
 SELECT doc_id, n_tokens, shard,
-       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
        CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
                   / 512.0) AS BIGINT) AS seq_in_shard
@@ -2977,11 +3001,14 @@ def q75_conv_dedup(spark, sf_dir):
     allt = tr.unionByName(planted)
     from epstein_browser_spark.curation import conversation_docs
 
-    # the PRODUCTION concatenation kernel — one definition, reused
+    # the PRODUCTION concatenation kernel — one definition, reused.
+    # conv_hash is the kernel's conv_key (md5 of '|'-joined per-turn
+    # md5 digests): turn-BOUNDARY-SAFE exact identity — hashing the
+    # '\n'-joined conv_text collapsed ['a\nb'] with ['a','b'] (r4 ADVICE)
     convs = conversation_docs(allt, text_col="text").drop("conv_uid")
     w = Window.partitionBy("conv_hash")
     return (
-        convs.withColumn("conv_hash", F.md5("conv_text"))
+        convs.withColumn("conv_hash", F.col("conv_key"))
         .select(
             "conv_id",
             F.col("n_turns").cast("long").alias("n_turns"),
@@ -3003,10 +3030,11 @@ tr2 AS (
   WHERE conv_id IN ('c0', 'c1', 'c2', 'c3', 'c4')),
 convs AS (
   SELECT conv_id, count(*) AS n_turns,
-         string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text
+         md5(string_agg(md5(text), '|' ORDER BY turn_idx, text))
+           AS conv_key
   FROM tr2 GROUP BY conv_id)
-SELECT conv_id, n_turns, md5(conv_text) AS conv_hash,
-       conv_id = min(conv_id) OVER (PARTITION BY md5(conv_text)) AS is_kept
+SELECT conv_id, n_turns, conv_key AS conv_hash,
+       conv_id = min(conv_id) OVER (PARTITION BY conv_key) AS is_kept
 FROM convs
 """
 

@@ -22,16 +22,43 @@ TABLES = [
 ]
 
 
+def _kind(dtype) -> str:
+    """Dtype KIND the driver's value hash is sensitive to: int64 renders
+    `6` while float64 renders `6.0`, so an int column on one engine and a
+    float column on the other hash-mismatches even when every value is
+    numerically equal (the q59/q69/q73 r4 failure). Width within a kind
+    (int32 vs int64) renders identically and is fine."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    if str(dtype).startswith("decimal") or dtype == object:
+        return "object"
+    return str(dtype)
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-hash fidelity: every cell becomes the exact repr the dtype
+    renders — NO float rounding, NO cross-kind coercion. A value that
+    would hash differently at the driver must compare unequal here."""
     pdf = pdf[sorted(pdf.columns)].copy()
+    out = {}
     for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
-        elif np.issubdtype(pdf[c].dtype, np.floating):
-            pdf[c] = pdf[c].round(6)
-        elif str(pdf[c].dtype).startswith("datetime"):
-            pdf[c] = pdf[c].astype(str)
-    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+        col = pdf[c]
+        if pd.api.types.is_float_dtype(col.dtype):
+            out[c] = col.map(lambda v: "NaN" if pd.isna(v) else repr(float(v)))
+        elif pd.api.types.is_integer_dtype(col.dtype):
+            out[c] = col.map(lambda v: "NaN" if pd.isna(v) else str(int(v)))
+        elif pd.api.types.is_bool_dtype(col.dtype):
+            out[c] = col.map(lambda v: "NaN" if pd.isna(v) else str(bool(v)))
+        else:
+            out[c] = col.astype(str)
+    res = pd.DataFrame(out)
+    return res.sort_values(list(res.columns)).reset_index(drop=True)
 
 
 def main() -> int:
@@ -76,10 +103,20 @@ def main() -> int:
             failures.append(name)
             print(f"[FAIL-COUNT] {name}: spark={len(got)} duck={len(exp)}")
             continue
+        kind_mismatch = [
+            (c, _kind(got[c].dtype), _kind(exp[c].dtype))
+            for c in sorted(got.columns)
+            if _kind(got[c].dtype) != _kind(exp[c].dtype)
+        ]
+        if kind_mismatch:
+            failures.append(name)
+            print(f"[FAIL-DTYPE] {name}: "
+                  + "; ".join(f"{c}: spark={gk} duck={ek}"
+                              for c, gk, ek in kind_mismatch))
+            continue
         g, e = _normalize(got), _normalize(exp)
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                          check_exact=False, atol=1e-9)
+            pd.testing.assert_frame_equal(g, e)
             print(f"[OK] {name}: {len(got)} rows")
         except AssertionError as err:
             failures.append(name)
