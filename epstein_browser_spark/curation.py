@@ -392,7 +392,14 @@ def run_curation(
 
     Output layout:
       <out_dir>/extract/...             extraction stage (its own layout)
-      <out_dir>/curated/split=S/*.parquet
+      <out_dir>/curated_v<N>/split=S/*.parquet   versioned base table
+      <out_dir>/_curated_current.json   pointer to the current version
+                                        (readers resolve via
+                                        curated_table_path/read_curated;
+                                        installs write a new version and
+                                        flip the pointer — MVCC, so
+                                        concurrent readers never lose
+                                        their files mid-plan)
       <out_dir>/manifests/split-S.json  per-split counts + lang histogram
       <out_dir>/_stages/<stage>.json    stage-completion manifests
       <out_dir>/_scratch/minhash        near-dup scratch table
@@ -471,22 +478,23 @@ def run_curation(
     else:
         curated = None
     t1 = time.time()
-    # install the curated table by FULL swap, not dynamic overwrite: the
-    # curate stage always produces the complete table, and a re-run under
-    # a new input snapshot must not leave a previous run's partitions
-    # behind (dynamic overwrite only replaces splits present in the new
-    # output — and the zero-survivor run replaces none; r4 review)
-    curated_live = f"{out_dir}/curated"
-    _recover_swap(spark, curated_live, f"{curated_live}__old",
-                  f"{curated_live}__tmp")
-    if curated is not None and not curated.isEmpty():
-        curated.write.mode("overwrite").partitionBy("split").parquet(
-            f"{curated_live}__tmp")
-        _swap_dir(spark, curated_live, f"{curated_live}__old",
-                  f"{curated_live}__tmp")
-    elif fsutil.exists(spark, curated_live):
-        fsutil.delete(spark, curated_live)
-    spark.catalog.refreshByPath(curated_live)
+    # install the curated table as a NEW VERSION + pointer flip (MVCC,
+    # r4 verdict item 4): the curate stage always produces the complete
+    # table, a re-run under a new input snapshot must not leave a
+    # previous run's partitions behind (the r4 full-swap rationale), and
+    # a reader that resolved curated_table_path before this install
+    # keeps reading its immutable version directory instead of hitting
+    # FileNotFound mid-plan. The zero-survivor run installs the explicit
+    # empty state (pointer path=None).
+    legacy_live = f"{out_dir}/curated"
+    _recover_swap(spark, legacy_live, f"{legacy_live}__old",
+                  f"{legacy_live}__tmp")  # pre-versioned layouts only
+    new_path = _install_curated_version(
+        spark, out_dir,
+        curated if curated is not None and not curated.isEmpty() else None,
+    )
+    if new_path:
+        spark.catalog.refreshByPath(new_path)
 
     # per-split manifests: bounded aggregates (3 splits × |langs|)
     split_counts = _write_split_manifests(
@@ -603,20 +611,30 @@ def _snap_str(df: DataFrame) -> DataFrame:
     return df.withColumn("snap", F.col("snap").cast("string"))
 
 
+def _read_curated_base(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The current curated BASE table (pointer-resolved version dir, or
+    the legacy unversioned tree), or None when nothing is installed."""
+    path = curated_table_path(spark, out_dir)
+    return None if path is None else _read_optional(spark, path)
+
+
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The full curated table: the base run's ``curated/`` plus every
-    incremental batch under ``curated_incr/snap=*/``. Readers use this —
-    the increments are kept in a sibling partition tree so the base
-    table's partition discovery never sees mixed depths, and each
-    increment stays an independently re-writable (idempotent) unit."""
-    base = _read_optional(spark, f"{out_dir}/curated")
+    """The full curated table: the base run's current VERSION (resolved
+    once through the ``_curated_current`` pointer — immutable after
+    resolution, so the returned plan survives a concurrent promote or
+    recurate) plus every incremental batch under ``curated_incr/snap=*/``.
+    Readers use this — the increments are kept in a sibling partition
+    tree so the base table's partition discovery never sees mixed
+    depths, and each increment stays an independently re-writable
+    (idempotent) unit."""
+    base = _read_curated_base(spark, out_dir)
     incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
     if base is None and incr is None:
         raise FileNotFoundError(
-            f"no curated output under {out_dir} (neither curated/ nor "
-            f"{CURATED_INCR}/ is readable — run run_curation first; a base "
-            "run that kept zero docs plus zero increments has no rows to "
-            "read)"
+            f"no curated output under {out_dir} (neither a curated base "
+            f"version nor {CURATED_INCR}/ is readable — run run_curation "
+            "first; a base run that kept zero docs plus zero increments "
+            "has no rows to read)"
         )
     if incr is None:
         return base
@@ -635,7 +653,7 @@ def _existing_curated(spark: SparkSession, out_dir: str,
     increment run anti-joins against (its own possibly-half-committed
     prior attempt must not count as 'existing'). None when nothing has
     been curated yet (empty base run, no prior increments)."""
-    base = _read_optional(spark, f"{out_dir}/curated")
+    base = _read_curated_base(spark, out_dir)
     incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
     if incr is not None:
         incr = _snap_str(incr).filter(
@@ -857,6 +875,148 @@ def run_curation_increment(
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
 
+# ---------------------------------------------------------------------------
+# versioned curated table (MVCC install): reader-safe promote/recurate
+# ---------------------------------------------------------------------------
+
+CURATED_POINTER = "_curated_current.json"
+CURATED_VERSION_PREFIX = "curated_v"
+
+
+def _read_curated_pointer(spark: SparkSession, out_dir: str) -> dict | None:
+    """The current-version pointer, or None (pre-pointer layout / nothing
+    installed). Falls back to the ``.tmp`` staging file for the one crash
+    window the atomic flip has (old pointer deleted, staged file not yet
+    renamed — the staged content IS the committed new state, since the
+    version directory is fully written before the flip starts)."""
+    for name in (CURATED_POINTER, CURATED_POINTER + ".tmp"):
+        raw = fsutil.read_text(spark, f"{out_dir}/{name}")
+        if raw is None:
+            continue
+        try:
+            p = json.loads(raw)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(p, dict) and "version" in p:
+            return p
+    return None
+
+
+def _write_curated_pointer(spark: SparkSession, out_dir: str,
+                           version: int, relpath: str | None,
+                           previous: list[str] | None = None) -> None:
+    """Atomic pointer flip: stage the new pointer as ``.tmp``, delete the
+    old pointer, rename the staged file in. Readers resolving mid-flip
+    see either the old pointer, or (in the delete→rename window) the
+    staged file via the fallback in :func:`_read_curated_pointer` —
+    never a torn write, because rename is atomic on HDFS-like stores and
+    the staged file is fully written before the old pointer disappears."""
+    ptr = f"{out_dir}/{CURATED_POINTER}"
+    tmp = ptr + ".tmp"
+    fsutil.write_text(spark, tmp,
+                      json.dumps({"version": version, "path": relpath,
+                                  "previous": previous or []}))
+    fsutil.delete(spark, ptr, recursive=False)
+    if not fsutil.rename(spark, tmp, ptr):
+        raise IOError(f"pointer flip rename {tmp} -> {ptr} failed")
+
+
+def curated_table_path(spark: SparkSession, out_dir: str) -> str | None:
+    """Absolute path of the CURRENT curated base table — the pointer's
+    version directory, the legacy unversioned ``curated/`` tree when no
+    pointer exists yet (pre-r5 layouts), or None when nothing is
+    installed (zero-doc run / nothing curated). Readers resolve this
+    ONCE per job; the resolved directory is immutable thereafter
+    (installs write a NEW version directory and flip the pointer), so a
+    plan held across a concurrent promote/recurate never hits
+    FileNotFound — the r4 verdict's reader-safety requirement."""
+    p = _read_curated_pointer(spark, out_dir)
+    if p is not None:
+        rel = p.get("path")
+        return f"{out_dir}/{rel}" if rel else None
+    legacy = f"{out_dir}/curated"
+    return legacy if fsutil.exists(spark, legacy) else None
+
+
+def _curated_version_dirs(spark: SparkSession, out_dir: str) -> list[int]:
+    out = []
+    for name in fsutil.list_names(spark, out_dir):
+        if name.startswith(CURATED_VERSION_PREFIX):
+            suffix = name[len(CURATED_VERSION_PREFIX):]
+            if suffix.isdigit():
+                out.append(int(suffix))
+    return sorted(out)
+
+
+def _install_curated_version(spark: SparkSession, out_dir: str,
+                             curated: DataFrame | None,
+                             keep_versions: int = 2) -> str | None:
+    """Install a new curated base table as ``curated_v<N>`` and flip the
+    pointer — the MVCC write path shared by run_curation (full rebuild)
+    and promote_increments (fold). Prior version directories are
+    RETAINED (`keep_versions` newest, counting the one just installed),
+    so a reader that resolved :func:`curated_table_path` before the flip
+    keeps reading its immutable snapshot; versions older than the
+    retention window (plus orphans from installs that crashed before
+    their flip) are vacuumed here. ``curated=None`` installs the
+    explicit empty state (zero-doc run). Returns the new path (None for
+    the empty state)."""
+    existing = _curated_version_dirs(spark, out_dir)
+    p = _read_curated_pointer(spark, out_dir)
+    cur_v = int(p["version"]) if p else 0
+    v = max([cur_v] + existing) + 1
+    rel = None
+    if curated is not None:
+        rel = f"{CURATED_VERSION_PREFIX}{v:06d}"
+        curated.write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/{rel}")
+    # pointer HISTORY is the retention set: orphan dirs from installs
+    # that crashed before their flip were never readable through the
+    # pointer, so they are vacuumable dead writes, while every retained
+    # entry here was current once and may have live readers
+    prev: list[str] = []
+    if p is not None:
+        if p.get("path"):
+            prev.append(p["path"])
+        prev.extend(p.get("previous", []))
+    elif fsutil.exists(spark, f"{out_dir}/curated"):
+        prev.append("curated")  # pre-versioned layout: its readers count
+    _write_curated_pointer(spark, out_dir, v, rel,
+                           previous=prev[:max(keep_versions - 1, 0)])
+    vacuum_curated_versions(spark, out_dir, keep=keep_versions)
+    return f"{out_dir}/{rel}" if rel else None
+
+
+def vacuum_curated_versions(spark: SparkSession, out_dir: str,
+                            keep: int = 2) -> list[str]:
+    """Retention for the versioned curated table: keep the pointer's
+    current path plus the first ``keep - 1`` entries of its recorded
+    HISTORY (each was current once and may have in-flight readers);
+    delete every other version directory — older history, and orphans
+    from installs that crashed before their pointer flip (never
+    reader-visible) — plus the legacy unversioned ``curated/`` tree when
+    it has aged out of the history window. The reader contract this
+    enforces: a plan resolved against the then-current version stays
+    readable until ``keep - 1`` further installs have completed — the
+    expire-snapshots semantics of a table format, without the format."""
+    p = _read_curated_pointer(spark, out_dir)
+    if p is None:
+        return []
+    keep_rel = {p["path"]} if p.get("path") else set()
+    keep_rel.update(p.get("previous", [])[:max(keep - 1, 0)])
+    removed = []
+    for v in _curated_version_dirs(spark, out_dir):
+        rel = f"{CURATED_VERSION_PREFIX}{v:06d}"
+        if rel in keep_rel:
+            continue
+        fsutil.delete(spark, f"{out_dir}/{rel}")
+        removed.append(rel)
+    if "curated" not in keep_rel and fsutil.exists(spark, f"{out_dir}/curated"):
+        fsutil.delete(spark, f"{out_dir}/curated")
+        removed.append("curated")
+    return removed
+
+
 def _recover_swap(spark: SparkSession, live: str, old: str, tmp: str) -> None:
     """Crash recovery for :func:`_swap_dir`: if a prior promote renamed
     the live tree aside but died before installing the new one, put the
@@ -891,11 +1051,15 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
 
     What moves where:
 
-    * ``curated_incr/snap=*`` rows fold into ``curated/split=S`` — the
-      merged table is written to a sibling tmp tree and installed by
-      rename (live→old, tmp→live), never by delete-first, so a crash at
-      any point leaves either the old state or a recoverable one
-      (:func:`_recover_swap` runs first on every call).
+    * ``curated_incr/snap=*`` rows fold into a NEW curated base VERSION
+      (``curated_v<N>/split=S``) installed by an atomic pointer flip
+      (:func:`_install_curated_version`) — never by delete-first or
+      in-place rename, so (a) a crash at any point leaves the previous
+      version current, and (b) a READER holding a plan resolved before
+      the fold keeps reading its immutable version directory (MVCC;
+      r4 verdict item 4 — the old rename-install could FileNotFound a
+      concurrent reader). Prior versions are retained per the
+      ``vacuum_curated_versions`` window (default: current + previous).
     * ``_scratch/minhash_incr/snap=*`` feature rows fold into the base
       ``_scratch/minhash`` scratch table the same way.
     * the band index is MERGED, not re-banded: every stored (id, band,
@@ -923,16 +1087,22 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
 
     Cost: one columnar rewrite of the curated/feature/band tables —
     O(corpus) bytes like any compaction, amortized over however many
-    increments ran since the last promote. Run it quiesced (no concurrent
-    readers or increments), like the other maintenance ops
-    (merge.compact_buckets). Reference analog: the reference's single-
-    table re-index, /root/reference/index_images.py:344-434.
+    increments ran since the last promote. Concurrency contract:
+    CURATED-TABLE READERS ARE SAFE across a promote (versioned install;
+    a plan resolved before the fold reads its retained version until
+    ``keep_versions - 1`` further installs land). Concurrent WRITERS
+    (increments, recurates, other promotes) must still be quiesced —
+    single-writer discipline, like the reference's one-indexer contract
+    (/root/reference/app.py:379-433). The feature/band scratch trees are
+    still swapped in place: their only readers are those same quiesced
+    writers. Reference analog: the reference's single-table re-index,
+    /root/reference/index_images.py:344-434.
     """
     t0 = time.time()
-    curated_live = f"{out_dir}/curated"
+    legacy_live = f"{out_dir}/curated"
     feats_live = f"{out_dir}/_scratch/minhash"
-    _recover_swap(spark, curated_live, f"{curated_live}__old",
-                  f"{curated_live}__tmp")
+    _recover_swap(spark, legacy_live, f"{legacy_live}__old",
+                  f"{legacy_live}__tmp")  # pre-versioned layouts only
     _recover_swap(spark, feats_live, f"{feats_live}__old",
                   f"{feats_live}__tmp")
     _recover_swap(spark, f"{out_dir}/{BANDS_DIR}",
@@ -986,8 +1156,10 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     # fold curated rows: base ∪ the MARKED increments, deduped by doc
     # identity (a retry of a crashed promote sees the already-folded copy
     # AND the not-yet-deleted increment copy — identical rows, keep one),
-    # written aside + swapped; this tree's folded partitions are deleted
-    # immediately after so no later crash can double-fold them
+    # installed as a NEW VERSION + pointer flip (MVCC — a reader that
+    # resolved the table before this fold keeps its immutable version
+    # directory; r4 verdict item 4); this tree's folded partitions are
+    # deleted immediately after so no later crash can double-fold them
     docs_folded = 0
     cur_fold = sorted(_tree_snapset(CURATED_INCR) & set(fold))
     if cur_fold:
@@ -995,15 +1167,14 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
             f"{out_dir}/{CURATED_INCR}"
         )).filter(F.col("snap").isin(cur_fold)).drop("snap")
         docs_folded = incr_curated.count()
-        base = _read_optional(spark, curated_live)
+        base = _read_curated_base(spark, out_dir)
         merged = (incr_curated if base is None
                   else base.unionByName(incr_curated,
                                         allowMissingColumns=True))
-        merged.dropDuplicates(["doc_uid"]).write.mode(
-            "overwrite").partitionBy("split").parquet(f"{curated_live}__tmp")
-        _swap_dir(spark, curated_live, f"{curated_live}__old",
-                  f"{curated_live}__tmp")
-        spark.catalog.refreshByPath(curated_live)
+        new_path = _install_curated_version(
+            spark, out_dir, merged.dropDuplicates(["doc_uid"]))
+        if new_path:
+            spark.catalog.refreshByPath(new_path)
         for s in cur_fold:
             fsutil.delete(spark, f"{out_dir}/{CURATED_INCR}/snap={s}")
 

@@ -34,8 +34,7 @@ def test_curation_end_to_end(spark, corpus_sdf, tmp_path):
     n_curated = m1["curate"]["n_docs"]
     assert n_curated > 0
 
-    spark.catalog.refreshByPath(f"{out}/curated")
-    cur = spark.read.parquet(f"{out}/curated")
+    cur = curation.read_curated(spark, out)
     assert cur.count() == n_curated
 
     # quality gate: nothing low-quality or parse-failed survives
@@ -60,8 +59,8 @@ def test_curation_end_to_end(spark, corpus_sdf, tmp_path):
         .groupBy("conv_id").count().filter(F.col("count") > 1).count()
     )
     assert leaky == 0
-    # split column drives the physical layout
-    assert glob.glob(f"{out}/curated/split=*")
+    # split column drives the physical layout (current version dir)
+    assert glob.glob(f"{curation.curated_table_path(spark, out)}/split=*")
 
     # per-split manifests agree with the table
     for s in ("train", "val", "test"):
@@ -151,8 +150,7 @@ def test_incremental_curation(spark, corpus_sdf, tmp_path):
     out = str(tmp_path / "cur")
     curation.run_curation(spark, corpus_sdf, out, n_buckets=8,
                           input_snapshot="base")
-    spark.catalog.refreshByPath(f"{out}/curated")
-    base = spark.read.parquet(f"{out}/curated")
+    base = curation.read_curated(spark, out)
     n_base = base.count()
     # a long quality-passing doc from the base corpus to duplicate
     seed_text = (
@@ -180,7 +178,8 @@ def test_incremental_curation(spark, corpus_sdf, tmp_path):
     m1 = curation.run_curation_increment(spark, incr1, out, snapshot="inc1",
                                          n_buckets=4)
     assert m1["curate"]["n_docs"] == 3
-    mt_base = _file_mtimes(f"{out}/curated")
+    base_path = curation.curated_table_path(spark, out)
+    mt_base = _file_mtimes(base_path)
 
     spark.catalog.refreshByPath(f"{out}/curated_incr")
     all_cur = curation.read_curated(spark, out)
@@ -227,8 +226,9 @@ def test_incremental_curation(spark, corpus_sdf, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curation.run_curation_increment(spark, incr1, out, snapshot="base")
-    # the base table was never touched by any increment
-    assert _file_mtimes(f"{out}/curated") == mt_base
+    # the base table (same version dir) was never touched by any increment
+    assert curation.curated_table_path(spark, out) == base_path
+    assert _file_mtimes(base_path) == mt_base
     # incremental manifests exist and agree
     man = json.loads(open(glob.glob(
         f"{out}/manifests/incr-inc2-*.json")[0]).read())
@@ -407,7 +407,7 @@ def test_conversation_mode_through_run_curation(spark, tmp_path):
                               n_buckets=2, unit="conversation",
                               input_snapshot="s0")
     assert m["curate"]["unit"] == "conversation"
-    cur = spark.read.parquet(f"{out}/curated")
+    cur = curation.read_curated(spark, out)
     kept = {r["conv_id"] for r in cur.select("conv_id").distinct().collect()}
     assert len(kept & {"x", "x_dup"}) == 1 and "y" in kept
     # increments against a conversation-mode base are refused loudly

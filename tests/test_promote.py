@@ -106,8 +106,13 @@ def test_promote_probe_parity_for_future_increments(spark, promoted_dirs):
 
 
 def test_promote_crash_recovery(spark, tmp_path):
-    """A promote that died after renaming the live tree aside recovers on
-    the next call instead of losing the base table."""
+    """Crash windows of the versioned install: (a) a version directory
+    written but the pointer never flipped (orphan) must be ignored by
+    readers and vacuumed by the next install; (b) a pointer flip that
+    died between delete and rename (only the .tmp staging file exists)
+    must resolve to the staged state."""
+    import shutil as _sh
+
     out = str(tmp_path / "crash")
     pdf = make_transcripts_pdf(n_convs=8, hot_conv_turns=30)
     half = len(pdf) // 2
@@ -118,12 +123,96 @@ def test_promote_crash_recovery(spark, tmp_path):
         n_buckets=2,
     )
     before = curation.read_curated(spark, out).count()
-    # simulate the worst crash window: live renamed aside, new not installed
+    cur_path = curation.curated_table_path(spark, out)
+
+    # (a) orphan version above the pointer: written, never flipped
+    orphan = f"{out}/{curation.CURATED_VERSION_PREFIX}000099"
+    _sh.copytree(cur_path, orphan)
+    assert curation.curated_table_path(spark, out) == cur_path  # ignored
+    m = curation.promote_increments(spark, out)
+    assert m["promoted_snaps"] == ["b1"]
+    assert curation.read_curated(spark, out).count() == before
+    # the fold installed ABOVE the orphan (no version-name reuse) and
+    # the orphan was vacuumed as a dead write
+    assert not fsutil.exists(spark, orphan)
+    new_path = curation.curated_table_path(spark, out)
+    assert int(new_path.rsplit("_v", 1)[1]) > 99
+
+    # (b) pointer mid-flip: old pointer deleted, staging file present
+    ptr = f"{out}/{curation.CURATED_POINTER}"
+    raw = fsutil.read_text(spark, ptr)
+    fsutil.write_text(spark, ptr + ".tmp", raw)
+    fsutil.delete(spark, ptr, recursive=False)
+    assert curation.curated_table_path(spark, out) == new_path
+    assert curation.read_curated(spark, out).count() == before
+
+
+def test_promote_legacy_layout_crash_recovery(spark, tmp_path):
+    """A PRE-versioned output that died mid rename-install (live tree
+    renamed aside) still recovers: promote restores curated__old to
+    curated/ before folding, and the fold migrates the table to the
+    versioned layout."""
+    out = str(tmp_path / "legacy")
+    pdf = make_transcripts_pdf(n_convs=8, hot_conv_turns=30)
+    half = len(pdf) // 2
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:half]), out,
+                          n_buckets=2, input_snapshot="s0")
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf.iloc[half:]), out, snapshot="b1",
+        n_buckets=2,
+    )
+    before = curation.read_curated(spark, out).count()
+    # rebuild the legacy layout: version dir demoted to curated/, no ptr
+    ver = curation.curated_table_path(spark, out)
+    assert fsutil.rename(spark, ver, f"{out}/curated")
+    fsutil.delete(spark, f"{out}/{curation.CURATED_POINTER}",
+                  recursive=False)
+    assert curation.curated_table_path(spark, out) == f"{out}/curated"
+    # ...then the legacy mid-swap crash: live renamed aside
     assert fsutil.rename(spark, f"{out}/curated", f"{out}/curated__old")
     m = curation.promote_increments(spark, out)
     assert m["promoted_snaps"] == ["b1"]
-    spark.catalog.refreshByPath(f"{out}/curated")
     assert curation.read_curated(spark, out).count() == before
+    assert curation.curated_table_path(spark, out).rsplit("/", 1)[1] \
+        .startswith(curation.CURATED_VERSION_PREFIX)
+
+
+def test_reader_survives_concurrent_promote(spark, tmp_path):
+    """THE r4 verdict item 4: a reader that resolved the curated table
+    BEFORE a promote (or a full recurate) collects its rows AFTER the
+    install without FileNotFound — the resolved version directory is
+    immutable and retained by the vacuum window."""
+    out = str(tmp_path / "reader")
+    pdf = make_transcripts_pdf(n_convs=10, hot_conv_turns=30)
+    half = len(pdf) // 2
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:half]), out,
+                          n_buckets=2, input_snapshot="s0")
+    curation.run_curation_increment(
+        spark, spark.createDataFrame(pdf.iloc[half:]), out, snapshot="b1",
+        n_buckets=2,
+    )
+    # reader resolves the BASE table plan now (file listing captured)
+    base_reader = curation._read_curated_base(spark, out)
+    n_base = base_reader.count()
+
+    m = curation.promote_increments(spark, out)  # concurrent install
+    assert m["promoted_snaps"] == ["b1"]
+
+    # the held pre-promote plan re-collects from its retained version
+    # directory — the old rename-install deleted those files
+    assert base_reader.count() == n_base
+
+    # a reader resolved on the NEW state survives a full RECURATE too
+    reader2 = curation.read_curated(spark, out)
+    n2 = reader2.count()
+    curation.run_curation(spark, spark.createDataFrame(pdf.iloc[:half]), out,
+                          n_buckets=2, input_snapshot="s1")
+    assert reader2.count() == n2  # old version retained, plan re-collects
+
+    # retention window: current + previous versions exist, older vacuumed
+    import glob as _glob
+    vdirs = sorted(_glob.glob(f"{out}/{curation.CURATED_VERSION_PREFIX}*"))
+    assert len(vdirs) == 2
 
 
 def test_promote_post_swap_crash_window_no_duplicates(spark, tmp_path):
@@ -156,7 +245,6 @@ def test_promote_post_swap_crash_window_no_duplicates(spark, tmp_path):
 
     m2 = curation.promote_increments(spark, out)
     assert m2["promoted_snaps"] == ["b1"]
-    spark.catalog.refreshByPath(f"{out}/curated")
     cur = curation.read_curated(spark, out)
     assert cur.count() == before
     dup_uids = (cur.groupBy("doc_uid").count()
@@ -259,7 +347,7 @@ def test_resume_key_includes_token_counter(spark, tmp_path):
                                input_snapshot="s0")
     assert m1["curate"].get("skipped") is None
     ws_tokens = {r["doc_uid"]: r["n_tokens"] for r in
-                 spark.read.parquet(f"{out}/curated")
+                 curation.read_curated(spark, out)
                  .select("doc_uid", "n_tokens").collect()}
 
     merges = bpe.train_merges_local([("the", 5), ("record", 4),
@@ -268,9 +356,8 @@ def test_resume_key_includes_token_counter(spark, tmp_path):
                                input_snapshot="s0", bpe_merges=merges)
     assert m2["curate"].get("skipped") is None   # NOT skipped: recomputed
     assert m2["curate"]["token_counter"] == "bpe"
-    spark.catalog.refreshByPath(f"{out}/curated")
     bpe_tokens = {r["doc_uid"]: r["n_tokens"] for r in
-                  spark.read.parquet(f"{out}/curated")
+                  curation.read_curated(spark, out)
                   .select("doc_uid", "n_tokens").collect()}
     assert bpe_tokens != ws_tokens
     # identical rerun WITH the same setting resumes
@@ -298,8 +385,7 @@ def test_resume_key_includes_redact_pii(spark, tmp_path):
     m2 = curation.run_curation(spark, sdf, out, n_buckets=2,
                                input_snapshot="s0", redact_pii=True)
     assert m2["curate"].get("skipped") is None   # recomputed
-    spark.catalog.refreshByPath(f"{out}/curated")
-    txt = spark.read.parquet(f"{out}/curated").collect()[0]["clean_text"]
+    txt = curation.read_curated(spark, out).collect()[0]["clean_text"]
     assert "<EMAIL>" in txt and "analyst@" not in txt
 
 
@@ -330,7 +416,6 @@ def test_numeric_snapshot_ids_end_to_end(spark, tmp_path):
     # promote with numeric snaps folds cleanly
     mp = curation.promote_increments(spark, out)
     assert "20240101" in mp["promoted_snaps"]
-    spark.catalog.refreshByPath(f"{out}/curated")
     assert curation.read_curated(spark, out).count() == n_after_1
 
 
@@ -388,5 +473,5 @@ def test_n_tokens_counted_on_stored_text(spark, tmp_path):
     curation.run_curation(spark, spark.createDataFrame(pdf), out,
                           n_buckets=2, input_snapshot="s0",
                           redact_pii=True)
-    row = spark.read.parquet(f"{out}/curated").collect()[0]
+    row = curation.read_curated(spark, out).collect()[0]
     assert row["n_tokens"] == len(row["clean_text"].split())
