@@ -618,6 +618,122 @@ def _read_curated_base(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return None if path is None else _read_optional(spark, path)
 
 
+def _base_unit(spark: SparkSession, out_dir: str) -> str:
+    """The dedup granularity the base run was curated at ('turn' unless
+    the curate stage marker says otherwise)."""
+    raw = fsutil.read_text(spark, _stage_path(out_dir, "curate"))
+    if raw:
+        try:
+            return json.loads(raw).get("unit", "turn")
+        except json.JSONDecodeError:
+            pass
+    return "turn"
+
+
+def _incr_marker_map(spark: SparkSession, out_dir: str) -> dict[str, dict]:
+    """snapshot -> marker dict for every COMPLETED incr-<snap> stage."""
+    out: dict[str, dict] = {}
+    for name in fsutil.list_names(spark, f"{out_dir}/{STAGES_DIR}"):
+        if not (name.startswith("incr-") and name.endswith(".json")):
+            continue
+        raw = fsutil.read_text(spark, f"{out_dir}/{STAGES_DIR}/{name}")
+        try:
+            m = json.loads(raw) if raw else {}
+        except json.JSONDecodeError:
+            continue
+        if m.get("status") == "completed":
+            out[name[len("incr-"):-len(".json")]] = m
+    return out
+
+
+def _conv_visible_curated(spark: SparkSession, out_dir: str,
+                          exclude_snap: str | None = None,
+                          markers: dict[str, dict] | None = None,
+                          ) -> DataFrame | None:
+    """Shadow-resolved curated rows for a CONVERSATION-mode output.
+
+    Conversation increments REPLACE redelivered conversations (a dialog
+    that grew re-concatenates, re-signs, and supersedes its previous
+    rows), so visibility is resolved per conversation: among the base
+    (sequence 0) and each completed increment snapshot (its marker's
+    ``seq``), the highest sequence that delivered a conv_id wins, and
+    every lower-sequence copy of that conversation is hidden. Snapshots
+    WITHOUT a completed marker (a crashed increment's half-commit) are
+    invisible — conversation-mode reads are read-committed.
+
+    Scale shape: the shadow is an anti-join of the base scan against the
+    DISTINCT increment conv_id set — bounded by un-promoted increment
+    volume (small by the promote contract), hence broadcast — plus a
+    winner filter on the increment rows themselves. No corpus-wide
+    shuffle."""
+    if markers is None:
+        markers = _incr_marker_map(spark, out_dir)
+    base = _read_curated_base(spark, out_dir)
+    incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
+    if incr is not None:
+        incr = _snap_str(incr)
+        if exclude_snap is not None:
+            incr = incr.filter(F.col("snap") != exclude_snap)
+        seq_rows = [(s, int(m.get("seq", 0))) for s, m in markers.items()
+                    if s != exclude_snap]
+        if seq_rows:
+            seq_df = spark.createDataFrame(seq_rows, "snap string, _seq int")
+            # inner join: rows of UNMARKED snaps (half-commits) drop out
+            incr = incr.join(F.broadcast(seq_df), "snap")
+        else:
+            incr = None
+    if incr is None:
+        return base
+    win = incr.groupBy("conv_id").agg(F.max("_seq").alias("_wseq"))
+    incr_vis = (
+        incr.join(F.broadcast(win), "conv_id")
+        .filter(F.col("_seq") == F.col("_wseq"))
+        .drop("_seq", "_wseq", "snap")
+    )
+    if base is None:
+        return incr_vis
+    base_vis = base.join(
+        F.broadcast(incr.select("conv_id").distinct()), "conv_id", "left_anti"
+    )
+    return base_vis.unionByName(incr_vis, allowMissingColumns=True)
+
+
+def _existing_features_latest(spark: SparkSession, out_dir: str,
+                              exclude_snap: str,
+                              markers: dict[str, dict]) -> DataFrame | None:
+    """The corpus near-dup feature index with REPLACEMENTS resolved: an
+    increment that re-signed a conversation supersedes the base (and any
+    lower-seq) feature row for that id. Base rows whose id appears in a
+    completed increment snapshot are stale ghosts — verifying a candidate
+    against a superseded gram set would measure similarity to text the
+    corpus no longer contains. Same bounded-shadow shape as
+    :func:`_conv_visible_curated` (anti-join base against the increment
+    id set; winner-per-id among the small increment side)."""
+    from pyspark.sql import Window
+
+    feats = _read_optional(spark, f"{out_dir}/_scratch/minhash")
+    incr = _read_optional(spark, f"{out_dir}/{SCRATCH_INCR}")
+    if incr is not None:
+        incr = _snap_str(incr).filter(F.col("snap") != exclude_snap)
+        seq_rows = [(s, int(m.get("seq", 0))) for s, m in markers.items()
+                    if s != exclude_snap]
+        if seq_rows:
+            seq_df = spark.createDataFrame(seq_rows, "snap string, _seq int")
+            incr = incr.join(F.broadcast(seq_df), "snap")
+            w = Window.partitionBy("id").orderBy(F.desc("_seq"))
+            incr = (incr.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn", "_seq", "snap"))
+        else:
+            incr = None
+    if feats is None:
+        return incr
+    if incr is None:
+        return feats
+    base_vis = feats.join(F.broadcast(incr.select("id").distinct()),
+                          "id", "left_anti")
+    return base_vis.unionByName(incr.select(feats.columns))
+
+
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
     """The full curated table: the base run's current VERSION (resolved
     once through the ``_curated_current`` pointer — immutable after
@@ -626,7 +742,21 @@ def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
     Readers use this — the increments are kept in a sibling partition
     tree so the base table's partition discovery never sees mixed
     depths, and each increment stays an independently re-writable
-    (idempotent) unit."""
+    (idempotent) unit.
+
+    For a CONVERSATION-mode output the union is shadow-resolved
+    (:func:`_conv_visible_curated`): an increment that re-delivered a
+    conversation supersedes its earlier rows, and half-committed
+    snapshots are invisible."""
+    if _base_unit(spark, out_dir) == "conversation":
+        vis = _conv_visible_curated(spark, out_dir)
+        if vis is None:
+            raise FileNotFoundError(
+                f"no curated output under {out_dir} (conversation-mode: "
+                "neither a curated base version nor a completed increment "
+                "is readable — run run_curation first)"
+            )
+        return vis
     base = _read_curated_base(spark, out_dir)
     incr = _read_optional(spark, f"{out_dir}/{CURATED_INCR}")
     if base is None and incr is None:
@@ -695,12 +825,22 @@ def run_curation_increment(
     redact_pii: bool = False,
     resume: bool = True,
     bpe_merges: list | None = None,
+    unit: str | None = None,
 ) -> dict:
     """Curate a NEW batch of transcripts against an existing
     ``run_curation`` output — the incremental-ingest form of the job:
     the increment is extracted, gated, and deduplicated BOTH within
     itself and against the whole existing corpus, but nothing old is
     re-extracted, re-shingled, or re-paired.
+
+    ``unit`` defaults to the BASE run's granularity (its curate-stage
+    marker); passing an explicit unit that differs from the base raises
+    — probing a conversation-signature index with turn signatures (or
+    vice versa) would dedup at the wrong granularity. unit='turn' is the
+    append-only path below; unit='conversation' dispatches to
+    :func:`_run_conv_increment`, which additionally RE-FORMS redelivered
+    conversations (old + new turns), re-signs them, and supersedes their
+    earlier rows (VERDICT r4 item 3).
 
     How the against-corpus dedup stays O(increment): the base run left
     its (id, sig, grams) minhash scratch table on disk; the increment's
@@ -725,21 +865,16 @@ def run_curation_increment(
     unseen — uid collisions with the existing index are dropped
     (replacement/update flows belong to the merge sinks, merge.py)."""
     t0 = time.time()
-    base_curate = fsutil.read_text(spark, _stage_path(out_dir, "curate"))
-    if base_curate:
-        try:
-            base_unit = json.loads(base_curate).get("unit", "turn")
-        except json.JSONDecodeError:
-            base_unit = "turn"
-        if base_unit != "turn":
-            # a conversation-mode base stores CONVERSATION features in the
-            # scratch/band index; probing them with turn-level signatures
-            # would silently dedup against the wrong granularity
-            raise NotImplementedError(
-                f"incremental ingest against a unit={base_unit!r} base is "
-                "not supported — re-run the base job with unit='turn' or "
-                "batch-recurate"
-            )
+    base_unit = _base_unit(spark, out_dir)
+    if unit is not None and unit != base_unit:
+        # the base's scratch/band index stores features at ONE
+        # granularity; probing it with the other unit's signatures would
+        # silently dedup against the wrong granularity
+        raise NotImplementedError(
+            f"unit={unit!r} increment against a unit={base_unit!r} base is "
+            "not supported — the increment must match the base granularity "
+            "or batch-recurate"
+        )
     if snapshot in ("base", "unversioned"):
         # "base" names the full run's index/output partitions — an
         # increment using it would dynamic-overwrite base band-index
@@ -748,6 +883,13 @@ def run_curation_increment(
         # every future dedup decision
         raise ValueError(
             f"snapshot={snapshot!r} is reserved; pick a batch-unique id"
+        )
+    if base_unit == "conversation":
+        return _run_conv_increment(
+            spark, transcripts, out_dir, snapshot, n_buckets=n_buckets,
+            salt=salt, n_partitions=n_partitions,
+            near_threshold=near_threshold, redact_pii=redact_pii,
+            resume=resume, bpe_merges=bpe_merges, t0=t0,
         )
     stage = f"incr-{snapshot}"
     token_counter = "bpe" if bpe_merges is not None else "whitespace"
@@ -871,6 +1013,215 @@ def run_curation_increment(
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
                            "splits": split_counts, **incr_settings,
+                           "cap_metrics": caps.summary()})
+    return {"curate": metrics, "elapsed_sec": time.time() - t0}
+
+
+def _run_conv_increment(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    snapshot: str,
+    *,
+    n_buckets: int,
+    salt: int,
+    n_partitions: int | None,
+    near_threshold: float,
+    redact_pii: bool,
+    resume: bool,
+    bpe_merges: list | None,
+    t0: float,
+) -> dict:
+    """Conversation-granularity incremental ingest (VERDICT r4 item 3).
+
+    Differences from the turn path, forced by the unit: a conversation is
+    a MUTABLE document (it grows as turns arrive), so redelivery means
+    REPLACEMENT, not skip —
+
+    1. the increment's gated turns are combined with the STORED turns of
+       every redelivered conv_id (shadow-resolved view), collapsing
+       duplicate (conv_id, turn_idx) deliveries by the batch path's rule
+       (min content_hash per doc_uid), so delta and full redelivery both
+       re-form the complete conversation exactly as a batch recurate of
+       old+new raw turns would;
+    2. re-formed conversations whose boundary-safe ``conv_key`` is
+       UNCHANGED are dropped (pure redelivery — idempotent no-op);
+    3. changed/new conversations run the base job's exact keep rule
+       (conversation_exact_kept) within the batch, then probe the band
+       index against the corpus — with SELF-pairs excluded (an extended
+       conversation always near-matches its own previous version; that
+       collision is the replacement, not a duplicate) and the corpus
+       feature side resolved to each conversation's LATEST signature
+       (_existing_features_latest) — then the normal within-batch
+       near-dup CC keep policy;
+    4. kept conversations land WHOLE (all turns, re-annotated) under
+       ``curated_incr/snap=<snapshot>/``, and their feature/band rows
+       under the same snapshot; readers and future increments see them
+       supersede earlier rows via the marker-seq shadow
+       (_conv_visible_curated). The snapshot stays an idempotent
+       partition-overwrite unit, and half-commits stay invisible (the
+       ``seq`` only exists once the stage marker commits).
+
+    Documented corners (loud, not silent): turns redelivered for a
+    conversation that was previously DROPPED as a near-duplicate re-form
+    from the increment's turns only (the dropped text was never stored);
+    with ``redact_pii`` the stored (redacted) text is the identity basis
+    for re-signing, so a batch recurate over raw turns can differ on
+    PII-bearing conversations; a re-formed conversation that now
+    near-matches a DIFFERENT stored conversation is dropped entirely,
+    leaving its previous version current (corpus stability, same as the
+    turn path's old-doc-wins rule)."""
+    from pyspark.sql import Window
+
+    stage = f"incr-{snapshot}"
+    token_counter = "bpe" if bpe_merges is not None else "whitespace"
+    incr_settings = {"token_counter": token_counter,
+                     "redact_pii": redact_pii,
+                     "near_threshold": near_threshold,
+                     "unit": "conversation"}
+    done = resume and stage_completed(
+        spark, out_dir, stage, snapshot, require=incr_settings,
+    )
+    if done:
+        return {"curate": {**done, "skipped": True},
+                "elapsed_sec": time.time() - t0}
+
+    markers = _incr_marker_map(spark, out_dir)
+    seq = max([int(m.get("seq", 0)) for m in markers.values()] + [0]) + 1
+
+    from epstein_browser_spark.dedup import (
+        CapMetrics,
+        band_index,
+    )
+    from epstein_browser_spark.pipeline import extract_transcripts
+
+    caps = CapMetrics()
+    extracted = extract_transcripts(
+        transcripts, n_buckets=n_buckets, salt=salt, n_partitions=n_partitions
+    ).localCheckpoint(eager=True)
+    new_turns = _gated_unique_turns(extracted)
+
+    # re-form redelivered conversations: stored turns of affected convs
+    # (shadow-resolved, excluding this snapshot's own prior attempt)
+    # union the increment's turns, collapsed by the batch path's rule
+    existing = _conv_visible_curated(spark, out_dir, exclude_snap=snapshot,
+                                     markers=markers)
+    old_keys = None
+    if existing is not None:
+        affected_old = existing.join(
+            new_turns.select("conv_id").distinct(), "conv_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        old_keys = conversation_docs(affected_old).select(
+            "conv_id", F.col("conv_key").alias("_old_key"))
+        common = [c for c in new_turns.columns if c in affected_old.columns]
+        combined = new_turns.select(common).unionByName(
+            affected_old.select(common))
+    else:
+        combined = new_turns.drop("bucket")
+    uid_w = Window.partitionBy("doc_uid").orderBy("content_hash")
+    combined = (
+        combined.withColumn("_rn", F.row_number().over(uid_w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+
+    convs = conversation_docs(combined)
+    if old_keys is not None:
+        convs = convs.join(old_keys, "conv_id", "left").filter(
+            F.col("_old_key").isNull()            # brand-new conversation
+            | (F.col("_old_key") != F.col("conv_key"))  # re-formed/changed
+        ).drop("_old_key")
+    changed = convs.localCheckpoint(eager=True)
+    if changed.isEmpty():
+        metrics = _mark_stage(spark, out_dir, stage, snapshot,
+                              {"n_docs": 0, "splits": {}, "seq": seq,
+                               **incr_settings})
+        return {"curate": metrics, "elapsed_sec": time.time() - t0}
+
+    # the base job's exact keep rule within the batch of candidates
+    conv_kept = conversation_exact_kept(changed)
+    cand_feats = minhash_features(
+        conv_kept.select("conv_uid", "conv_text"),
+        text_col="conv_text", id_col="conv_uid",
+    ).localCheckpoint(eager=True)
+    probe_bands = band_index(cand_feats.select("id", "sig")).localCheckpoint(
+        eager=True)
+
+    old_feats = _existing_features_latest(spark, out_dir,
+                                          exclude_snap=snapshot,
+                                          markers=markers)
+    if old_feats is None:
+        survivors = conv_kept
+    else:
+        corpus_bands = _existing_bands(spark, out_dir, snapshot, probe_bands)
+        vs_old = minhash_candidates_between(
+            probe_bands=probe_bands,
+            corpus_sigs=(None if corpus_bands is not None
+                         else old_feats.select("id", "sig")),
+            corpus_bands=corpus_bands,
+            cap_metrics=caps,
+        ).filter(F.col("id_probe") != F.col("id_corpus"))  # self = replacement
+        all_feats = cand_feats.unionByName(old_feats.select(cand_feats.columns))
+        dup_of_old = verify_pairs(
+            vs_old, all_feats, near_threshold, n_perms=32,
+            a_col="id_probe", b_col="id_corpus", cap_metrics=caps,
+        ).select(F.col("id_probe").alias("conv_uid")).distinct()
+        survivors = conv_kept.join(dup_of_old, "conv_uid", "left_anti")
+
+    # within-batch near-dup keep policy (same as the base conversation run)
+    surv_feats = cand_feats.join(
+        survivors.select(F.col("conv_uid").alias("id")), "id", "left_semi"
+    )
+    within = verify_pairs(
+        minhash_lsh_candidates(surv_feats.select("id", "sig"), n_bands=8,
+                               n_perms=32, cap_metrics=caps),
+        surv_feats, near_threshold, n_perms=32, cap_metrics=caps,
+    )
+    clusters = dedup_clusters(survivors, within, id_col="conv_uid")
+    kept_convs = survivors.join(
+        clusters.filter("is_canonical").select(F.col("id").alias("conv_uid")),
+        "conv_uid", "left_semi",
+    ).select("conv_id", "conv_uid").localCheckpoint(eager=True)
+
+    if kept_convs.isEmpty():
+        metrics = _mark_stage(spark, out_dir, stage, snapshot,
+                              {"n_docs": 0, "splits": {}, "seq": seq,
+                               **incr_settings})
+        return {"curate": metrics, "elapsed_sec": time.time() - t0}
+
+    # kept conversations land WHOLE: every combined turn, re-annotated
+    kept_turns = combined.join(kept_convs.select("conv_id"),
+                               "conv_id", "left_semi")
+    out = _annotate(kept_turns, redact_pii, bpe_merges=bpe_merges).drop(
+        "bucket").withColumn("snap", F.lit(snapshot)).localCheckpoint(
+        eager=True)
+    fsutil.write_partition_overwrite(
+        out, f"{out_dir}/{CURATED_INCR}", partition_col=["snap", "split"]
+    )
+
+    # features/bands for exactly the INSTALLED conversations (persisting
+    # a dropped replacement's signature would desynchronize the index
+    # from the text the corpus actually kept)
+    kept_feats = cand_feats.join(
+        kept_convs.select(F.col("conv_uid").alias("id")), "id", "left_semi"
+    )
+    fsutil.write_partition_overwrite(
+        kept_feats.withColumn("snap", F.lit(snapshot)),
+        f"{out_dir}/{SCRATCH_INCR}", partition_col="snap",
+    )
+    new_feats = _snap_str(
+        spark.read.parquet(f"{out_dir}/{SCRATCH_INCR}")
+    ).filter(F.col("snap") == snapshot).drop("snap")
+    _write_band_index(new_feats, out_dir, snap=snapshot)
+
+    split_counts = _write_split_manifests(
+        spark, out.drop("snap"), out_dir, {"snapshot": snapshot},
+        lambda sp: f"incr-{snapshot}-{sp}.json",
+    )
+    metrics = _mark_stage(spark, out_dir, stage, snapshot,
+                          {"n_docs": sum(split_counts.values()),
+                           "splits": split_counts, "seq": seq,
+                           **incr_settings,
                            "cap_metrics": caps.summary()})
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
@@ -1124,19 +1475,18 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     # increment's own retry anti-join every document against its folded
     # self and permanently commit 0 docs. Unmarked trees are left for
     # the increment retry (which overwrites its own partitions).
-    marker_docs: dict[str, int] = {}
-    for name in fsutil.list_names(spark, f"{out_dir}/{STAGES_DIR}"):
-        if not (name.startswith("incr-") and name.endswith(".json")):
-            continue
-        raw = fsutil.read_text(spark, f"{out_dir}/{STAGES_DIR}/{name}")
-        try:
-            m = json.loads(raw) if raw else {}
-        except json.JSONDecodeError:
-            continue
-        if m.get("status") == "completed":
-            marker_docs[name[len("incr-"):-len(".json")]] = int(
-                m.get("n_docs", 0))
+    markers = _incr_marker_map(spark, out_dir)
+    marker_docs = {s: int(m.get("n_docs", 0)) for s, m in markers.items()}
+    unit = _base_unit(spark, out_dir)
     fold = sorted(s for s in marker_docs if s in tree_snaps)
+
+    def _seq_df(snaps):
+        """(snap, _seq) for the folding snapshots — conversation-mode
+        replacement resolution (highest seq wins a conv_id / feature id)."""
+        return spark.createDataFrame(
+            [(s, int(markers[s].get("seq", 0))) for s in snaps],
+            "snap string, _seq int",
+        )
     # markers to clear: folded this run, or folded by a crashed promote
     # (n_docs > 0 but trees already gone). A ZERO-doc marker with no
     # trees is the redelivery short-circuit for an entirely-redelivered
@@ -1165,12 +1515,34 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     if cur_fold:
         incr_curated = _snap_str(spark.read.parquet(
             f"{out_dir}/{CURATED_INCR}"
-        )).filter(F.col("snap").isin(cur_fold)).drop("snap")
-        docs_folded = incr_curated.count()
+        )).filter(F.col("snap").isin(cur_fold))
         base = _read_curated_base(spark, out_dir)
-        merged = (incr_curated if base is None
-                  else base.unionByName(incr_curated,
-                                        allowMissingColumns=True))
+        if unit == "conversation":
+            # replacement semantics: among the folding snapshots the
+            # highest-seq delivery of a conv_id wins, and it SUPERSEDES
+            # the base rows of that conversation (the read-time shadow
+            # of _conv_visible_curated, materialized once here)
+            incr_curated = incr_curated.join(
+                F.broadcast(_seq_df(cur_fold)), "snap")
+            win = incr_curated.groupBy("conv_id").agg(
+                F.max("_seq").alias("_wseq"))
+            winners = (incr_curated.join(F.broadcast(win), "conv_id")
+                       .filter(F.col("_seq") == F.col("_wseq"))
+                       .drop("_seq", "_wseq", "snap"))
+            docs_folded = winners.count()
+            if base is not None:
+                base = base.join(
+                    F.broadcast(incr_curated.select("conv_id").distinct()),
+                    "conv_id", "left_anti")
+            merged = (winners if base is None
+                      else base.unionByName(winners,
+                                            allowMissingColumns=True))
+        else:
+            incr_curated = incr_curated.drop("snap")
+            docs_folded = incr_curated.count()
+            merged = (incr_curated if base is None
+                      else base.unionByName(incr_curated,
+                                            allowMissingColumns=True))
         new_path = _install_curated_version(
             spark, out_dir, merged.dropDuplicates(["doc_uid"]))
         if new_path:
@@ -1178,13 +1550,31 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
         for s in cur_fold:
             fsutil.delete(spark, f"{out_dir}/{CURATED_INCR}/snap={s}")
 
-    # fold feature rows the same way (dedup by feature id)
+    # fold feature rows the same way (dedup by feature id; conversation
+    # mode resolves replacements — the latest-seq signature of an id
+    # supersedes the base row, which describes superseded text)
     feat_fold = sorted(_tree_snapset(SCRATCH_INCR) & set(fold))
     if feat_fold:
         incr_feats = _snap_str(spark.read.parquet(
             f"{out_dir}/{SCRATCH_INCR}"
-        )).filter(F.col("snap").isin(feat_fold)).drop("snap")
+        )).filter(F.col("snap").isin(feat_fold))
         base_feats = _read_optional(spark, feats_live)
+        if unit == "conversation":
+            from pyspark.sql import Window as _W
+
+            incr_feats = incr_feats.join(
+                F.broadcast(_seq_df(feat_fold)), "snap")
+            w = _W.partitionBy("id").orderBy(F.desc("_seq"))
+            incr_feats = (incr_feats.withColumn("_rn",
+                                                F.row_number().over(w))
+                          .filter(F.col("_rn") == 1)
+                          .drop("_rn", "_seq", "snap"))
+            if base_feats is not None:
+                base_feats = base_feats.join(
+                    F.broadcast(incr_feats.select("id").distinct()),
+                    "id", "left_anti")
+        else:
+            incr_feats = incr_feats.drop("snap")
         merged_feats = (
             incr_feats if base_feats is None
             else base_feats.unionByName(incr_feats.select(base_feats.columns))
@@ -1210,12 +1600,37 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     if band_fold:
         bands = _snap_str(spark.read.parquet(bands_live))
         fold_set = set(band_fold) | {"base"}
-        folded = (
-            bands.filter(F.col("snap").isin(sorted(fold_set)))
-            .select("id", "band", "band_hash", "pband")
-            .dropDuplicates(["id", "band", "band_hash"])
-            .withColumn("snap", F.lit("base"))
-        )
+        if unit == "conversation":
+            # replacement semantics for band rows too: a re-signed
+            # conversation's OLD band rows (base, or a lower-seq snap)
+            # are stale — verification would reject their candidates
+            # against the latest grams anyway, but folding them would
+            # accrete dead probe rows forever. Keep, per id, only the
+            # winning snapshot's rows; base rows survive for ids no
+            # folding snapshot re-signed.
+            fold_bands = bands.filter(
+                F.col("snap").isin(sorted(band_fold))
+            ).join(F.broadcast(_seq_df(band_fold)), "snap")
+            winb = fold_bands.groupBy("id").agg(
+                F.max("_seq").alias("_wseq"))
+            fold_bands = (fold_bands.join(F.broadcast(winb), "id")
+                          .filter(F.col("_seq") == F.col("_wseq"))
+                          .select("id", "band", "band_hash", "pband"))
+            base_bands = bands.filter(F.col("snap") == "base").join(
+                F.broadcast(winb.select("id")), "id", "left_anti"
+            ).select("id", "band", "band_hash", "pband")
+            folded = (
+                base_bands.unionByName(fold_bands)
+                .dropDuplicates(["id", "band", "band_hash"])
+                .withColumn("snap", F.lit("base"))
+            )
+        else:
+            folded = (
+                bands.filter(F.col("snap").isin(sorted(fold_set)))
+                .select("id", "band", "band_hash", "pband")
+                .dropDuplicates(["id", "band", "band_hash"])
+                .withColumn("snap", F.lit("base"))
+            )
         passthrough = bands.filter(
             ~F.col("snap").isin(sorted(fold_set))
         ).select("id", "band", "band_hash", "pband", "snap")

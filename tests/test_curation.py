@@ -410,8 +410,10 @@ def test_conversation_mode_through_run_curation(spark, tmp_path):
     cur = curation.read_curated(spark, out)
     kept = {r["conv_id"] for r in cur.select("conv_id").distinct().collect()}
     assert len(kept & {"x", "x_dup"}) == 1 and "y" in kept
-    # increments against a conversation-mode base are refused loudly
-    with pytest.raises(NotImplementedError, match="conversation"):
+    # an increment whose EXPLICIT unit mismatches the base is refused
+    # loudly (the default inherits the base unit and works — pinned by
+    # tests/test_conv_increment.py)
+    with pytest.raises(NotImplementedError, match="unit"):
         curation.run_curation_increment(
             spark, spark.createDataFrame(pdf), out, snapshot="b1",
-            n_buckets=2)
+            n_buckets=2, unit="turn")
