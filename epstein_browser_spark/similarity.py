@@ -715,3 +715,66 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
         .orderBy(F.asc("adc_dist2"), F.col(id_col))
         .limit(topk)
     )
+
+
+def semdedup(embeddings: DataFrame, n_centroids: int = 8,
+             threshold: float = 0.3, quantizer: str = "kmeans",
+             n_iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, is_dup) — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means-cluster the embedding space, then inside each cluster mark as
+    a semantic duplicate every item whose cosine to a LOWER-ID item in
+    the same cell rounds (6dp) to ≥ ``threshold``. The lowest-id member
+    of every near-dup chain survives — a deterministic stand-in for the
+    paper's keep-one-per-group policy that needs no iterative resolution
+    (the full connected-components keep policy is
+    :func:`epstein_browser_spark.dedup.dedup_clusters`, q68).
+
+    Scale shape — the whole point of SemDeDup is that clustering bounds
+    the quadratic: the pair join shuffles both sides by ``cell`` and the
+    within-cell self-join is |cell|², never corpus². At 100 TB the
+    assignment is written ``PARTITIONED BY (cell)`` (the ivf_assign
+    layout) so the pair stage reads co-located buckets; oversized cells
+    are the k-means analogue of the LSH mega-bucket and are controlled
+    by raising ``n_centroids`` (cells shrink ∝ 1/k)."""
+    # Materialize the assignment ONCE (it feeds both sides of the pair
+    # join and the final keep table — lazily each use would replay the
+    # crossJoin+argmin assignment subtree, 3× the cost; measured as
+    # q80's 13.7s → ~4s). Per-vector norm is precomputed here so the
+    # per-pair predicate is ONE interpreted fold (the dot product)
+    # instead of three — the ivf_assign |c|² trick applied to cosine.
+    # At 100 TB this frame is the one you write PARTITIONED BY (cell);
+    # localCheckpoint is its single-job stand-in, and its blocks are
+    # ContextCleaner-collected when the frame goes out of scope.
+    assigned = (
+        ivf_assign(embeddings, n_centroids, id_col, vec_col,
+                   quantizer, n_iters)
+        .select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "cell",
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select("id", F.col("_v").alias("_va"),
+                        F.col("_n").alias("_na"), "cell")
+    b = assigned.select(F.col("id").alias("_idb"),
+                        F.col("_v").alias("_vb"),
+                        F.col("_n").alias("_nb"),
+                        F.col("cell").alias("_cellb"))
+    dups = (
+        a.join(b, (F.col("cell") == F.col("_cellb"))
+               & (F.col("_idb") < F.col("id")))
+        .filter(F.round(dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb")), 6)
+                >= F.lit(threshold))
+        .select("id")
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dups, "id", "left")
+        .select("id", "cell",
+                F.coalesce("_d", F.lit(False)).alias("is_dup"))
+    )

@@ -450,3 +450,185 @@ def fingerprint_table(df: DataFrame, text_col: str = "text",
             ).alias("fingerprint"),
         )
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, term, tf, tfidf, rank) — the top-``k`` TF-IDF terms per
+    document: per-doc keyword extraction, the classical summary a corpus
+    browser shows next to each hit (the reference surfaces raw excerpts,
+    /root/reference/app.py:930-966; TF-IDF is the principled per-doc
+    term salience those excerpts approximate).
+
+    Scale shape: tokens explode ONCE; document frequency is a window
+    count over the ``term`` partition of the (doc, term) tf table — the
+    vocabulary is corpus-sized, so df is NEVER collected or broadcast
+    (contrast q60, whose df table is |query terms| wide). Two shuffles
+    total (term, then doc for the top-k window); ranking uses the
+    6dp-ROUNDED score + term so top-k boundaries agree across engines
+    whose float orders differ."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                     lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # df via window over the term partition: tf is already shuffling by
+    # (id, term); one more hash exchange on term, no driver-side vocab
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    stats = df.agg(F.count("*").alias("n_docs"))
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        "id", "term", "tf",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        w: int = 5) -> DataFrame:
+    """(id, fp_hash, fp_pos) — winnowing fingerprints (Schleimer, Wilkerson
+    & Aiken, SIGMOD'03; the MOSS local fingerprinting scheme): hash every
+    ``k``-token shingle, slide a ``w``-window over the hash sequence, and
+    select the RIGHTMOST minimal hash per window. Guarantees every match
+    of length ≥ ``w + k - 1`` tokens shares a fingerprint, at ~2/(w+1)
+    the density of full shingling — the sub-document near-dup index that
+    feeds plagiarism/duplicate-span detection at corpus scale.
+
+    Engine-portable argmin: (hash, position) packs into ONE bigint key
+    ``h * 2^20 + (2^20 - 1 - pos)`` (h is 32 bits, so the key fits 2^52 —
+    exact in long and double alike); a window ``min`` over the key is
+    then min-by-hash with ties to the RIGHTMOST position, with no
+    struct-ordering or argmin_by dependence. Hashes are md5-derived so
+    the whole operator value-oracles cross-engine.
+
+    Scale shape: one explode, one per-doc window (partition = doc id —
+    shuffles by doc, never global), distinct on the selected (pos, hash)
+    pairs. Docs shorter than ``w + k - 1`` tokens have no full window and
+    emit nothing (the winnowing guarantee is vacuous below that length)."""
+    from pyspark.sql.window import Window
+
+    m = 1 << 20
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= k + w - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+    )
+    g = norm.select("id", F.posexplode(grams).alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    keyed = g.select(
+        "id", "pos",
+        (h * m + (F.lit(m - 1) - F.col("pos"))).alias("_key"),
+    )
+    win = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        keyed.select(
+            "id", "pos", F.min("_key").over(win).alias("_wkey")
+        )
+        .filter(F.col("pos") >= w - 1)  # full windows only
+    )
+    return sel.select(
+        "id",
+        F.expr(f"CAST(_wkey div {m} AS BIGINT)").alias("fp_hash"),
+        (F.lit(m - 1) - F.pmod("_wkey", F.lit(m))).cast("long").alias("fp_pos"),
+    ).distinct()
+
+
+def dsir_logweights(corpus: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 1024) -> DataFrame:
+    """(id, log_weight) — DSIR-style importance weights (Xie et al.,
+    NeurIPS'23 "Data Selection for Language Models via Importance
+    Resampling"): hashed-unigram bag features, per-doc weight
+    ``Σ_f n_f(doc) · log( p̂_target(f) / p̂_raw(f) )`` with add-one
+    smoothing over the hashed bucket space. Docs that look like the
+    target distribution score high; importance resampling then keeps
+    docs ∝ exp(weight) — here we emit the raw log weight, the
+    deterministic part every selection policy shares.
+
+    Determinism across engines: the per-bucket log-ratio is quantized to
+    INTEGER micro-nats (round(lr·10⁶) as bigint) and the per-doc sum is
+    exact integer arithmetic — no float summation order, and no final
+    rounding boundary for a 1-ulp ``ln`` divergence between libms to
+    straddle (a 9dp-decimal + final-6dp-round variant failed exactly
+    there: sums differing by ~1e-7 landed on opposite sides of the 6dp
+    half). The only residual divergence window is a 1-ulp ln difference
+    at a .5-micro-nat boundary, ~1e-10 per bucket. The output divides
+    the integer by 10⁶ (exactly representable), a correctly-rounded
+    deterministic double both engines agree on bit-for-bit. Buckets are
+    md5-derived mod ``n_buckets`` (1024 divides 16^5, so the 5-hex-digit
+    bucket draw is UNbiased — the deterministic_split lesson).
+
+    Scale shape: features explode once per side; both distributions
+    reduce to ≤ ``n_buckets`` rows (partial-agg shuffles), the log-ratio
+    table broadcasts, and the per-doc sum is one more partial-agg
+    groupBy. Nothing quadratic, nothing driver-side."""
+    def feats(d: DataFrame) -> DataFrame:
+        # explode first (generators can't nest inside expressions), then
+        # hash the term to its bucket
+        terms = d.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                         lambda t: t != "")
+            ).alias("term"),
+        )
+        return terms.select(
+            "id",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 5), 16, 10)
+                .cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    raw_f = feats(corpus)
+    tgt_f = feats(target)
+    raw_c = raw_f.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+    tgt_c = tgt_f.groupBy("bucket").agg(F.count("*").alias("n_tgt"))
+    totals = (
+        raw_f.agg(F.count("*").alias("tot_raw"))
+        .crossJoin(tgt_f.agg(F.count("*").alias("tot_tgt")))
+    )
+    ratio = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
+                     / (F.col("tot_tgt") + n_buckets))
+                    / ((F.col("n_raw") + 1)
+                       / (F.col("tot_raw") + n_buckets))
+                ) * 1000000.0,
+                0,
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    dcnt = raw_f.groupBy("id", "bucket").agg(F.count("*").alias("n"))
+    return (
+        dcnt.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            (F.sum(F.col("n") * F.col("lr_micro")) / F.lit(1000000.0))
+            .alias("log_weight")
+        )
+    )

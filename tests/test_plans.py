@@ -91,7 +91,14 @@ def test_pagination_no_global_window(spark, sf_dir):
         q39_search_page,
     )
 
-    for fn in (q12_pagination, q33_relevance_order, q39_search_page):
+    # q39's production path returns an eagerly-checkpointed page (so its
+    # cached match set can be released — r4 ADVICE); materialize=False
+    # yields the same expression tree un-checkpointed for plan assertions.
+    for fn in (
+        q12_pagination,
+        q33_relevance_order,
+        lambda s, d: q39_search_page(s, d, materialize=False),
+    ):
         plan = _plan(fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, plan
         # every window spec must carry a partition expression: the spec

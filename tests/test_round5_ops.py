@@ -1,0 +1,253 @@
+"""Unit tests for the round-5 training-data operators: TF-IDF top terms,
+winnowing fingerprints, DSIR importance weights, SemDeDup.
+
+Each operator also has a full DuckDB value oracle (q77-q80 in
+tests/test_queries_oracle.py); these tests pin the SEMANTIC guarantees
+the oracles can't express — the winnowing coverage theorem, DSIR's
+target-likeness ordering, SemDeDup's keep-lowest-id policy — against
+pure-Python references on tiny hand-built inputs.
+"""
+
+import hashlib
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from epstein_browser_spark import similarity, textstats
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "apple apple banana common",
+                "banana cherry common",
+                "cherry cherry cherry common",
+                "date common",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_tfidf_top_terms_matches_hand_computation(spark):
+    out = (
+        textstats.tfidf_top_terms(_tfidf_docs(spark), "text", "doc_id", k=3)
+        .toPandas()
+        .sort_values(["id", "rank"])
+    )
+    # hand model: n_docs=4; df(apple)=1, df(banana)=2, df(cherry)=2,
+    # df(common)=4, df(date)=1
+    def s(tf, df):
+        return round(tf * math.log(4 / df), 6)
+
+    doc0 = out[out["id"] == 0]
+    assert list(doc0["term"]) == ["apple", "banana", "common"]
+    assert list(doc0["tfidf"]) == [s(2, 1), s(1, 2), s(1, 4)]
+    # 'common' appears in every doc -> idf ln(1) = 0 exactly
+    assert s(1, 4) == 0.0
+    doc3 = out[out["id"] == 3]
+    assert list(doc3["term"]) == ["date", "common"]  # only 2 distinct terms
+
+
+def test_tfidf_rank_ties_break_by_term(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["beta alpha", "zeta"]})
+    out = (
+        textstats.tfidf_top_terms(spark.createDataFrame(pdf), "text",
+                                  "doc_id", k=2)
+        .toPandas()
+        .sort_values(["id", "rank"])
+    )
+    d0 = out[out["id"] == 0]
+    # identical tfidf (tf=1, df=1 each) -> alphabetical order decides
+    assert list(d0["term"]) == ["alpha", "beta"]
+    assert list(d0["rank"]) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int = 4, w: int = 5):
+    """Pure-Python reference: rightmost-min per w-window of k-gram hashes
+    (Schleimer/Wilkerson/Aiken '03 fig. 5), dedup on (hash, pos)."""
+    toks = text.lower().split()
+    if len(toks) < k + w - 1:
+        return set()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    out = set()
+    for end in range(w - 1, len(hs)):
+        window = hs[end - w + 1:end + 1]
+        m = min(window)
+        # rightmost minimal position
+        pos = end - list(reversed(window)).index(m)
+        out.add((hs[pos], pos))
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        "a b c d e f g h i j k l m n o p",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "x y z",  # too short: < k + w - 1 tokens
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = textstats.winnow_fingerprints(
+        spark.createDataFrame(pdf), "text", "doc_id", k=4, w=5
+    ).toPandas()
+    for i, t in enumerate(texts):
+        got = set(
+            zip(out[out["id"] == i]["fp_hash"], out[out["id"] == i]["fp_pos"])
+        )
+        assert got == _py_winnow(t), f"doc {i}"
+
+
+def test_winnow_shared_span_guarantee(spark):
+    """The SIGMOD'03 theorem: any shared token run of length >= w + k - 1
+    (= 8 here) yields at least one common fingerprint HASH."""
+    shared = "one two three four five six seven eight"  # 8 tokens
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                f"alpha beta {shared} gamma delta",
+                f"unrelated prefix words here {shared} and other suffix",
+            ],
+        }
+    )
+    out = textstats.winnow_fingerprints(
+        spark.createDataFrame(pdf), "text", "doc_id", k=4, w=5
+    ).toPandas()
+    h0 = set(out[out["id"] == 0]["fp_hash"])
+    h1 = set(out[out["id"] == 1]["fp_hash"])
+    assert h0 & h1, "shared 8-token span must share a fingerprint"
+
+
+def test_winnow_density_below_full_shingling(spark):
+    text = " ".join(f"tok{i}" for i in range(200))
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text]})
+    out = textstats.winnow_fingerprints(
+        spark.createDataFrame(pdf), "text", "doc_id", k=4, w=5
+    ).toPandas()
+    n_grams = 200 - 4 + 1
+    # expected density 2/(w+1) = 1/3 of full shingling; allow slack but
+    # require a real reduction
+    assert 0 < len(out) < 0.6 * n_grams
+
+
+# ---------------------------------------------------------------------------
+# dsir_logweights
+# ---------------------------------------------------------------------------
+
+
+def _py_dsir(corpus, target, n_buckets=64):
+    """Pure-Python reference of the micro-nat quantized DSIR weight."""
+    def feats(texts):
+        out = []
+        for i, t in texts:
+            for term in [x for x in __import__("re").split("[^a-z]+",
+                                                           t.lower()) if x]:
+                b = int(hashlib.md5(term.encode()).hexdigest()[:5], 16) \
+                    % n_buckets
+                out.append((i, b))
+        return out
+
+    raw = feats(corpus)
+    tgt = feats(target)
+    raw_c, tgt_c = {}, {}
+    for _, b in raw:
+        raw_c[b] = raw_c.get(b, 0) + 1
+    for _, b in tgt:
+        tgt_c[b] = tgt_c.get(b, 0) + 1
+    tot_raw, tot_tgt = len(raw), len(tgt)
+    lr_micro = {
+        b: round(
+            math.log(((tgt_c.get(b, 0) + 1) / (tot_tgt + n_buckets))
+                     / ((n + 1) / (tot_raw + n_buckets))) * 1e6
+        )
+        for b, n in raw_c.items()
+    }
+    w = {}
+    for i, b in raw:
+        w[i] = w.get(i, 0) + lr_micro[b]
+    return {i: v / 1e6 for i, v in w.items()}
+
+
+def test_dsir_matches_python_reference_and_orders_by_likeness(spark):
+    corpus = [
+        (0, "stocks bonds markets finance trading"),
+        (1, "stocks finance markets"),
+        (2, "recipe flour sugar butter oven"),
+        (3, "flour oven recipe"),
+    ]
+    target = [(0, corpus[0][1]), (1, corpus[1][1])]  # the finance slice
+    pdf = pd.DataFrame(corpus, columns=["doc_id", "text"])
+    tdf = pd.DataFrame(target, columns=["doc_id", "text"])
+    out = textstats.dsir_logweights(
+        spark.createDataFrame(pdf), spark.createDataFrame(tdf),
+        "text", "doc_id", n_buckets=64
+    ).toPandas()
+    got = dict(zip(out["id"], out["log_weight"]))
+    ref = _py_dsir(corpus, target, n_buckets=64)
+    assert got == ref  # bit-exact: integer micro-nat arithmetic
+    # finance docs must outscore cooking docs under a finance target
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+# ---------------------------------------------------------------------------
+# semdedup
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark):
+    # two tight clusters far apart + one lone vector; identical vectors
+    # within cluster A, near-identical within cluster B
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),          # exact dup of 0
+        (2, [0.99, 0.01, 0.0, 0.0]),        # near dup of 0
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.98, 0.02]),        # near dup of 3
+        (5, [0.0, -1.0, 0.0, 0.0]),         # lone: negative cosine to all
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_keeps_lowest_id_per_chain(spark):
+    out = similarity.semdedup(
+        _emb_df(spark), n_centroids=3, threshold=0.3, n_iters=2
+    ).toPandas().set_index("id")
+    # chain {0,1,2}: 0 survives, 1 and 2 are dups
+    assert not out.loc[0, "is_dup"]
+    assert out.loc[1, "is_dup"] and out.loc[2, "is_dup"]
+    # chain {3,4}: 3 survives
+    assert not out.loc[3, "is_dup"] and out.loc[4, "is_dup"]
+    # the lone vector never duplicates anything
+    assert not out.loc[5, "is_dup"]
+    # every input id appears exactly once
+    assert sorted(out.index) == [0, 1, 2, 3, 4, 5]
+
+
+def test_semdedup_cell_bound(spark):
+    """Duplicates are only sought WITHIN a cell: vectors in different
+    k-means cells are never compared, the |cell|² bound that makes the
+    operator scale."""
+    out = similarity.semdedup(
+        _emb_df(spark), n_centroids=3, threshold=0.3, n_iters=2
+    ).toPandas()
+    cells = dict(zip(out["id"], out["cell"]))
+    # the two tight clusters land in different cells under k=3
+    assert cells[0] == cells[1] == cells[2]
+    assert cells[3] == cells[4]
+    assert cells[0] != cells[3]
