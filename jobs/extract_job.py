@@ -27,7 +27,14 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=True,
+                    help="transcripts source: a parquet/Iceberg path or a "
+                         "catalog table identifier (e.g. lake.raw.transcripts)")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "iceberg", "parquet"],
+                    help="source resolution (sources.read_transcripts): "
+                         "'iceberg' fails fast with remediation when the "
+                         "runtime jar is absent")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--partitions", type=int, default=None)
@@ -48,8 +55,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("epstein_browser_spark.extract").getOrCreate()
 
     from epstein_browser_spark.pipeline import run_extraction
+    from epstein_browser_spark.sources import read_transcripts
 
-    transcripts = spark.read.parquet(args.input)
+    transcripts = read_transcripts(spark, args.input, args.input_format)
     metrics = run_extraction(
         spark,
         transcripts,

@@ -183,7 +183,7 @@ def test_multimodal_plumbing(spark):
     import pytest
 
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(b"\xff\xd8")
+        multimodal.decode_image(b"\xff\xd8")  # JPEG: no codec lib here
 
 
 def test_simhash_recall_is_exact(spark, sf_dir):

