@@ -813,6 +813,24 @@ def _existing_features(spark: SparkSession, out_dir: str,
     return feats.unionByName(incr.select(feats.columns))
 
 
+def _delete_snapshot_trees(spark: SparkSession, out_dir: str,
+                           snapshot: str) -> None:
+    """Remove every tree partition a PRIOR run of ``snapshot`` wrote.
+
+    A re-run that converges to ZERO installed docs (settings changed via
+    the resume-mismatch path, or the batch is now a pure redelivery)
+    must not leave the previous attempt's rows on disk: the fresh marker
+    carries a NEW seq, and the marker-seq shadow would make the stale
+    rows read-visible — resurrecting rows the run decided not to
+    install, under settings that no longer apply (r5 review finding).
+    Deletion precedes the marker write: a crash in between leaves the
+    OLD marker, and the retry recomputes from scratch."""
+    for tree in (CURATED_INCR, SCRATCH_INCR, BANDS_DIR):
+        path = f"{out_dir}/{tree}/snap={snapshot}"
+        if fsutil.exists(spark, path):
+            fsutil.delete(spark, path)
+
+
 def run_curation_increment(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -933,7 +951,10 @@ def run_curation_increment(
     if new0.isEmpty():
         # an entirely-redelivered batch (every doc already curated):
         # nothing to write — an empty partitioned parquet dir would crash
-        # the read-back on schema inference, and the index gains nothing
+        # the read-back on schema inference, and the index gains nothing.
+        # A PRIOR attempt's trees (settings-mismatch re-run) are cleared
+        # first, or their rows would stay visible under the fresh marker.
+        _delete_snapshot_trees(spark, out_dir, snapshot)
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
                               {"n_docs": 0, "splits": {}, **incr_settings})
         return {"curate": metrics, "elapsed_sec": time.time() - t0}
@@ -1114,14 +1135,26 @@ def _run_conv_increment(
         old_keys = conversation_docs(affected_old).select(
             "conv_id", F.col("conv_key").alias("_old_key"))
         common = [c for c in new_turns.columns if c in affected_old.columns]
-        combined = new_turns.select(common).unionByName(
-            affected_old.select(common))
+        combined = (
+            new_turns.select(common).withColumn("_stored", F.lit(0))
+            .unionByName(
+                affected_old.select(common).withColumn("_stored", F.lit(1))))
     else:
-        combined = new_turns.drop("bucket")
-    uid_w = Window.partitionBy("doc_uid").orderBy("content_hash")
+        combined = new_turns.drop("bucket").withColumn("_stored", F.lit(0))
+    # collapse duplicate (conv_id, turn_idx) deliveries by the batch
+    # path's rule (min content_hash per doc_uid), breaking content_hash
+    # TIES toward the STORED copy: with redact_pii the stored (redacted)
+    # turn and a raw redelivery of it share doc_uid AND content_hash
+    # (the hash is pre-redaction), and an arbitrary winner made conv_key
+    # nondeterministic — when the raw copy won, a PURE redelivery was
+    # treated as changed and re-installed on every delivery, with grams
+    # signed over raw text while the table stores redacted text
+    # (r5 review finding). Stored text is the identity basis.
+    uid_w = Window.partitionBy("doc_uid").orderBy(
+        "content_hash", F.desc("_stored"))
     combined = (
         combined.withColumn("_rn", F.row_number().over(uid_w))
-        .filter(F.col("_rn") == 1).drop("_rn")
+        .filter(F.col("_rn") == 1).drop("_rn", "_stored")
         .localCheckpoint(eager=True)
     )
 
@@ -1133,6 +1166,7 @@ def _run_conv_increment(
         ).drop("_old_key")
     changed = convs.localCheckpoint(eager=True)
     if changed.isEmpty():
+        _delete_snapshot_trees(spark, out_dir, snapshot)
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
                               {"n_docs": 0, "splits": {}, "seq": seq,
                                **incr_settings})
@@ -1150,6 +1184,20 @@ def _run_conv_increment(
     old_feats = _existing_features_latest(spark, out_dir,
                                           exclude_snap=snapshot,
                                           markers=markers)
+    if old_feats is not None:
+        # corpus side = stored conversations NOT replaced by this batch.
+        # A redelivered conversation's stored signature/grams describe
+        # SUPERSEDED text: cand_feats carries the same id with the new
+        # grams, and duplicate feature rows per id made verify_pairs
+        # score every candidate pair against BOTH versions, keeping any
+        # match — a batch member could be dropped for near-matching text
+        # the corpus no longer holds (r5 review finding). Exact
+        # self-pairs were never the issue (minhash_candidates_between
+        # drops them internally); the stale ROWS were. Batch-vs-batch
+        # similarity belongs to the within-batch CC pass below, where
+        # the keep policy elects a canonical instead of dropping both.
+        old_feats = old_feats.join(
+            cand_feats.select("id"), "id", "left_anti")
     if old_feats is None:
         survivors = conv_kept
     else:
@@ -1160,7 +1208,14 @@ def _run_conv_increment(
                          else old_feats.select("id", "sig")),
             corpus_bands=corpus_bands,
             cap_metrics=caps,
-        ).filter(F.col("id_probe") != F.col("id_corpus"))  # self = replacement
+        )
+        if corpus_bands is not None:
+            # the stored band index still holds rows for replaced ids —
+            # drop their candidate pairs here rather than letting the
+            # (inner) verify feature join eat them silently
+            vs_old = vs_old.join(
+                cand_feats.select(F.col("id").alias("id_corpus")),
+                "id_corpus", "left_anti")
         all_feats = cand_feats.unionByName(old_feats.select(cand_feats.columns))
         dup_of_old = verify_pairs(
             vs_old, all_feats, near_threshold, n_perms=32,
@@ -1184,6 +1239,7 @@ def _run_conv_increment(
     ).select("conv_id", "conv_uid").localCheckpoint(eager=True)
 
     if kept_convs.isEmpty():
+        _delete_snapshot_trees(spark, out_dir, snapshot)
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
                               {"n_docs": 0, "splits": {}, "seq": seq,
                                **incr_settings})
@@ -1427,14 +1483,20 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     snapshots with a COMPLETED stage marker fold (an unmarked tree is a
     crashed increment's half-commit; folding its features would make the
     increment's retry anti-join its own documents away — it is left for
-    that retry), (b) each tree's folded partitions are deleted
-    IMMEDIATELY after that tree's swap, (c) every fold DEDUPLICATES on
-    its natural key (doc_uid / feature id / band row), so a retry that
-    re-folds a half-cleaned state converges to exactly one copy, and
-    (d) markers clear for snapshots folded now OR folded by a crashed
-    promote (n_docs > 0, trees gone) — while a ZERO-doc marker with no
-    trees (an entirely-redelivered batch) survives as the redelivery
-    short-circuit it is.
+    that retry), (b) a PROMOTE-INTENT marker written before any fold
+    durably records the fold set + seq map and, per table, whether its
+    fold already installed; each tree's folded partitions are deleted
+    only AFTER that table's phase record lands, so a retry never
+    recomputes conversation winners from a partially-deleted fold set
+    (the r5 rollback finding: surviving lower-seq trees would win again
+    and anti-join the already-folded newer version out of base),
+    (c) every fold DEDUPLICATES on its natural key (doc_uid / feature
+    id / band row), so a retry that re-folds a half-cleaned state
+    converges to exactly one copy, and (d) markers clear for snapshots
+    folded now OR folded by a crashed promote (n_docs > 0, trees gone)
+    — while a ZERO-doc marker with no trees (an entirely-redelivered
+    batch) survives as the redelivery short-circuit it is; the intent
+    clears last, committing the promote.
 
     Cost: one columnar rewrite of the curated/feature/band tables —
     O(corpus) bytes like any compaction, amortized over however many
@@ -1478,13 +1540,42 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     markers = _incr_marker_map(spark, out_dir)
     marker_docs = {s: int(m.get("n_docs", 0)) for s, m in markers.items()}
     unit = _base_unit(spark, out_dir)
-    fold = sorted(s for s in marker_docs if s in tree_snaps)
+
+    # PROMOTE-INTENT protocol (r5 review finding — conversation-mode
+    # rollback): replacement folds compute winners-by-seq across the
+    # WHOLE fold set, so a retry after a crash mid-way through the
+    # per-snapshot tree deletions must not recompute winners from only
+    # the SURVIVING trees (a lower-seq redelivery of a conversation
+    # would win again and anti-join the already-folded newer version out
+    # of base). The intent marker, written BEFORE any fold, durably
+    # records (a) the fold set + seq map and (b) which tables' folds
+    # have already installed; tree deletion for a table is gated behind
+    # its phase record, so a retry either re-folds from ALL trees (phase
+    # absent — none deleted yet; re-install converges, base already
+    # holding the winners is anti-joined and re-added) or skips straight
+    # to deleting leftovers (phase present).
+    intent_path = _stage_path(out_dir, "promote-intent")
+    intent_raw = fsutil.read_text(spark, intent_path)
+    intent = json.loads(intent_raw) if intent_raw else None
+    if intent is not None:
+        fold = sorted(intent["fold"])
+        seqs = {s: int(v) for s, v in intent["fold"].items()}
+        phases = set(intent.get("phases", []))
+    else:
+        fold = sorted(s for s in marker_docs if s in tree_snaps)
+        seqs = {s: int(markers[s].get("seq", 0)) for s in fold}
+        phases = set()
+
+    def _write_intent():
+        fsutil.mkdirs(spark, f"{out_dir}/{STAGES_DIR}")
+        fsutil.write_text(spark, intent_path, json.dumps(
+            {"fold": seqs, "phases": sorted(phases)}))
 
     def _seq_df(snaps):
         """(snap, _seq) for the folding snapshots — conversation-mode
         replacement resolution (highest seq wins a conv_id / feature id)."""
         return spark.createDataFrame(
-            [(s, int(markers[s].get("seq", 0))) for s in snaps],
+            [(s, seqs.get(s, 0)) for s in snaps],
             "snap string, _seq int",
         )
     # markers to clear: folded this run, or folded by a crashed promote
@@ -1494,7 +1585,11 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     clear = sorted(s for s, n in marker_docs.items()
                    if s in tree_snaps or n > 0)
     if not fold and not clear:
+        if intent is not None:
+            fsutil.delete(spark, intent_path, recursive=False)
         return {"promoted_snaps": [], "elapsed_sec": time.time() - t0}
+    if intent is None and fold:
+        _write_intent()
 
     def _tree_snapset(tree: str) -> set[str]:
         return {
@@ -1512,7 +1607,7 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     # deleted immediately after so no later crash can double-fold them
     docs_folded = 0
     cur_fold = sorted(_tree_snapset(CURATED_INCR) & set(fold))
-    if cur_fold:
+    if cur_fold and "curated" not in phases:
         incr_curated = _snap_str(spark.read.parquet(
             f"{out_dir}/{CURATED_INCR}"
         )).filter(F.col("snap").isin(cur_fold))
@@ -1547,6 +1642,11 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
             spark, out_dir, merged.dropDuplicates(["doc_uid"]))
         if new_path:
             spark.catalog.refreshByPath(new_path)
+        phases.add("curated")
+        _write_intent()
+    if cur_fold:
+        # deletion strictly AFTER the durable phase record: a retry that
+        # finds the phase skips the fold and only cleans leftovers
         for s in cur_fold:
             fsutil.delete(spark, f"{out_dir}/{CURATED_INCR}/snap={s}")
 
@@ -1554,7 +1654,7 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     # mode resolves replacements — the latest-seq signature of an id
     # supersedes the base row, which describes superseded text)
     feat_fold = sorted(_tree_snapset(SCRATCH_INCR) & set(fold))
-    if feat_fold:
+    if feat_fold and "feats" not in phases:
         incr_feats = _snap_str(spark.read.parquet(
             f"{out_dir}/{SCRATCH_INCR}"
         )).filter(F.col("snap").isin(feat_fold))
@@ -1583,6 +1683,9 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
         _swap_dir(spark, feats_live, f"{feats_live}__old",
                   f"{feats_live}__tmp")
         spark.catalog.refreshByPath(feats_live)
+        phases.add("feats")
+        _write_intent()
+    if feat_fold:
         for s in feat_fold:
             fsutil.delete(spark, f"{out_dir}/{SCRATCH_INCR}/snap={s}")
 
@@ -1651,6 +1754,10 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
         marker = _stage_path(out_dir, f"incr-{s}")
         if fsutil.exists(spark, marker):
             fsutil.delete(spark, marker, recursive=False)
+    # intent last: once it is gone, the promote is fully committed and a
+    # fresh promote starts a new fold set from the (now-cleared) markers
+    if fsutil.exists(spark, intent_path):
+        fsutil.delete(spark, intent_path, recursive=False)
 
     metrics = {"promoted_snaps": clear, "docs_folded": int(docs_folded),
                "elapsed_sec": time.time() - t0}

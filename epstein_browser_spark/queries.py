@@ -3195,7 +3195,7 @@ def q78_winnow_fingerprints(spark, sf_dir):
 
 
 def _q78_sql(k: int = 4, w: int = 5) -> str:
-    m = 1 << 20
+    m = 1 << 31  # position field width — must match winnow_fingerprints
     return f"""
 WITH tok AS (
   SELECT doc_id,

@@ -120,10 +120,25 @@ def write_transcripts(df: DataFrame, target: str,
     parquet fallback approximates with an explicit ``pday`` column —
     usable for tests, without snapshot isolation.
     """
+    if target_format not in ("auto", "iceberg", "parquet"):
+        raise ValueError(
+            f"unknown target_format {target_format!r} (auto|iceberg|parquet)"
+        )
     ice = iceberg_available(df.sparkSession)
     if target_format == "iceberg" and not ice:
         raise RuntimeError(ICEBERG_HINT)
-    if ice and not _looks_like_path(target):
+    if ice and target_format != "parquet":
+        if _looks_like_path(target):
+            # Hadoop-table path write — V1 writer with the iceberg
+            # format, symmetric with read_transcripts' path read. (An
+            # explicit iceberg request with a path target used to fall
+            # through to the parquet branch below, silently downgrading
+            # the write while the matching read expected an Iceberg
+            # table; r5 review finding.)
+            (df.write.format("iceberg")
+               .mode("overwrite" if mode == "overwrite" else "append")
+               .save(target))
+            return
         w = df.writeTo(target)
         if mode == "overwrite":
             w.overwritePartitions()

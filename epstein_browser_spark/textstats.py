@@ -508,11 +508,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     feeds plagiarism/duplicate-span detection at corpus scale.
 
     Engine-portable argmin: (hash, position) packs into ONE bigint key
-    ``h * 2^20 + (2^20 - 1 - pos)`` (h is 32 bits, so the key fits 2^52 —
-    exact in long and double alike); a window ``min`` over the key is
+    ``h * 2^31 + (2^31 - 1 - pos)`` (h is 32 bits, so the max key is
+    exactly 2^63 - 1 — int64-exact in both engines, and the arithmetic
+    never leaves integer types); a window ``min`` over the key is
     then min-by-hash with ties to the RIGHTMOST position, with no
     struct-ordering or argmin_by dependence. Hashes are md5-derived so
-    the whole operator value-oracles cross-engine.
+    the whole operator value-oracles cross-engine. The position field is
+    2^31 wide because it must dominate any real document: a 2^20 field
+    went NEGATIVE for docs with ≥ 1M k-grams, borrowing from the hash
+    bits and silently corrupting the argmin (r5 review finding).
 
     Scale shape: one explode, one per-doc window (partition = doc id —
     shuffles by doc, never global), distinct on the selected (pos, hash)
@@ -520,7 +524,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     emit nothing (the winnowing guarantee is vacuous below that length)."""
     from pyspark.sql.window import Window
 
-    m = 1 << 20
+    m = 1 << 31
     norm = df.select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
