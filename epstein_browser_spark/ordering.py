@@ -43,3 +43,38 @@ def with_sequence_ids(df: DataFrame, partition_col: str = "conv_id",
     partitionings."""
     w = Window.partitionBy(partition_col).orderBy(order_col)
     return df.withColumn("seq_id", F.row_number().over(w))
+
+
+def shard_shuffle(df: DataFrame, n_shards: int = 16,
+                  seed: str = "epoch0",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shard, pos) — deterministic training-epoch shuffle + shard
+    assignment: the order a training run consumes the curated corpus in,
+    as DATA rather than as a property of some writer's task layout.
+    ``shard = md5(seed:id) mod n_shards`` (unbiased: the 4-hex-digit
+    draw space 16^4 is divisible by any power-of-two shard count) and
+    ``pos`` = the rank of the hash within its shard — so every engine,
+    every rerun, and every resumed job derives the identical permutation
+    from (seed, id) alone, and a NEW epoch is just a new seed string.
+    The per-shard rank is a window over the shard partition (shuffles by
+    shard, never a global sort); at 1000 executors each shard's rank
+    computes where its rows live. The curation counterpart of
+    ``DataFrame.orderBy(rand())``, which is neither stable across runs
+    nor restatable in SQL (same contract as deterministic_split,
+    textstats.py).
+    """
+    if n_shards < 1 or (65536 % n_shards) != 0:
+        raise ValueError(
+            f"n_shards must divide 65536 for an unbiased hex-prefix draw; "
+            f"got {n_shards}")
+    key = F.md5(F.concat_ws(
+        ":", F.lit(seed), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("int"),
+        F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("_skey"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -3347,6 +3347,129 @@ FROM v GROUP BY media_id
 """
 
 
+def q82_dup_spans(spark, sf_dir):
+    """Cross-document EXACT-substring duplicate spans (Lee et al. ACL'22
+    ExactSubstr, re-expressed over token 8-grams; textstats.dup_spans):
+    token positions whose 8-gram occurs in ≥2 distinct documents, merged
+    into maximal per-doc spans — the operator that cuts boilerplate
+    embedded INSIDE otherwise-unique documents (the reference's repeated
+    Bates-stamp/scanner-banner problem at corpus scale). One wide
+    shuffle on the gram, a co-partitioned semi-join back, and per-doc
+    island merging — no global window."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.dup_spans(d, "text", "doc_id", n=8, min_docs=2
+                               ).withColumnRenamed("id", "doc_id")
+
+
+def _q82_sql(n: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, gs.i - 1 AS pos,
+         array_to_string(toks[gs.i:gs.i+{n - 1}], ' ') AS gram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - {n - 1}))
+                     AS i) gs
+  WHERE len(toks) >= {n}),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM m)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def q83_shard_shuffle(spark, sf_dir):
+    """Deterministic training-epoch shuffle + shard assignment
+    (ordering.shard_shuffle): shard = md5(seed:id) mod 16 (unbiased
+    4-hex-digit draw), pos = rank of the hash within the shard — the
+    epoch permutation as DATA, identical on every engine and rerun, a
+    new epoch = a new seed. Per-shard rank windows (shuffle by shard,
+    never a global sort)."""
+    from epstein_browser_spark import ordering
+
+    d = _t(spark, sf_dir, "documents")
+    return ordering.shard_shuffle(d, n_shards=16, seed="epoch0",
+                                  id_col="doc_id")
+
+
+_Q83_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents),
+s AS (
+  SELECT doc_id, skey,
+         CAST(({md5p4}) % 16 AS INT) AS shard
+  FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS BIGINT) AS pos
+FROM s
+""".format(md5p4=" + ".join(
+    f"(strpos('0123456789abcdef', substring(skey, {i + 1}, 1)) - 1)"
+    f" * CAST({16 ** (3 - i)} AS BIGINT)" for i in range(4)))
+
+
+def q84_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring with head/tail bucketing at the
+    corpus mean (CCNet-style quality signal, Wenzek et al. LREC'20;
+    textstats.lm_perplexity): add-one-smoothed p(w2|w1), per-bigram
+    log-probs quantized to integer micro-nats, per-doc exact integer
+    sums — fully value-oracled like q79 (no float summation order, no
+    rounding boundary for a 1-ulp ln divergence to straddle)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.lm_perplexity(d, "text", "doc_id"
+                                   ).withColumnRenamed("id", "doc_id")
+
+
+_Q84_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+       gs
+  WHERE len(toks) >= 2),
+cnt AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY ALL),
+v AS (SELECT count(DISTINCT t.w) AS v
+      FROM (SELECT unnest(toks) AS w FROM tok) t),
+scored AS (
+  SELECT doc_id, n,
+         CAST(round(ln((sum(n) OVER (PARTITION BY w1, w2) + 1)
+                       / (sum(n) OVER (PARTITION BY w1) + v.v))
+                    * 1000000.0) AS BIGINT) AS lp_micro
+  FROM cnt, v),
+docs AS (
+  SELECT doc_id, -sum(n * lp_micro) AS nll_micro,
+         sum(n) AS n_bigrams
+  FROM scored GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(sum(nll_micro) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE)
+         / 1000000.0 AS mean_nll
+  FROM docs)
+SELECT doc_id, CAST(nll_micro AS BIGINT) AS nll_micro,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(CAST(nll_micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS score,
+       CASE WHEN CAST(nll_micro AS DOUBLE) / 1000000.0 / n_bigrams
+                 <= corpus.mean_nll
+            THEN 'head' ELSE 'tail' END AS bucket
+FROM docs, corpus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -3363,6 +3486,9 @@ FROM v GROUP BY media_id
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q82_dup_spans": (q82_dup_spans, _q82_sql()),
+    "q83_shard_shuffle": (q83_shard_shuffle, _Q83_SQL),
+    "q84_lm_perplexity": (q84_lm_perplexity, _Q84_SQL),
     "q77_tfidf_topk": (q77_tfidf_topk, _Q77_SQL),
     "q78_winnow_fingerprints": (q78_winnow_fingerprints, _q78_sql()),
     "q79_dsir_weights": (q79_dsir_weights, _q79_sql()),
@@ -3397,7 +3523,6 @@ QUERIES: dict[str, tuple] = {
     "q76_conv_neardup": (q76_conv_neardup, _q76_sql()),
     # --- core extraction / quality / dedup / ANN families ---
     "q20_minhash_pairs": (q20_minhash_pairs, None),
-    "q25_langid": (q25_langid, _langid_sql()),
     "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
@@ -3412,12 +3537,16 @@ QUERIES: dict[str, tuple] = {
     "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
     "q46_split_assign": (q46_split_assign, _Q46_SQL),
     "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
-    "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
-    "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
     "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
     # ------------- 50-row driver window ends here -------------
     # --- long-green rows rotated out for the r5 debuts (driver-green
-    # r1-r4; still pinned per-query by tests/test_queries_oracle.py) ---
+    # r1-r4; still pinned per-query by tests/test_queries_oracle.py).
+    # q25/q48/q49 rotated out mid-r5 for q82-q84: their newer in-window
+    # twins (q51 langid-ngram, q53 multiprobe, q67 ivf-pq) cover the
+    # same operator families ---
+    "q25_langid": (q25_langid, _langid_sql()),
+    "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
+    "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
     "q16_quality_score": (q16_quality_score, _Q16_SQL),
     "q17_lowq_classify": (q17_lowq_classify, _Q17_SQL),
     "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),

@@ -636,3 +636,150 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame,
             .alias("log_weight")
         )
     )
+
+
+def dup_spans(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 8,
+              min_docs: int = 2) -> DataFrame:
+    """(id, span_start, span_end, n_grams) — cross-document EXACT-substring
+    duplicate spans (Lee et al., ACL'22 "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr policy, re-expressed over
+    token ``n``-grams instead of a suffix array): every token position
+    whose ``n``-gram occurs in ≥ ``min_docs`` DISTINCT documents is
+    duplicated text, and maximal runs of duplicated positions merge into
+    one inclusive token-coordinate span ``[span_start, span_end]``
+    (``span_end = last duplicated gram start + n - 1``). Downstream
+    removal cuts exactly these ranges; unlike whole-doc near-dup this
+    catches boilerplate embedded inside otherwise-unique documents —
+    the reference's repeated-header problem (its per-page OCR text
+    repeats Bates stamps and scanner banners across every document,
+    /root/reference/ocr_processor.py) at corpus scale.
+
+    Scale shape: one explode (corpus gram count rows); ONE wide shuffle
+    keyed on the gram for the distinct-doc count (at 100 TB, map the
+    gram through ``xxhash64`` twice — 128 bits — first so the exchange
+    carries 16-byte keys instead of ~50-char strings; kept as the string
+    here so the DuckDB oracle shares the exact group key); a semi-join
+    back on the same key (AQE co-locates the two sides — no extra
+    exchange); then island-merging under a PER-DOC window (partition =
+    doc id, never global). The distinct-doc count is a partial-aggable
+    ``count_distinct`` — skew on mega-grams ("the" * 8) is bounded by
+    the two-level partial aggregate, not a bucket cap."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+    )
+    g = toks.select("id", F.posexplode(grams).alias("pos", "gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    marked = g.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = marked.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("id", "span_start", "span_end", "n_grams")
+    )
+
+
+def lm_perplexity(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, nll_micro, n_bigrams, score, bucket) — bigram-LM negative
+    log-likelihood scoring, the CCNet-style perplexity quality signal
+    (Wenzek et al., LREC'20) with the LM trained ON the corpus itself:
+    add-one-smoothed bigram probabilities ``p(w2|w1) = (C(w1,w2)+1) /
+    (C1(w1)+V)``, per-doc ``score`` = average negative log-prob in nats
+    per bigram, and a deterministic two-way ``bucket`` split at the
+    corpus mean ('head' = at/below mean NLL ≈ more fluent, 'tail' =
+    above). CCNet buckets by tercile of a global sort; the mean
+    threshold keeps the same head/tail selection contract without a
+    global ordering (an ntile would force Exchange SinglePartition,
+    which this repo's plan sweep forbids).
+
+    Determinism across engines (the DSIR lesson, see
+    :func:`dsir_logweights`): each bigram's log-prob quantizes to
+    INTEGER micro-nats, per-doc totals are exact integer sums
+    (``nll_micro``), and the corpus mean divides two exact integer sums
+    — no float summation order anywhere, and the only residual
+    divergence window is a 1-ulp ``ln`` difference landing exactly on a
+    .5-micro-nat boundary (~1e-10 per bigram type).
+
+    Scale shape: bigram stats come from per-(doc, w1, w2) counts with
+    corpus totals as WINDOW sums over the (w1, w2) and (w1,) partitions
+    — the count frame shuffles once per partitioning and never joins a
+    separate stats table; V and the corpus mean are global scalar
+    aggregates crossJoin-broadcast back (no single-partition exchange).
+    Corpus sums use decimal(38,0): at 10^12 bigrams × ~1.5e7 micro-nats
+    a bigint sum overflows ANSI arithmetic."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.struct(
+            F.element_at("_toks", i).alias("w1"),
+            F.element_at("_toks", (i + F.lit(1)).cast("int")).alias("w2"),
+        ),
+    )
+    bg = toks.select(
+        "id", F.explode(bigrams).alias("_bg")
+    ).select("id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    cnt = bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
+    c12 = F.sum("n").over(Window.partitionBy("w1", "w2"))
+    c1 = F.sum("n").over(Window.partitionBy("w1"))
+    vocab = (
+        toks.select(F.explode("_toks").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        cnt.crossJoin(F.broadcast(vocab))
+        .withColumn("_c12", c12)
+        .withColumn("_c1", c1)
+        .withColumn(
+            "_lp_micro",
+            F.round(
+                F.log((F.col("_c12") + 1) / (F.col("_c1") + F.col("v")))
+                * 1000000.0, 0,
+            ).cast("long"),
+        )
+    )
+    docs = scored.groupBy("id").agg(
+        (-F.sum(F.col("n") * F.col("_lp_micro"))).alias("nll_micro"),
+        F.sum("n").alias("n_bigrams"),
+    )
+    corpus = docs.agg(
+        F.sum(F.col("nll_micro").cast("decimal(38,0)")).alias("s"),
+        F.sum("n_bigrams").alias("t"),
+    ).select(
+        (F.col("s").cast("double") / F.col("t").cast("double")
+         / F.lit(1000000.0)).alias("_mean")
+    )
+    score = (F.col("nll_micro").cast("double") / F.lit(1000000.0)
+             / F.col("n_bigrams"))
+    return (
+        docs.crossJoin(F.broadcast(corpus))
+        .select(
+            "id", "nll_micro", "n_bigrams",
+            F.round(score, 6).alias("score"),
+            F.when(score <= F.col("_mean"), F.lit("head"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )

@@ -336,3 +336,150 @@ def test_decoded_features_degrade_per_row(spark):
     assert out.loc[0, "r_mean"] == 7.0 and out.loc[0, "width"] == 4
     assert out.loc[1, "decode_status"] == "stubbed"
     assert pd.isna(out.loc[1, "r_mean"])
+
+
+# ---------------------------------------------------------------------------
+# dup_spans (q82), shard_shuffle (q83), lm_perplexity (q84)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_spans_matches_hand_computation(spark):
+    """Two docs share two separated 3-gram runs; a third is unique.
+    Spans are maximal per-doc islands of duplicated gram positions."""
+    shared1 = "alpha beta gamma delta"          # grams at 4 positions
+    shared2 = "omega psi chi"                    # 1 gram
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            f"{shared1} unique0a unique0b {shared2} tail0a tail0b",
+            f"lead1a lead1b {shared1} mid1a mid1b mid1c {shared2}",
+            "totally different words with no repeats at all here",
+        ],
+    })
+    out = (
+        textstats.dup_spans(spark.createDataFrame(pdf), "text", "doc_id",
+                            n=3, min_docs=2)
+        .toPandas().sort_values(["id", "span_start"]).reset_index(drop=True)
+    )
+    # doc0: tokens [alpha beta gamma delta u0a u0b omega psi chi t0a t0b]
+    #   dup 3-gram starts: 0,1 (alpha-beta-gamma, beta-gamma-delta) and
+    #   6 (omega-psi-chi) -> spans [0,3] (2 grams) and [6,8] (1 gram)
+    d0 = out[out.id == 0]
+    assert [tuple(r) for r in d0[["span_start", "span_end", "n_grams"]]
+            .itertuples(index=False)] == [(0, 3, 2), (6, 8, 1)]
+    d1 = out[out.id == 1]
+    assert [tuple(r) for r in d1[["span_start", "span_end", "n_grams"]]
+            .itertuples(index=False)] == [(2, 5, 2), (9, 11, 1)]
+    assert (out.id == 2).sum() == 0
+
+
+def test_dup_spans_min_docs_threshold(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["one two three four"] * 3,
+    })
+    hits3 = textstats.dup_spans(spark.createDataFrame(pdf), "text",
+                                "doc_id", n=4, min_docs=3).toPandas()
+    assert len(hits3) == 3  # the whole doc is one span in each
+    assert set(zip(hits3.span_start, hits3.span_end)) == {(0, 3)}
+    hits4 = textstats.dup_spans(spark.createDataFrame(pdf), "text",
+                                "doc_id", n=4, min_docs=4).toPandas()
+    assert hits4.empty
+
+
+def test_shard_shuffle_deterministic_and_complete(spark):
+    from epstein_browser_spark import ordering
+
+    pdf = pd.DataFrame({"doc_id": list(range(200))})
+    df = spark.createDataFrame(pdf)
+    a = ordering.shard_shuffle(df, n_shards=16, seed="epoch0").toPandas()
+    b = (ordering.shard_shuffle(df.repartition(7), n_shards=16,
+                                seed="epoch0").toPandas())
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # partitioning-invariant
+    # every doc exactly once; per-shard positions are 1..len(shard)
+    assert sorted(a.doc_id) == list(range(200))
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+    # python reference: shard + rank from md5
+    ref = pd.DataFrame({
+        "doc_id": pdf.doc_id,
+        "skey": [hashlib.md5(f"epoch0:{i}".encode()).hexdigest()
+                 for i in pdf.doc_id],
+    })
+    ref["shard"] = ref.skey.str[:4].apply(lambda h: int(h, 16) % 16)
+    ref["pos"] = ref.groupby("shard")["skey"].rank(method="first"
+                                                   ).astype(int)
+    m = a.merge(ref, on="doc_id", suffixes=("", "_ref"))
+    assert (m.shard == m.shard_ref).all() and (m.pos == m.pos_ref).all()
+    # a new epoch is a different permutation
+    c = ordering.shard_shuffle(df, n_shards=16, seed="epoch1").toPandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert not ((merged.shard_a == merged.shard_c)
+                & (merged.pos_a == merged.pos_c)).all()
+
+
+def test_shard_shuffle_rejects_biased_counts(spark):
+    from epstein_browser_spark import ordering
+    import pytest as _pytest
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+    with _pytest.raises(ValueError, match="65536"):
+        ordering.shard_shuffle(df, n_shards=100)
+
+
+def test_lm_perplexity_matches_python_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "dogs bark loudly at night",
+        "the the the the",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (textstats.lm_perplexity(spark.createDataFrame(pdf), "text",
+                                   "doc_id")
+           .toPandas().sort_values("id").reset_index(drop=True))
+
+    # pure-python reference with the same integer micro-nat quantization
+    from collections import Counter
+    toks = [t.lower().split() for t in texts]
+    big = Counter()
+    ctx = Counter()
+    vocab = set()
+    for ws in toks:
+        vocab.update(ws)
+        for x, y in zip(ws, ws[1:]):
+            big[(x, y)] += 1
+            ctx[x] += 1
+    V = len(vocab)
+
+    def lp_micro(x, y):
+        return round(math.log((big[(x, y)] + 1) / (ctx[x] + V)) * 1e6)
+
+    for i, ws in enumerate(toks):
+        nll = -sum(lp_micro(x, y) for x, y in zip(ws, ws[1:]))
+        n = len(ws) - 1
+        row = out[out.id == i].iloc[0]
+        assert int(row.nll_micro) == nll
+        assert int(row.n_bigrams) == n
+        assert float(row.score) == round(nll / 1e6 / n, 6)
+    # repeated high-probability bigrams score as head; the unique-bigram
+    # doc lands in the tail
+    assert out[out.id == 3].bucket.iloc[0] == "head"
+    assert out[out.id == 2].bucket.iloc[0] == "tail"
+
+
+def test_lm_perplexity_partitioning_invariant(spark):
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"w{i % 7} w{(i + 1) % 5} w{i % 3} w{(i + 2) % 7} "
+                 f"w{i % 11} common tail" for i in range(40)],
+    })
+    df = spark.createDataFrame(pdf)
+    a = (textstats.lm_perplexity(df, "text", "doc_id").toPandas()
+         .sort_values("id").reset_index(drop=True))
+    b = (textstats.lm_perplexity(df.repartition(13), "text", "doc_id")
+         .toPandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.bucket) == {"head", "tail"}
