@@ -824,11 +824,36 @@ def _delete_snapshot_trees(spark: SparkSession, out_dir: str,
     rows read-visible — resurrecting rows the run decided not to
     install, under settings that no longer apply (r5 review finding).
     Deletion precedes the marker write: a crash in between leaves the
-    OLD marker, and the retry recomputes from scratch."""
+    OLD marker, and the retry recomputes from scratch. The prior
+    attempt's split MANIFESTS go too — stale per-split accounting for
+    rows that no longer exist (r5 review finding)."""
     for tree in (CURATED_INCR, SCRATCH_INCR, BANDS_DIR):
         path = f"{out_dir}/{tree}/snap={snapshot}"
         if fsutil.exists(spark, path):
             fsutil.delete(spark, path)
+    _clear_stale_splits(spark, out_dir, snapshot, kept_splits=())
+
+
+def _clear_stale_splits(spark: SparkSession, out_dir: str, snapshot: str,
+                        kept_splits) -> None:
+    """Remove the snapshot's split partitions and split manifests that a
+    PRIOR attempt wrote but the current run did not: the dynamic
+    overwrite is keyed on (snap, split), so a re-run whose output lands
+    in a different split composition never touches the stale split dir,
+    and the fresh marker's seq would make those rows read-visible again
+    (r5 review finding — the nonzero-doc twin of _delete_snapshot_trees).
+    Runs BEFORE the stage marker commits, so the converged tree is what
+    the new seq exposes."""
+    kept = set(kept_splits)
+    snap_dir = f"{out_dir}/{CURATED_INCR}/snap={snapshot}"
+    for name in fsutil.list_names(spark, snap_dir):
+        if name.startswith("split=") and name[len("split="):] not in kept:
+            fsutil.delete(spark, f"{snap_dir}/{name}")
+    for name in fsutil.list_names(spark, f"{out_dir}/manifests"):
+        if (name.startswith(f"incr-{snapshot}-") and name.endswith(".json")
+                and name[len(f"incr-{snapshot}-"):-len(".json")] not in kept):
+            fsutil.delete(spark, f"{out_dir}/manifests/{name}",
+                          recursive=False)
 
 
 def run_curation_increment(
@@ -1030,6 +1055,9 @@ def run_curation_increment(
         spark, out.drop("snap"), out_dir, {"snapshot": snapshot},
         lambda sp: f"incr-{snapshot}-{sp}.json",
     )
+    # the dynamic overwrite only touched the splits this run produced —
+    # clear any split partition/manifest a PRIOR attempt left behind
+    _clear_stale_splits(spark, out_dir, snapshot, split_counts)
 
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
@@ -1184,6 +1212,7 @@ def _run_conv_increment(
     old_feats = _existing_features_latest(spark, out_dir,
                                           exclude_snap=snapshot,
                                           markers=markers)
+    stored_feats = old_feats
     if old_feats is not None:
         # corpus side = stored conversations NOT replaced by this batch.
         # A redelivered conversation's stored signature/grams describe
@@ -1196,6 +1225,9 @@ def _run_conv_increment(
         # drops them internally); the stale ROWS were. Batch-vs-batch
         # similarity belongs to the within-batch CC pass below, where
         # the keep policy elects a canonical instead of dropping both.
+        # stored_feats keeps the unfiltered view for the refinement pass
+        # after the keep policy (a replacement that is NOT installed
+        # leaves its old text current — see below).
         old_feats = old_feats.join(
             cand_feats.select("id"), "id", "left_anti")
     if old_feats is None:
@@ -1238,6 +1270,52 @@ def _run_conv_increment(
         "conv_uid", "left_semi",
     ).select("conv_id", "conv_uid").localCheckpoint(eager=True)
 
+    # Refinement (r5 review finding): a redelivered conversation that is
+    # NOT installed leaves its STORED text current — but survivors were
+    # only verified against stored features of conversations OUTSIDE the
+    # batch (the anti-join above) and against batch members' NEW text
+    # (the within-batch CC pass). Re-verify the kept set against the
+    # stored features of replaced-but-not-installed batch members. Each
+    # drop can itself expose another stored text (the drop's own old
+    # version stays current), so iterate to a fixpoint — bounded by the
+    # number of batch replacements, since the kept set only shrinks.
+    if stored_feats is not None:
+        replaced = stored_feats.join(
+            cand_feats.select("id"), "id", "left_semi"
+        ).localCheckpoint(eager=True)
+        if not replaced.isEmpty():
+            n_kept = kept_convs.count()
+            while n_kept:
+                exposed = replaced.join(
+                    kept_convs.select(F.col("conv_uid").alias("id")),
+                    "id", "left_anti").localCheckpoint(eager=True)
+                if exposed.isEmpty():
+                    break
+                kept_bands = probe_bands.join(
+                    kept_convs.select(F.col("conv_uid").alias("id")),
+                    "id", "left_semi")
+                cands = minhash_candidates_between(
+                    probe_bands=kept_bands,
+                    corpus_sigs=exposed.select("id", "sig"),
+                    cap_metrics=caps)
+                # feature table: exposed ids resolve to their STORED
+                # grams (the text the corpus actually holds) — never to
+                # the new grams of the replacement that was not installed
+                feats2 = cand_feats.join(
+                    exposed.select("id"), "id", "left_anti"
+                ).unionByName(exposed.select(cand_feats.columns))
+                drops = verify_pairs(
+                    cands, feats2, near_threshold, n_perms=32,
+                    a_col="id_probe", b_col="id_corpus", cap_metrics=caps,
+                ).select(F.col("id_probe").alias("conv_uid")).distinct()
+                kept_convs = kept_convs.join(
+                    drops, "conv_uid", "left_anti"
+                ).localCheckpoint(eager=True)
+                n_now = kept_convs.count()
+                if n_now == n_kept:
+                    break
+                n_kept = n_now
+
     if kept_convs.isEmpty():
         _delete_snapshot_trees(spark, out_dir, snapshot)
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
@@ -1274,6 +1352,9 @@ def _run_conv_increment(
         spark, out.drop("snap"), out_dir, {"snapshot": snapshot},
         lambda sp: f"incr-{snapshot}-{sp}.json",
     )
+    # the dynamic overwrite only touched the splits this run produced —
+    # clear any split partition/manifest a PRIOR attempt left behind
+    _clear_stale_splits(spark, out_dir, snapshot, split_counts)
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
                            "splits": split_counts, "seq": seq,
@@ -1558,8 +1639,24 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
     intent_raw = fsutil.read_text(spark, intent_path)
     intent = json.loads(intent_raw) if intent_raw else None
     if intent is not None:
-        fold = sorted(intent["fold"])
         seqs = {s: int(v) for s, v in intent["fold"].items()}
+        # A snapshot RE-RUN between the crash and this retry carries a
+        # NEWER marker seq than the intent recorded: its trees hold new
+        # content the crashed fold never saw — exclude it entirely from
+        # this retry (no fold, no tree deletion, no marker clear); it
+        # folds on the NEXT promote, and until then its marker-seq
+        # shadow correctly supersedes whatever the crashed fold already
+        # installed (r5 review finding: the phase-skip deletion loops
+        # would otherwise destroy the re-run's trees, and the clear
+        # loop its marker, without the content ever reaching base). A
+        # MISSING marker means a previous retry already cleared it —
+        # markers clear only after every fold — so leftover trees still
+        # delete.
+        fold = sorted(
+            s for s in seqs
+            if s not in markers
+            or int(markers[s].get("seq", 0)) == seqs[s]
+        )
         phases = set(intent.get("phases", []))
     else:
         fold = sorted(s for s in marker_docs if s in tree_snaps)
@@ -1578,12 +1675,20 @@ def promote_increments(spark: SparkSession, out_dir: str) -> dict:
             [(s, seqs.get(s, 0)) for s in snaps],
             "snap string, _seq int",
         )
-    # markers to clear: folded this run, or folded by a crashed promote
-    # (n_docs > 0 but trees already gone). A ZERO-doc marker with no
-    # trees is the redelivery short-circuit for an entirely-redelivered
-    # batch — nothing was ever folded, so it stays.
-    clear = sorted(s for s, n in marker_docs.items()
-                   if s in tree_snaps or n > 0)
+    # markers to clear. Under an intent retry: ONLY the retry's own fold
+    # set — a marker outside it belongs to an increment that completed
+    # (or re-ran) after the crash; clearing it would make its unfolded
+    # documents permanently invisible (r5 review finding: clear was
+    # computed from CURRENT markers while fold came from the intent).
+    # Fresh promote: folded this run, or folded by a crashed pre-intent
+    # promote (n_docs > 0 but trees already gone). A ZERO-doc marker
+    # with no trees is the redelivery short-circuit for an
+    # entirely-redelivered batch — nothing was ever folded, so it stays.
+    if intent is not None:
+        clear = sorted(s for s in fold if s in markers)
+    else:
+        clear = sorted(s for s, n in marker_docs.items()
+                       if s in tree_snaps or n > 0)
     if not fold and not clear:
         if intent is not None:
             fsutil.delete(spark, intent_path, recursive=False)

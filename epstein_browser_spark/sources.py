@@ -127,18 +127,22 @@ def write_transcripts(df: DataFrame, target: str,
     ice = iceberg_available(df.sparkSession)
     if target_format == "iceberg" and not ice:
         raise RuntimeError(ICEBERG_HINT)
-    if ice and target_format != "parquet":
-        if _looks_like_path(target):
-            # Hadoop-table path write — V1 writer with the iceberg
-            # format, symmetric with read_transcripts' path read. (An
-            # explicit iceberg request with a path target used to fall
-            # through to the parquet branch below, silently downgrading
-            # the write while the matching read expected an Iceberg
-            # table; r5 review finding.)
-            (df.write.format("iceberg")
-               .mode("overwrite" if mode == "overwrite" else "append")
-               .save(target))
-            return
+    if target_format == "iceberg" and _looks_like_path(target):
+        # EXPLICIT iceberg + path target: Hadoop-table write via the V1
+        # writer, symmetric with read_transcripts' path read. (This case
+        # used to fall through to the parquet branch below, silently
+        # downgrading the write while the matching read expected an
+        # Iceberg table; r5 review finding.) Path writes stay opt-in —
+        # 'auto' keeps writing parquet to paths even with the runtime
+        # present, so a deployment appending to a pre-existing plain
+        # parquet directory is never broken by a classpath change
+        # (second r5 review finding); reads of such a directory force
+        # source_format='parquet' the same way.
+        (df.write.format("iceberg")
+           .mode("overwrite" if mode == "overwrite" else "append")
+           .save(target))
+        return
+    if ice and target_format != "parquet" and not _looks_like_path(target):
         w = df.writeTo(target)
         if mode == "overwrite":
             w.overwritePartitions()

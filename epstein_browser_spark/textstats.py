@@ -655,14 +655,17 @@ def dup_spans(df: DataFrame, text_col: str = "text",
     repeats Bates stamps and scanner banners across every document,
     /root/reference/ocr_processor.py) at corpus scale.
 
-    Scale shape: one explode (corpus gram count rows); ONE wide shuffle
-    keyed on the gram for the distinct-doc count (at 100 TB, map the
-    gram through ``xxhash64`` twice — 128 bits — first so the exchange
-    carries 16-byte keys instead of ~50-char strings; kept as the string
-    here so the DuckDB oracle shares the exact group key); a semi-join
-    back on the same key (AQE co-locates the two sides — no extra
-    exchange); then island-merging under a PER-DOC window (partition =
-    doc id, never global). The distinct-doc count is a partial-aggable
+    Scale shape: the raw-text scan + tokenize runs ONCE (the tokenized
+    frame is checkpointed; the gram expansion itself is re-derived on
+    each side — cheap array slicing, deliberately NOT materialized: the
+    gram table is ~``n``× the corpus and costs more to spill than to
+    recompute). ONE wide shuffle keyed on the gram for the distinct-doc
+    count (at 100 TB, map the gram through ``xxhash64`` twice — 128
+    bits — first so the exchange carries 16-byte keys instead of
+    ~50-char strings; kept as the string here so the DuckDB oracle
+    shares the exact group key); a semi-join back on the same key; then
+    island-merging under a PER-DOC window (partition = doc id, never
+    global). The distinct-doc count is a partial-aggable
     ``count_distinct`` — skew on mega-grams ("the" * 8) is bounded by
     the two-level partial aggregate, not a bucket cap."""
     from pyspark.sql.window import Window
@@ -670,7 +673,7 @@ def dup_spans(df: DataFrame, text_col: str = "text",
     toks = df.select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
-    ).filter(F.size("_toks") >= n)
+    ).filter(F.size("_toks") >= n).localCheckpoint(eager=True)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
@@ -728,10 +731,20 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     a bigint sum overflows ANSI arithmetic."""
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    toks0 = df.select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
-    ).filter(F.size("_toks") >= 2)
+    )
+    # V is the WHOLE corpus vocabulary — including 1-token documents,
+    # which contribute no bigram but do name a word the smoothing
+    # denominator must cover (and which the SQL oracle counts; a
+    # >=2-token-filtered V diverged whenever a single-token doc held an
+    # otherwise-unseen word — r5 review finding)
+    vocab = (
+        toks0.select(F.explode("_toks").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    toks = toks0.filter(F.size("_toks") >= 2)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - 1),
         lambda i: F.struct(
@@ -745,10 +758,6 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     cnt = bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
     c12 = F.sum("n").over(Window.partitionBy("w1", "w2"))
     c1 = F.sum("n").over(Window.partitionBy("w1"))
-    vocab = (
-        toks.select(F.explode("_toks").alias("w"))
-        .agg(F.count_distinct("w").alias("v"))
-    )
     scored = (
         cnt.crossJoin(F.broadcast(vocab))
         .withColumn("_c12", c12)
