@@ -73,6 +73,39 @@ SHOWCASE = {
         "TakeOrderedAndProject — training never appears in the serving "
         "plan."
     ),
+    "q77_tfidf_topk": (
+        "TF-IDF: one term explode, document frequencies as a partial-agg "
+        "groupBy broadcast back onto the term counts, per-doc top-k under "
+        "a doc-partitioned window — no global sort, nothing quadratic."
+    ),
+    "q78_winnow_fingerprints": (
+        "Winnowing (MOSS): shingle hashes explode once; the rightmost-min "
+        "selection is a single bigint-key min over a DOC-partitioned "
+        "sliding window (hash*2^31 packing) — shuffles by doc id only."
+    ),
+    "q79_dsir_weights": (
+        "DSIR importance weights: both distributions reduce to <=1024 "
+        "hashed-bucket rows (partial-agg), the log-ratio table is a "
+        "broadcast join, per-doc weight is one more partial-agg groupBy "
+        "— integer micro-nat arithmetic end to end."
+    ),
+    "q80_semdedup": (
+        "SemDeDup: k-means assignment materialized once, pair join "
+        "shuffles both sides by CELL so the self-join is |cell|^2 never "
+        "corpus^2; per-vector norms precomputed so the pair predicate is "
+        "one fold."
+    ),
+    "q82_dup_spans": (
+        "ExactSubstr dup spans: tokenize checkpointed once, ONE wide "
+        "shuffle on the gram for the distinct-doc count, semi-join back "
+        "on the same key, island merge under a doc-partitioned window."
+    ),
+    "q84_lm_perplexity": (
+        "Bigram-LM perplexity: corpus bigram stats as window sums over "
+        "the (w1,w2)/(w1) partitions of ONE count frame (no stats-table "
+        "join); V and the corpus mean are scalar aggregates broadcast "
+        "back — no single-partition exchange."
+    ),
 }
 
 
