@@ -3470,6 +3470,99 @@ FROM docs, corpus
 """
 
 
+def q85_eval_containment(spark, sf_dir):
+    """Asymmetric benchmark containment (|A∩B| / |A|, A = the eval item):
+    the decontamination form that catches a short benchmark item embedded
+    verbatim in a long training doc, which Jaccard scores near 0. The
+    eval set derives deterministically from the corpus (q57's excerpt
+    rule: 16 words of every 25th doc, re-keyed +10000) so true full
+    containments exist; kept pairs have ≥ 0.5 of the item's 8-grams.
+    Benchmark grams AND totals broadcast; one wide shuffle (per-pair
+    count)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.lower(F.col("text")))
+    bench = d.filter(F.pmod("doc_id", F.lit(25)) == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 5, 16)).alias("text"),
+    )
+    out = textstats.eval_containment(d, bench, n=8, threshold=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        "containment",
+    )
+
+
+_Q85_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+bench AS (
+  SELECT doc_id + 10000 AS bench_id, toks[5:20] AS toks
+  FROM tok WHERE doc_id % 25 = 0),
+cg AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM tok WHERE len(toks) >= 8),
+bg AS (
+  SELECT DISTINCT bench_id,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM bench WHERE len(toks) >= 8),
+btot AS (SELECT bench_id, count(*) AS nb FROM bg GROUP BY bench_id),
+shared AS (
+  SELECT cg.id, bg.bench_id, count(*) AS n_shared
+  FROM cg JOIN bg USING (gram)
+  GROUP BY cg.id, bg.bench_id)
+SELECT s.id AS doc_id, s.bench_id,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(s.n_shared / b.nb, 6) AS containment
+FROM shared s JOIN btot b USING (bench_id)
+WHERE round(s.n_shared / b.nb, 6) >= 0.5
+"""
+
+
+def q86_ngram_novelty(spark, sf_dir):
+    """Per-doc cross-corpus novelty: fraction of the doc's distinct
+    8-grams occurring in no other document — the memorization-risk /
+    data-value scalar. One checkpointed explode, partial-agg gram doc
+    counts, co-keyed join back, per-doc reduce."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.ngram_novelty(d, n=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_novel",
+        "novelty",
+    )
+
+
+_Q86_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+cg AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM tok WHERE len(toks) >= 8),
+dc AS (SELECT gram, count(*) AS nd FROM cg GROUP BY gram)
+SELECT cg.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dc.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN dc.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS novelty
+FROM cg JOIN dc USING (gram)
+GROUP BY cg.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -3486,6 +3579,8 @@ FROM docs, corpus
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
+    "q86_ngram_novelty": (q86_ngram_novelty, _Q86_SQL),
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
     "q83_shard_shuffle": (q83_shard_shuffle, _Q83_SQL),
     "q84_lm_perplexity": (q84_lm_perplexity, _Q84_SQL),
@@ -3533,17 +3628,19 @@ QUERIES: dict[str, tuple] = {
     "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
-    "q44_sessions": (q44_sessions, _Q44_SQL),
-    "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
     "q46_split_assign": (q46_split_assign, _Q46_SQL),
     "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
     "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
     # ------------- 50-row driver window ends here -------------
     # --- long-green rows rotated out for the r5 debuts (driver-green
     # r1-r4; still pinned per-query by tests/test_queries_oracle.py).
-    # q25/q48/q49 rotated out mid-r5 for q82-q84: their newer in-window
-    # twins (q51 langid-ngram, q53 multiprobe, q67 ivf-pq) cover the
-    # same operator families ---
+    # q25/q48/q49 rotated out mid-r5 for q82-q84 (their newer in-window
+    # twins — q51 langid-ngram, q53 multiprobe, q67 ivf-pq — cover the
+    # same families); q44/q45 rotated out for q85/q86 (q44 sessions is
+    # also pinned by the streaming parity tests, q45 by its q52 sketch
+    # twin in-window) ---
+    "q44_sessions": (q44_sessions, _Q44_SQL),
+    "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
     "q25_langid": (q25_langid, _langid_sql()),
     "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
     "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),

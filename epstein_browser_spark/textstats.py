@@ -320,6 +320,79 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def eval_containment(corpus: DataFrame, benchmark: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8, threshold: float = 0.5) -> DataFrame:
+    """(id, bench_id, n_shared, containment) — ASYMMETRIC benchmark
+    containment: for every (training doc, benchmark item) pair sharing
+    any n-gram, the fraction of the benchmark item's distinct n-grams
+    the training doc contains, kept when ≥ ``threshold``. This is the
+    |A∩B| / |A| form (A = the benchmark item) the GPT-4/Llama
+    decontamination reports use — Jaccard misses a short eval item
+    verbatim-embedded in a long training doc (|A∩B| / |A∪B| → 0 as the
+    doc grows), containment scores it 1.0. Complements
+    :func:`contamination_report` (any-overlap counts, no normalization).
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    suite, not a corpus) — its distinct grams AND its per-item totals
+    both broadcast; the corpus side explodes once and the only wide
+    shuffle is the partial-aggable per-pair count. The ``threshold``
+    compare runs on the 6dp-ROUNDED ratio so both engines make the
+    identical keep decision at the boundary (the r3 float-form lesson).
+    Reference analog: the reference dedups exact content only
+    (index_images.py md5); containment is the training-pipeline
+    generalization."""
+    cg = word_ngrams_exploded(corpus, text_col, id_col, n)
+    bg = word_ngrams_exploded(benchmark, text_col, id_col, n).select(
+        F.col("id").alias("bench_id"), "gram")
+    btot = bg.groupBy("bench_id").agg(F.count("*").alias("_nb"))
+    shared = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(btot), "bench_id")
+        .withColumn("containment",
+                    F.round(F.col("n_shared") / F.col("_nb"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id", "bench_id", "n_shared", "containment")
+    )
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """(id, n_grams, n_novel, novelty) — per-doc novelty: the fraction of
+    a document's DISTINCT n-grams that occur in no other document. The
+    cross-document complement of the within-doc repetition signals
+    (q64) and the per-position dup spans (q82): a low-novelty document
+    is assembled from text the corpus already holds (template/boilerplate
+    fabric), a high-novelty one contributes new sequences — the scalar
+    that memorization-risk and data-value triage sort on.
+
+    Scale shape: the (id, gram) explode is checkpointed once (the gram
+    doc-count aggregate and the join back both consume it; the partial
+    agg under the count makes the exchanges non-identical, so without
+    the checkpoint the corpus would tokenize twice — the dup_spans
+    lesson). The doc count per gram is partial-aggable (mega-gram skew
+    bounded by the two-level aggregate), the join back is co-keyed on
+    the gram, and the final per-doc reduce is another partial agg."""
+    g = word_ngrams_exploded(df, text_col, id_col, n).localCheckpoint(
+        eager=True)
+    dc = g.groupBy("gram").agg(F.count("*").alias("_nd"))
+    return (
+        g.join(dc, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_nd") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+        .withColumn("novelty",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 6))
+    )
+
+
 def vocab_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", k: int = 20) -> DataFrame:
     """Corpus-wide top-k vocabulary census: (token, n_occurrences, n_docs)

@@ -483,3 +483,96 @@ def test_lm_perplexity_partitioning_invariant(spark):
          .toPandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert set(a.bucket) == {"head", "tail"}
+
+
+# ---------------------------------------------------------------------------
+# eval_containment (q85)
+# ---------------------------------------------------------------------------
+
+
+def test_eval_containment_scores_embedded_item_full(spark):
+    """A short eval item embedded verbatim in a long training doc scores
+    containment 1.0 — the case Jaccard misses (|A∩B|/|A∪B| -> small as
+    the doc grows)."""
+    item = "the quick brown fox jumps over the lazy sleeping dog"
+    filler = " ".join(f"pad{i}" for i in range(60))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"{filler} {item} {filler}", filler + " tail marker"],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [100], "text": [item]}))
+    out = textstats.eval_containment(
+        corpus, bench, n=4, threshold=0.5).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.id, row.bench_id) == (0, 100)
+    assert float(row.containment) == 1.0
+    # Jaccard for the same pair is far below any useful threshold
+    n_doc_grams = 2 * 61 + 10 - 3  # distinct 4-grams of the long doc
+    assert row.n_shared / n_doc_grams < 0.1
+
+
+def test_eval_containment_threshold_boundary_on_rounded_ratio(spark):
+    """The keep decision compares the 6dp-ROUNDED ratio, and a pair at
+    exactly threshold is kept: 5 of 9 item grams shared with n=4 and a
+    13-token item -> containment round(5/9,6)=0.555556 >= 0.5 kept;
+    4/9 = 0.444444 dropped."""
+    # item: 12 tokens -> 9 distinct 4-grams
+    item_toks = [f"t{i}" for i in range(12)]
+    item = " ".join(item_toks)
+    # doc shares the item's first 8 tokens -> grams 1..5 of 9
+    doc = " ".join(item_toks[:8] + ["zzz", "yyy", "xxx", "www"])
+    corpus = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "text": [doc]}))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [100], "text": [item]}))
+    kept = textstats.eval_containment(
+        corpus, bench, n=4, threshold=0.5).toPandas()
+    assert len(kept) == 1 and int(kept.n_shared.iloc[0]) == 5
+    assert float(kept.containment.iloc[0]) == round(5 / 9, 6)
+    # one fewer shared token -> 4/9 -> dropped at the same threshold
+    doc4 = " ".join(item_toks[:7] + ["zzz", "yyy", "xxx", "www", "vvv"])
+    corpus4 = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "text": [doc4]}))
+    assert textstats.eval_containment(
+        corpus4, bench, n=4, threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty (q86)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_matches_hand_computation(spark):
+    """doc0 shares its first 5 tokens (two 4-grams) with doc1; those
+    grams are non-novel for both, everything else is unique."""
+    shared = "alpha beta gamma delta epsilon"
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            f"{shared} zeta eta theta",            # 8 toks -> 5 grams
+            f"{shared} iota kappa",                # 7 toks -> 4 grams
+            "lambda mu nu xi omicron pi",          # 6 toks -> 3 grams
+        ],
+    }))
+    out = (textstats.ngram_novelty(corpus, n=4).toPandas()
+           .set_index("id").sort_index())
+    assert list(out.index) == [0, 1, 2]
+    assert list(out.n_grams) == [5, 4, 3]
+    assert list(out.n_novel) == [3, 2, 3]
+    assert list(out.novelty) == [round(3 / 5, 6), 0.5, 1.0]
+
+
+def test_ngram_novelty_partitioning_invariant(spark):
+    pdf = pd.DataFrame({
+        "doc_id": range(30),
+        "text": [" ".join(f"w{(i * 7 + j) % 19}" for j in range(12))
+                 for i in range(30)],
+    })
+    df = spark.createDataFrame(pdf)
+    a = (textstats.ngram_novelty(df, n=4).toPandas()
+         .sort_values("id").reset_index(drop=True))
+    b = (textstats.ngram_novelty(df.repartition(11), n=4).toPandas()
+         .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
