@@ -849,9 +849,17 @@ def _clear_stale_splits(spark: SparkSession, out_dir: str, snapshot: str,
     for name in fsutil.list_names(spark, snap_dir):
         if name.startswith("split=") and name[len("split="):] not in kept:
             fsutil.delete(spark, f"{snap_dir}/{name}")
+    # manifest names are incr-<snap>-<split>.json in a FLAT dir, and a
+    # '-' may appear inside another snapshot's NAME: prefix-matching
+    # alone would let snapshot 'i1' delete 'incr-i1-retry-train.json'
+    # (snapshot 'i1-retry', split train). The extracted remainder must
+    # be a real split name to be ours (r5 review pass 3).
     for name in fsutil.list_names(spark, f"{out_dir}/manifests"):
-        if (name.startswith(f"incr-{snapshot}-") and name.endswith(".json")
-                and name[len(f"incr-{snapshot}-"):-len(".json")] not in kept):
+        if not (name.startswith(f"incr-{snapshot}-")
+                and name.endswith(".json")):
+            continue
+        sp = name[len(f"incr-{snapshot}-"):-len(".json")]
+        if sp in SPLIT_NAMES and sp not in kept:
             fsutil.delete(spark, f"{out_dir}/manifests/{name}",
                           recursive=False)
 
@@ -946,6 +954,22 @@ def run_curation_increment(
         return {"curate": {**done, "skipped": True},
                 "elapsed_sec": time.time() - t0}
 
+    # Seq for the marker (monotone across ALL increments, both units):
+    # promote's intent retry excludes a snapshot whose marker seq no
+    # longer matches the recorded fold — without a seq on TURN markers
+    # that gate compared 0 == 0 and never excluded a re-run (r5 review
+    # pass 3). Computed BEFORE the stale-marker deletion so the re-run's
+    # seq is strictly newer than its own prior attempt's.
+    markers = _incr_marker_map(spark, out_dir)
+    seq = max([int(m.get("seq", 0)) for m in markers.values()] + [0]) + 1
+    # Once this run decides to recompute, the PRIOR attempt's marker must
+    # go: a crash after the stale-split cleanup but before the new marker
+    # would otherwise leave a completed-looking marker whose splits field
+    # describes rows the cleanup already deleted — and a resume retry
+    # would short-circuit on it, making the loss permanent (r5 review
+    # pass 3). With no marker, the retry recomputes.
+    fsutil.delete(spark, _stage_path(out_dir, stage), recursive=False)
+
     from epstein_browser_spark.pipeline import extract_transcripts
 
     extracted = extract_transcripts(
@@ -981,7 +1005,8 @@ def run_curation_increment(
         # first, or their rows would stay visible under the fresh marker.
         _delete_snapshot_trees(spark, out_dir, snapshot)
         metrics = _mark_stage(spark, out_dir, stage, snapshot,
-                              {"n_docs": 0, "splits": {}, **incr_settings})
+                              {"n_docs": 0, "splits": {}, "seq": seq,
+                               **incr_settings})
         return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
     # near-dup features for the increment → disk (they ARE the index rows
@@ -1061,7 +1086,8 @@ def run_curation_increment(
 
     metrics = _mark_stage(spark, out_dir, stage, snapshot,
                           {"n_docs": sum(split_counts.values()),
-                           "splits": split_counts, **incr_settings,
+                           "splits": split_counts, "seq": seq,
+                           **incr_settings,
                            "cap_metrics": caps.summary()})
     return {"curate": metrics, "elapsed_sec": time.time() - t0}
 
@@ -1137,6 +1163,11 @@ def _run_conv_increment(
 
     markers = _incr_marker_map(spark, out_dir)
     seq = max([int(m.get("seq", 0)) for m in markers.values()] + [0]) + 1
+    # once recomputing, the prior attempt's marker goes (see the turn
+    # path): a crash between the stale-split cleanup and the new marker
+    # must leave the snapshot UNcommitted, not committed-with-old-splits
+    fsutil.delete(spark, _stage_path(out_dir, stage), recursive=False)
+    markers.pop(snapshot, None)
 
     from epstein_browser_spark.dedup import (
         CapMetrics,
@@ -1255,66 +1286,73 @@ def _run_conv_increment(
         ).select(F.col("id_probe").alias("conv_uid")).distinct()
         survivors = conv_kept.join(dup_of_old, "conv_uid", "left_anti")
 
-    # within-batch near-dup keep policy (same as the base conversation run)
-    surv_feats = cand_feats.join(
-        survivors.select(F.col("conv_uid").alias("id")), "id", "left_semi"
-    )
-    within = verify_pairs(
-        minhash_lsh_candidates(surv_feats.select("id", "sig"), n_bands=8,
-                               n_perms=32, cap_metrics=caps),
-        surv_feats, near_threshold, n_perms=32, cap_metrics=caps,
-    )
-    clusters = dedup_clusters(survivors, within, id_col="conv_uid")
-    kept_convs = survivors.join(
-        clusters.filter("is_canonical").select(F.col("id").alias("conv_uid")),
-        "conv_uid", "left_semi",
-    ).select("conv_id", "conv_uid").localCheckpoint(eager=True)
-
-    # Refinement (r5 review finding): a redelivered conversation that is
-    # NOT installed leaves its STORED text current — but survivors were
-    # only verified against stored features of conversations OUTSIDE the
-    # batch (the anti-join above) and against batch members' NEW text
-    # (the within-batch CC pass). Re-verify the kept set against the
-    # stored features of replaced-but-not-installed batch members. Each
-    # drop can itself expose another stored text (the drop's own old
-    # version stays current), so iterate to a fixpoint — bounded by the
-    # number of batch replacements, since the kept set only shrinks.
+    # Within-batch near-dup keep policy (same as the base conversation
+    # run), UNIFIED with the refinement against stored text of
+    # replaced-but-not-installed conversations (r5 review finding): a
+    # redelivered conversation that is NOT installed leaves its STORED
+    # text current, and survivors were only verified against non-batch
+    # stored features (the anti-join above) and batch members' NEW text.
+    # A refinement drop of a cluster CANONICAL must RE-ELECT among that
+    # cluster's members rather than losing them (the policy is "elect a
+    # canonical", never "drop both" — r5 review pass 3), so the drop
+    # feeds back into the SURVIVOR set and the election reruns. The
+    # fixpoint is bounded: survivors strictly shrink on every iteration
+    # that continues, and iterations beyond the first only happen when a
+    # replacement's stored text actually claimed a survivor (rare — the
+    # increment is small and replacements are a fraction of it).
+    replaced = None
     if stored_feats is not None:
         replaced = stored_feats.join(
             cand_feats.select("id"), "id", "left_semi"
         ).localCheckpoint(eager=True)
-        if not replaced.isEmpty():
-            n_kept = kept_convs.count()
-            while n_kept:
-                exposed = replaced.join(
-                    kept_convs.select(F.col("conv_uid").alias("id")),
-                    "id", "left_anti").localCheckpoint(eager=True)
-                if exposed.isEmpty():
-                    break
-                kept_bands = probe_bands.join(
-                    kept_convs.select(F.col("conv_uid").alias("id")),
-                    "id", "left_semi")
-                cands = minhash_candidates_between(
-                    probe_bands=kept_bands,
-                    corpus_sigs=exposed.select("id", "sig"),
-                    cap_metrics=caps)
-                # feature table: exposed ids resolve to their STORED
-                # grams (the text the corpus actually holds) — never to
-                # the new grams of the replacement that was not installed
-                feats2 = cand_feats.join(
-                    exposed.select("id"), "id", "left_anti"
-                ).unionByName(exposed.select(cand_feats.columns))
-                drops = verify_pairs(
-                    cands, feats2, near_threshold, n_perms=32,
-                    a_col="id_probe", b_col="id_corpus", cap_metrics=caps,
-                ).select(F.col("id_probe").alias("conv_uid")).distinct()
-                kept_convs = kept_convs.join(
-                    drops, "conv_uid", "left_anti"
-                ).localCheckpoint(eager=True)
-                n_now = kept_convs.count()
-                if n_now == n_kept:
-                    break
-                n_kept = n_now
+        if replaced.isEmpty():
+            replaced = None
+    survivors = survivors.localCheckpoint(eager=True)
+    while True:
+        surv_feats = cand_feats.join(
+            survivors.select(F.col("conv_uid").alias("id")), "id",
+            "left_semi")
+        within = verify_pairs(
+            minhash_lsh_candidates(surv_feats.select("id", "sig"), n_bands=8,
+                                   n_perms=32, cap_metrics=caps),
+            surv_feats, near_threshold, n_perms=32, cap_metrics=caps,
+        )
+        clusters = dedup_clusters(survivors, within, id_col="conv_uid")
+        kept_convs = survivors.join(
+            clusters.filter("is_canonical").select(
+                F.col("id").alias("conv_uid")),
+            "conv_uid", "left_semi",
+        ).select("conv_id", "conv_uid").localCheckpoint(eager=True)
+        if replaced is None or kept_convs.isEmpty():
+            break
+        # stored text still current = replaced ids NOT being installed
+        exposed = replaced.join(
+            kept_convs.select(F.col("conv_uid").alias("id")),
+            "id", "left_anti").localCheckpoint(eager=True)
+        if exposed.isEmpty():
+            break
+        kept_bands = probe_bands.join(
+            kept_convs.select(F.col("conv_uid").alias("id")),
+            "id", "left_semi")
+        cands = minhash_candidates_between(
+            probe_bands=kept_bands,
+            corpus_sigs=exposed.select("id", "sig"),
+            cap_metrics=caps)
+        # feature table: exposed ids resolve to their STORED grams (the
+        # text the corpus actually holds) — never to the new grams of
+        # the replacement that was not installed
+        feats2 = cand_feats.join(
+            exposed.select("id"), "id", "left_anti"
+        ).unionByName(exposed.select(cand_feats.columns))
+        drops = verify_pairs(
+            cands, feats2, near_threshold, n_perms=32,
+            a_col="id_probe", b_col="id_corpus", cap_metrics=caps,
+        ).select(F.col("id_probe").alias("conv_uid")).distinct(
+        ).localCheckpoint(eager=True)
+        if drops.isEmpty():
+            break
+        survivors = survivors.join(
+            drops, "conv_uid", "left_anti").localCheckpoint(eager=True)
 
     if kept_convs.isEmpty():
         _delete_snapshot_trees(spark, out_dir, snapshot)

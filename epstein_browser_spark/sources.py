@@ -70,7 +70,10 @@ def read_transcripts(spark: SparkSession, source: str,
     * ``'auto'`` (default) — a table identifier goes through the session
       catalog (``spark.read.table``: Iceberg, Hive, or a registered
       view — whatever the catalog maps the name to); a path reads as
-      Iceberg when the runtime is present, else parquet.
+      Iceberg only when the runtime is present AND the directory is
+      actually an Iceberg Hadoop table (``metadata/`` present), else
+      parquet — symmetric with ``write_transcripts``' auto-path parquet
+      fallback.
     * ``'iceberg'`` — require Iceberg; raise with remediation if the
       runtime is absent (fail at plan time, not mid-job).
     * ``'parquet'`` — force the plain-directory read.
@@ -93,9 +96,25 @@ def read_transcripts(spark: SparkSession, source: str,
         )
     if not _looks_like_path(source):
         return spark.read.table(source)
-    if iceberg_available(spark):
+    if iceberg_available(spark) and _is_iceberg_path(spark, source):
         return spark.read.format("iceberg").load(source)
     return spark.read.parquet(source)
+
+
+def _is_iceberg_path(spark: SparkSession, source: str) -> bool:
+    """True when the path holds an Iceberg Hadoop table (a ``metadata/``
+    dir beside the data). 'auto' must dispatch on what the directory
+    ACTUALLY is, not on the classpath: write_transcripts' auto-path
+    branch writes plain parquet even with the runtime present, so an
+    unconditional Iceberg read broke the default write→read round trip
+    (r5 review finding); and a pre-existing parquet lake must not become
+    unreadable because an Iceberg jar appeared."""
+    from epstein_browser_spark import fsutil
+
+    try:
+        return fsutil.exists(spark, f"{source}/metadata")
+    except Exception:
+        return False
 
 
 def write_transcripts(df: DataFrame, target: str,
@@ -136,8 +155,9 @@ def write_transcripts(df: DataFrame, target: str,
         # 'auto' keeps writing parquet to paths even with the runtime
         # present, so a deployment appending to a pre-existing plain
         # parquet directory is never broken by a classpath change
-        # (second r5 review finding); reads of such a directory force
-        # source_format='parquet' the same way.
+        # (second r5 review finding); the auto READ dispatches on the
+        # directory's actual layout (_is_iceberg_path), so the default
+        # write→read round trip stays symmetric.
         (df.write.format("iceberg")
            .mode("overwrite" if mode == "overwrite" else "append")
            .save(target))

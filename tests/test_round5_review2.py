@@ -278,3 +278,182 @@ def test_conv_increment_refines_against_stored_text_of_dropped(
     assert "y" not in set(cur.conv_id)
     assert (cur.conv_id == "x").sum() == len(BODIES["a"])
     assert (cur.conv_id == "z").sum() == len(BODIES["a"]) + len(Z_EXT)
+
+
+# ===========================================================================
+# PASS 3 findings (review over the pass-2 fixes themselves)
+# ===========================================================================
+
+W_EXT = Z_EXT  # readability alias: the extension turns of the superset conv
+
+
+def _words(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+# --------------------------------------------------------------------------
+# Pass-3 finding 1: TURN-unit increment markers carry a seq, so the
+# promote-intent re-run gate discriminates for turn pipelines too.
+# --------------------------------------------------------------------------
+
+def test_turn_unit_intent_retry_excludes_rerun_snapshot(spark, tmp_path):
+    out = str(tmp_path / "turnbase")
+    curation.run_curation(
+        spark, _sdf(spark, _rows("a", BODIES["a"]) + _rows("b", BODIES["b"])),
+        out, n_buckets=2, input_snapshot="s0")  # default unit='turn'
+    curation.run_curation_increment(
+        spark, _sdf(spark, _rows("d", D_NOVEL)), out, snapshot="i1",
+        n_buckets=2)
+    m1 = _marker(spark, out, "i1")
+    assert int(m1.get("seq", 0)) >= 1  # turn markers now carry seq
+    fsutil.write_text(spark, _intent_path(out), json.dumps(
+        {"fold": {"i1": int(m1["seq"])}, "phases": ["curated"]}))
+    # re-run with different content before the retry
+    curation.run_curation_increment(
+        spark, _sdf(spark, _rows("e", E_NOVEL)), out, snapshot="i1",
+        n_buckets=2, resume=False)
+    m2 = _marker(spark, out, "i1")
+    assert int(m2["seq"]) > int(m1["seq"])
+
+    mp = curation.promote_increments(spark, out)
+    assert mp["promoted_snaps"] == []
+    assert fsutil.exists(spark, f"{out}/_stages/incr-i1.json")
+    assert fsutil.exists(spark, f"{out}/{curation.CURATED_INCR}/snap=i1")
+    texts = set(curation.read_curated(spark, out).toPandas().clean_text)
+    assert E_NOVEL[0] in texts and D_NOVEL[0] not in texts
+    mp2 = curation.promote_increments(spark, out)
+    assert mp2["promoted_snaps"] == ["i1"]
+    texts2 = set(curation.read_curated(spark, out).toPandas().clean_text)
+    assert E_NOVEL[0] in texts2 and D_NOVEL[0] not in texts2
+
+
+# --------------------------------------------------------------------------
+# Pass-3 finding 5: a re-run that crashes AFTER mutating trees but BEFORE
+# its marker leaves the snapshot UNcommitted (no stale completed marker to
+# short-circuit the retry) — the retry recomputes and converges.
+# --------------------------------------------------------------------------
+
+def test_increment_rerun_crash_before_marker_recomputes(
+        spark, conv_base, monkeypatch):
+    out = conv_base
+    curation.run_curation_increment(
+        spark, _sdf(spark, _rows("d", D_NOVEL)), out, snapshot="i1",
+        n_buckets=2)
+
+    real = curation._mark_stage
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(curation, "_mark_stage", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curation.run_curation_increment(
+            spark, _sdf(spark, _rows("e", E_NOVEL)), out, snapshot="i1",
+            n_buckets=2, resume=False)
+    monkeypatch.setattr(curation, "_mark_stage", real)
+
+    # the prior attempt's completed marker is GONE — not a stale lie
+    assert not fsutil.exists(spark, f"{out}/_stages/incr-i1.json")
+    # resume retry recomputes (no skip) and installs the new content
+    m = curation.run_curation_increment(
+        spark, _sdf(spark, _rows("e", E_NOVEL)), out, snapshot="i1",
+        n_buckets=2, resume=True)
+    assert m["curate"].get("skipped") is not True
+    assert m["curate"]["n_docs"] == len(E_NOVEL)
+    cur = curation.read_curated(spark, out).toPandas()
+    assert "e" in set(cur.conv_id) and "d" not in set(cur.conv_id)
+
+
+# --------------------------------------------------------------------------
+# Pass-3 finding 3: manifest cleanup must not eat a SIBLING snapshot whose
+# name extends this one with a hyphen.
+# --------------------------------------------------------------------------
+
+def test_clear_stale_splits_spares_hyphen_sibling_snapshot(spark, tmp_path):
+    out = str(tmp_path / "o")
+    fsutil.mkdirs(spark, f"{out}/manifests")
+    for name in ("incr-s1-train.json", "incr-s1-test.json",
+                 "incr-s1-retry-train.json"):
+        fsutil.write_text(spark, f"{out}/manifests/{name}", "{}")
+    curation._clear_stale_splits(spark, out, "s1", kept_splits=())
+    assert not fsutil.exists(spark, f"{out}/manifests/incr-s1-train.json")
+    assert not fsutil.exists(spark, f"{out}/manifests/incr-s1-test.json")
+    # snapshot 's1-retry' keeps its per-split accounting
+    assert fsutil.exists(spark,
+                         f"{out}/manifests/incr-s1-retry-train.json")
+
+
+# --------------------------------------------------------------------------
+# Pass-3 finding 2: auto-format PATH round trip — what write_transcripts
+# writes by default, read_transcripts reads by default, with or without
+# the Iceberg runtime on the classpath.
+# --------------------------------------------------------------------------
+
+def test_auto_path_write_read_roundtrip_with_iceberg_runtime(
+        spark, tmp_path, monkeypatch):
+    from epstein_browser_spark import sources
+
+    monkeypatch.setattr(sources, "iceberg_available", lambda s: True)
+    tgt = str(tmp_path / "tw")
+    sources.write_transcripts(_sdf(spark, _rows("c1", ["hello there"])), tgt)
+    back = sources.read_transcripts(spark, tgt)  # must NOT try iceberg
+    assert back.count() == 1
+    # an actual Iceberg Hadoop-table layout IS detected
+    ice_dir = str(tmp_path / "icetable")
+    fsutil.mkdirs(spark, f"{ice_dir}/metadata")
+    assert sources._is_iceberg_path(spark, ice_dir)
+    assert not sources._is_iceberg_path(spark, tgt)
+
+
+# --------------------------------------------------------------------------
+# Pass-3 finding 4: a refinement drop of a within-batch cluster CANONICAL
+# re-elects among the cluster's members instead of losing them.
+# --------------------------------------------------------------------------
+
+def test_conv_refinement_reelects_cluster_member(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    P = _words("p", 46)
+    Q = _words("q", 50)
+    Qp = Q[:-13] + _words("qx", 13)       # stored x's second turn
+    Pp = _words("px", 13) + P[13:]        # z's first turn
+    R = _words("r", 45)                   # w's long third turn
+
+    # pick conv ids so the stored-x near-dup gets the SMALLER conv_uid
+    # (elected canonical first -> the refinement-drop path under test)
+    names = ["cand1", "cand2"]
+    uids = {r["n"]: r["u"] for r in spark.createDataFrame(
+        [(n,) for n in names], "n string").select(
+        "n", SF.xxhash64("n").alias("u")).collect()}
+    y_id = min(names, key=lambda n: uids[n])   # near stored-x
+    z_id = max(names, key=lambda n: uids[n])   # near y only
+
+    def conv(conv_id, turn_texts):
+        return _rows(conv_id, [" ".join(t) for t in turn_texts])
+
+    out = str(tmp_path / "reelect")
+    curation.run_curation(
+        spark, _sdf(spark, conv("x", [P, Qp]) + conv("w", [P, Qp, R])),
+        out, n_buckets=2, unit="conversation", input_snapshot="s0")
+    cur0 = curation.read_curated(spark, out).toPandas()
+    assert {"x", "w"} <= set(cur0.conv_id)  # not near-dups at base
+
+    # increment: x extends with w's third turn (combined x == stored w ->
+    # x dropped, stored x text stays current); y near-dups STORED x;
+    # z near-dups y but NOT stored x
+    incr = (conv("x", [R])  # delivered at turn_idx 0 -> re-keyed below
+            + conv(y_id, [P, Q]) + conv(z_id, [Pp, Q]))
+    # fix x's redelivered turn index to extend, not overwrite
+    for r in incr:
+        if r["conv_id"] == "x":
+            r["turn_idx"] = 2
+    m = curation.run_curation_increment(
+        spark, _sdf(spark, incr), out, snapshot="i1", n_buckets=2)
+    cur = curation.read_curated(spark, out).toPandas()
+    # y (canonical of the {y,z} cluster) near-matches stored x -> dropped;
+    # z re-elected and installed — NOT lost with its canonical
+    assert m["curate"]["n_docs"] == 2
+    assert z_id in set(cur.conv_id)
+    assert y_id not in set(cur.conv_id)
+    assert (cur.conv_id == "x").sum() == 2      # old x text current
+    assert (cur.conv_id == "w").sum() == 3
