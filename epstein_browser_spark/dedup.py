@@ -826,3 +826,99 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def lsh_recall_eval(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n_perms: int = 16,
+                    n_bands: int = 4, shingle: int = 5,
+                    threshold: float = 0.5,
+                    max_bucket: int = 200) -> DataFrame:
+    """One-row LSH telemetry: (n_true, n_cand, n_hit, recall,
+    cand_precision) — the banded-candidate stage of the md5 MinHash
+    pipeline (the exact stage :func:`minhash_dedup_pairs_md5` runs,
+    bucket cap included) measured against EXACT ground truth: every pair
+    with char-shingle Jaccard ≥ ``threshold``. Recall is the number every
+    banding configuration (n_perms, n_bands, max_bucket) must be tuned
+    by; candidate precision says how much exact-verify work the banding
+    buys per true pair.
+
+    Ground truth is complete without a cross join: a pair with J ≥ t > 0
+    shares at least one shingle, so the shared-shingle equi-join reaches
+    every true pair, and the per-pair shared count with the two set
+    sizes gives exact Jaccard (|A∩B| / (|A|+|B|−|A∩B|)). Cost is
+    Σ_gram df(gram)² — quadratic in document frequency, NOT corpus size,
+    which is why production runs this evaluation on a bounded sample
+    (the caller picks the slice; the operator itself has no n² in corpus
+    size). The final one-row reduce follows the corpus-stats pattern
+    (partial aggregates; no wide data funnels to one task)."""
+    from epstein_browser_spark.textstats import exploded_shingles
+
+    _check_band_split(n_perms, n_bands)
+    ex = exploded_shingles(df, text_col, id_col, shingle)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f":{i}")))).alias(f"_h{i}")
+        for i in range(n_perms)
+    ] + [F.count("*").alias("_n")]
+    combined = ex.groupBy("id").agg(*aggs)
+    width = n_perms // n_bands
+    band_keys = [
+        F.concat_ws("|", F.lit(str(b)),
+                    *[f"_h{i}" for i in range(b * width, (b + 1) * width)])
+        for b in range(n_bands)
+    ]
+    banded = combined.select(
+        "id", F.explode(F.array(*band_keys)).alias("key")
+    )
+    bw = Window.partitionBy("key")
+    banded = (
+        banded.withColumn("_bn", F.count("*").over(bw))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    ca = banded.select(F.col("id").alias("id_a"), "key")
+    cb = banded.select(F.col("id").alias("id_b"), "key")
+    cand = (
+        ca.join(cb, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = ex.select(F.col("id").alias("id_a"), "_sh")
+    gb = ex.select(F.col("id").alias("id_b"), "_sh")
+    shared = (
+        ga.join(gb, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n_sh"))
+    )
+    sizes = combined.select("id", "_n")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = (F.col("_n_sh").cast("double")
+           / (F.col("_na") + F.col("_nb") - F.col("_n_sh")))
+    truth = (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    u = (
+        truth.withColumn("_t", F.lit(True))
+        .join(cand.withColumn("_c", F.lit(True)),
+              ["id_a", "id_b"], "full_outer")
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("_c"), 1).otherwise(0)).alias("n_cand"),
+        F.sum(F.when(F.col("_t") & F.col("_c"), 1).otherwise(0))
+        .alias("n_hit"),
+    )
+    return agg.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("n_hit") / F.col("n_true"), 6)).alias("recall"),
+        F.when(F.col("n_cand") > 0,
+               F.round(F.col("n_hit") / F.col("n_cand"), 6))
+        .alias("cand_precision"),
+    )

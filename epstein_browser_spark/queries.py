@@ -12,6 +12,8 @@ operator ids it exercises and the reference file:line it derives from.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3563,6 +3565,153 @@ GROUP BY cg.id
 """
 
 
+_NB_LEXICON = ("spark", "window", "stream", "vector", "merge")
+
+
+def q87_nb_select(spark, sf_dir):
+    """Classifier-scored selection (textstats.nb_quality_scores): distill
+    a lexicon rule (≥4 of 5 marker words present — the stand-in for an
+    expensive labeler, the FineWeb-Edu pattern) into a hashed-unigram
+    Naive Bayes on the doc_id%5<2 labeled subset, score EVERY doc with
+    the length-normalized mean token log-odds, keep the top-100 of the
+    ranking — the budgeted model-based quality filter. Ranking follows
+    the cross-engine contract: order by the 6dp-ROUNDED score, then
+    doc_id; global top-k is TakeOrderedAndProject (no full sort, no
+    single-partition shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != "")
+    n_lex = reduce(
+        lambda a, b: a + b,
+        [F.array_contains(toks, w).cast("int") for w in _NB_LEXICON],
+    )
+    labeled = d.filter(F.pmod("doc_id", F.lit(5)) < 2).select(
+        "doc_id", "text", (n_lex >= 4).alias("label")
+    )
+    out = textstats.nb_quality_scores(d, labeled)
+    return (
+        out.select(F.col("id").alias("doc_id"),
+                   F.round("nb_score", 6).alias("nb_score"))
+        .orderBy(F.col("nb_score").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+def _q87_sql(n_buckets: int = 1024, k: int = 100) -> str:
+    lex = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in _NB_LEXICON
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+lab AS (SELECT id, ({lex}) >= 4 AS y FROM tok WHERE id % 5 < 2),
+terms AS (SELECT id, unnest(toks) AS term FROM tok),
+f AS (SELECT id, ({_md5_int_sql('term', 5)}) % {n_buckets} AS bucket
+      FROM terms),
+lf AS (SELECT f.bucket, lab.y FROM f JOIN lab USING (id)),
+cc AS (SELECT bucket,
+              sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+              sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+       FROM lf GROUP BY bucket),
+tot AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS tot_pos,
+               sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS tot_neg
+        FROM lf),
+dom AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket),
+ratio AS (
+  SELECT dom.bucket,
+         CAST(round(ln(((coalesce(cc.n_pos, 0) + 1)
+                        / (tot_pos + {n_buckets}))
+                       / ((coalesce(cc.n_neg, 0) + 1)
+                          / (tot_neg + {n_buckets})))
+                    * 1000000.0) AS BIGINT) AS lr
+  FROM dom LEFT JOIN cc ON dom.bucket = cc.bucket CROSS JOIN tot),
+dcnt AS (SELECT id, bucket, count(*) AS n FROM f GROUP BY id, bucket),
+sums AS (SELECT id, CAST(sum(n * lr) AS BIGINT) AS s,
+                CAST(sum(n) AS BIGINT) AS nt
+         FROM dcnt JOIN ratio USING (bucket) GROUP BY id)
+SELECT id AS doc_id,
+       round(CAST(s AS DOUBLE) / nt / 1000000.0, 6) AS nb_score
+FROM sums
+ORDER BY nb_score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def q88_lsh_recall(spark, sf_dir):
+    """LSH banding telemetry (dedup.lsh_recall_eval): the md5-MinHash
+    banded-candidate stage (16 perms / 4 bands / bucket cap 200 — the
+    exact q42 pipeline configuration) measured against exact ground
+    truth (every pair with 5-char-shingle Jaccard ≥ 0.5, complete via
+    the shared-shingle equi-join — J > 0 implies a shared shingle, no
+    cross product). One row: truth size, candidate count, hits, recall,
+    candidate precision — the numbers a banding configuration is tuned
+    by, run on a bounded sample exactly as production recall estimation
+    is."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.lsh_recall_eval(d, n_perms=16, n_bands=4, shingle=5,
+                                 threshold=0.5, max_bucket=200)
+
+
+def _q88_sql(n_perms: int = 16, n_bands: int = 4, shingle: int = 5,
+             threshold: float = 0.5, max_bucket: int = 200,
+             id_cap: int = 200) -> str:
+    width = n_perms // n_bands
+    mins = ",\n        ".join(
+        f"min(md5(sh || ':{i}')) AS h{i}" for i in range(n_perms)
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "' || '|' || " + " || '|' || ".join(
+            f"h{i}" for i in range(b * width, (b + 1) * width)
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH srcdocs AS (SELECT doc_id AS id, text FROM documents
+                 WHERE doc_id < {id_cap}),
+g AS (
+  SELECT id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - {shingle - 1}),
+           i -> lower(trim(text))[i:i+{shingle - 1}]))) AS sh
+  FROM srcdocs
+  WHERE length(lower(trim(text))) >= {shingle}),
+sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+s AS (SELECT id,
+        {mins}
+      FROM g GROUP BY id),
+b AS (SELECT id, unnest([{band_keys}]) AS key FROM s),
+bc AS (SELECT *, count(*) OVER (PARTITION BY key) AS bn FROM b),
+bf AS (SELECT id, key FROM bc WHERE bn <= {max_bucket}),
+cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         FROM bf a JOIN bf c ON a.key = c.key AND a.id < c.id),
+shp AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_sh
+        FROM g x JOIN g y ON x.sh = y.sh AND x.id < y.id
+        GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b FROM shp
+          JOIN sz a ON shp.id_a = a.id JOIN sz b2 ON shp.id_b = b2.id
+          WHERE CAST(n_sh AS DOUBLE) / (a.n + b2.n - n_sh)
+                >= {threshold}),
+u AS (SELECT t.id_a IS NOT NULL AS in_t, c.id_a IS NOT NULL AS in_c
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b)
+SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       round(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6)
+         AS recall,
+       round(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN in_c THEN 1 ELSE 0 END), 0), 6)
+         AS cand_precision
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -3579,6 +3728,8 @@ GROUP BY cg.id
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q87_nb_select": (q87_nb_select, _q87_sql()),
+    "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
     "q86_ngram_novelty": (q86_ngram_novelty, _Q86_SQL),
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
@@ -3628,8 +3779,6 @@ QUERIES: dict[str, tuple] = {
     "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
-    "q46_split_assign": (q46_split_assign, _Q46_SQL),
-    "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
     "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
     # ------------- 50-row driver window ends here -------------
     # --- long-green rows rotated out for the r5 debuts (driver-green
@@ -3638,7 +3787,11 @@ QUERIES: dict[str, tuple] = {
     # twins — q51 langid-ngram, q53 multiprobe, q67 ivf-pq — cover the
     # same families); q44/q45 rotated out for q85/q86 (q44 sessions is
     # also pinned by the streaming parity tests, q45 by its q52 sketch
-    # twin in-window) ---
+    # twin in-window); q46/q47 rotated out for q87/q88 (q46's md5-split
+    # machinery is exercised in-window by q61/q69, q47's sampling family
+    # by q61) ---
+    "q46_split_assign": (q46_split_assign, _Q46_SQL),
+    "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
     "q44_sessions": (q44_sessions, _Q44_SQL),
     "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
     "q25_langid": (q25_langid, _langid_sql()),

@@ -865,3 +865,107 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
             .otherwise(F.lit("tail")).alias("bucket"),
         )
     )
+
+
+def nb_quality_scores(corpus: DataFrame, labeled: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      label_col: str = "label",
+                      n_buckets: int = 1024) -> DataFrame:
+    """(id, score_micro, n_terms, nb_score) — binary multinomial Naive
+    Bayes over hashed-unigram bags: train per-bucket class-conditional
+    log-likelihood ratios on ``labeled`` (boolean ``label_col``), score
+    every ``corpus`` doc with the length-normalized mean token log-odds
+    ``nb_score = (Σ_b n_b · lr_b) / Σ_b n_b`` in nats. This is the
+    model-based quality-filter step of web-scale curation (GPT-3's
+    curated-vs-raw classifier; FineWeb-Edu's distilled labeler): label a
+    subset — by rule, by a reference corpus, by an expensive model — fit
+    the cheap classifier, score the whole corpus, keep the top of the
+    ranking. It differs from :func:`dsir_logweights` (importance weights
+    between two UNlabeled distributions) in being supervised: a labeled
+    frame, add-one-smoothed per-CLASS token rates over the full bucket
+    domain (unseen buckets get the smoothed default, not zero), and a
+    per-token decision scale that a budgeted top-k can rank on.
+
+    Determinism across engines (the DSIR lesson): per-bucket log-ratios
+    quantize to INTEGER micro-nats over the full ``n_buckets`` domain,
+    per-doc sums are exact integer arithmetic (``score_micro``), and the
+    final normalization divides two exact integers — the same operand
+    order as the oracle (`CAST(s AS DOUBLE) / n / 1e6`), so the double
+    is bit-identical. Buckets are md5-derived mod ``n_buckets`` (1024
+    divides 16⁵ — unbiased draw).
+
+    Scale shape: one explode per side; class counts reduce to
+    ``n_buckets`` rows (partial-agg shuffle), the ratio table is a
+    bounded broadcast, and scoring is one partial-agg groupBy over the
+    corpus features. Nothing quadratic, nothing driver-side."""
+    spark = corpus.sparkSession
+
+    def feats(d: DataFrame, extra: tuple = ()) -> DataFrame:
+        terms = d.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in extra],
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                         lambda t: t != "")
+            ).alias("term"),
+        )
+        return terms.select(
+            "id", *extra,
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 5), 16, 10)
+                .cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    lab_f = feats(
+        labeled.select(F.col(id_col),
+                       F.col(text_col),
+                       F.col(label_col).cast("boolean").alias("_y")),
+        extra=("_y",),
+    )
+    cls_c = lab_f.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n_neg"),
+    )
+    totals = lab_f.agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("tot_pos"),
+        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("tot_neg"),
+    )
+    # full bucket domain: a corpus bucket unseen in training scores the
+    # add-one default ln((1/(tot_pos+B))/(1/(tot_neg+B))), not 0 — the
+    # Naive Bayes smoothing semantics (a left join from corpus buckets
+    # into a training-only ratio table would silently zero them)
+    domain = spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    ratio = (
+        domain.join(cls_c, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("n_pos"), F.lit(0)) + 1)
+                     / (F.col("tot_pos") + n_buckets))
+                    / ((F.coalesce(F.col("n_neg"), F.lit(0)) + 1)
+                       / (F.col("tot_neg") + n_buckets))
+                ) * 1000000.0,
+                0,
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    dcnt = feats(corpus).groupBy("id", "bucket").agg(F.count("*").alias("n"))
+    return (
+        dcnt.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("n") * F.col("lr_micro")).alias("score_micro"),
+            F.sum("n").alias("n_terms"),
+        )
+        .select(
+            "id", "score_micro", "n_terms",
+            (F.col("score_micro").cast("double") / F.col("n_terms")
+             / F.lit(1000000.0)).alias("nb_score"),
+        )
+    )

@@ -576,3 +576,193 @@ def test_ngram_novelty_partitioning_invariant(spark):
     b = (textstats.ngram_novelty(df.repartition(11), n=4).toPandas()
          .sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_scores
+# ---------------------------------------------------------------------------
+
+
+def _py_nb(corpus, labeled, n_buckets=64):
+    """Pure-Python reference of the micro-nat quantized NB score."""
+    import re
+
+    def toks(t):
+        return [x for x in re.split("[^a-z]+", t.lower()) if x]
+
+    def bkt(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:5], 16) % n_buckets
+
+    pos, neg = {}, {}
+    tot_pos = tot_neg = 0
+    for _, t, y in labeled:
+        for w in toks(t):
+            b = bkt(w)
+            if y:
+                pos[b] = pos.get(b, 0) + 1
+                tot_pos += 1
+            else:
+                neg[b] = neg.get(b, 0) + 1
+                tot_neg += 1
+    lr = {
+        b: round(
+            math.log(((pos.get(b, 0) + 1) / (tot_pos + n_buckets))
+                     / ((neg.get(b, 0) + 1) / (tot_neg + n_buckets))) * 1e6
+        )
+        for b in range(n_buckets)
+    }
+    out = {}
+    for i, t in corpus:
+        s = n = 0
+        for w in toks(t):
+            s += lr[bkt(w)]
+            n += 1
+        if n:
+            out[i] = s / n / 1e6
+    return out
+
+
+_NB_CORPUS = [
+    (0, "stocks bonds markets finance trading"),
+    (1, "stocks finance markets trading"),
+    (2, "recipe flour sugar butter oven"),
+    (3, "flour oven recipe sugar"),
+    (4, "stocks oven"),            # mixed vocabulary
+    (5, "zzzq yyxw"),              # vocabulary never seen in training
+]
+
+
+def test_nb_quality_scores_matches_python_reference(spark):
+    labeled = [(0, _NB_CORPUS[0][1], True), (1, _NB_CORPUS[1][1], True),
+               (2, _NB_CORPUS[2][1], False), (3, _NB_CORPUS[3][1], False)]
+    cdf = spark.createDataFrame(
+        pd.DataFrame(_NB_CORPUS, columns=["doc_id", "text"]))
+    ldf = spark.createDataFrame(
+        pd.DataFrame(labeled, columns=["doc_id", "text", "label"]))
+    out = textstats.nb_quality_scores(cdf, ldf, n_buckets=64).toPandas()
+    got = dict(zip(out["id"], out["nb_score"]))
+    ref = _py_nb(_NB_CORPUS, labeled, n_buckets=64)
+    assert got == ref  # bit-exact: integer micro-nat arithmetic
+    # supervised ordering: positive-class vocab outscores negative-class
+    assert min(got[0], got[1]) > got[4] > max(got[2], got[3])
+
+
+def test_nb_unseen_vocabulary_scores_smoothing_default(spark):
+    """A doc whose tokens hit only buckets absent from training must get
+    the add-one default ln((1/(tot_pos+B))/(1/(tot_neg+B))) per token —
+    NOT zero (a left join from corpus buckets into a training-only ratio
+    table would silently zero them). Class totals are made unequal so
+    the default itself is nonzero."""
+    n_buckets = 1024
+    # one negative token fewer than _NB_CORPUS: tot_pos=9 != tot_neg=8
+    labeled = [(0, _NB_CORPUS[0][1], True), (1, _NB_CORPUS[1][1], True),
+               (2, _NB_CORPUS[2][1], False), (3, "flour oven sugar", False)]
+
+    def bkt(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:5],
+                   16) % n_buckets
+
+    trained = {bkt(w) for _, t, _ in labeled for w in t.split()}
+    # pick two tokens whose buckets are PROVABLY untrained
+    unseen = []
+    i = 0
+    while len(unseen) < 2:
+        cand = f"zz{'abcdefghij'[i % 10]}{i // 10}x".replace("0", "o")
+        cand = "".join(c for c in cand if c.isalpha())
+        if bkt(cand) not in trained and cand not in unseen:
+            unseen.append(cand)
+        i += 1
+    corpus = [(5, " ".join(unseen))]
+    cdf = spark.createDataFrame(
+        pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    ldf = spark.createDataFrame(
+        pd.DataFrame(labeled, columns=["doc_id", "text", "label"]))
+    out = textstats.nb_quality_scores(
+        cdf, ldf, n_buckets=n_buckets).toPandas()
+    row = out[out["id"] == 5].iloc[0]
+    tot_pos = sum(len(t.split()) for _, t, y in labeled if y)
+    tot_neg = sum(len(t.split()) for _, t, y in labeled if not y)
+    default = round(
+        math.log((1 / (tot_pos + n_buckets))
+                 / (1 / (tot_neg + n_buckets))) * 1e6)
+    assert default != 0
+    assert row["score_micro"] == 2 * default
+    assert row["nb_score"] != 0.0
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_eval
+# ---------------------------------------------------------------------------
+
+
+def _sh_set(t, n=5):
+    s = t.strip().lower()
+    return {s[i:i + n] for i in range(len(s) - n + 1)} if len(s) >= n else set()
+
+
+def _py_true_pairs(docs, n=5, threshold=0.5):
+    ids = sorted(docs)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = _sh_set(docs[a], n), _sh_set(docs[b], n)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out.add((a, b))
+    return out
+
+
+_EVAL_DOCS = {
+    0: "the quick brown fox jumps over the lazy dog tonight",
+    1: "the quick brown fox jumps over the lazy dog tonight",  # exact dup
+    2: "the quick brown fox jumps over the lazy cat tonight",  # near dup
+    3: "completely different words about gardens and rivers",
+    4: "another unrelated sentence mentioning mountains only",
+    5: "short text",
+}
+
+
+def test_lsh_recall_eval_matches_brute_force_truth(spark):
+    from epstein_browser_spark import dedup
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(_EVAL_DOCS), "text": list(_EVAL_DOCS.values())})
+    sdf = spark.createDataFrame(pdf)
+    row = dedup.lsh_recall_eval(
+        sdf, n_perms=16, n_bands=4, shingle=5, threshold=0.5,
+        max_bucket=200,
+    ).toPandas().iloc[0]
+    truth = _py_true_pairs(_EVAL_DOCS)
+    assert row["n_true"] == len(truth) >= 2  # the exact AND the near dup
+    # hits == what the production md5 pipeline would emit (candidates
+    # verified at the same threshold) — the cross-operator invariant
+    emitted = dedup.minhash_dedup_pairs_md5(
+        sdf, n_perms=16, n_bands=4, shingle=5, threshold=0.5,
+        max_bucket=200,
+    ).count()
+    assert row["n_hit"] == emitted
+    # identical docs share every band key, so the (0,1) pair is always
+    # a candidate: at least one hit, and counts are mutually consistent
+    assert 1 <= row["n_hit"] <= min(row["n_true"], row["n_cand"])
+    assert row["recall"] == round(row["n_hit"] / row["n_true"], 6)
+    assert row["cand_precision"] == round(row["n_hit"] / row["n_cand"], 6)
+
+
+def test_lsh_recall_eval_bucket_cap_costs_recall(spark):
+    """max_bucket=1 drops every band bucket holding ≥2 docs — including
+    the identical pair's — so the candidate stage goes empty: recall 0,
+    precision NULL (0/0), while the truth count is unaffected."""
+    from epstein_browser_spark import dedup
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(_EVAL_DOCS), "text": list(_EVAL_DOCS.values())})
+    row = dedup.lsh_recall_eval(
+        spark.createDataFrame(pdf), n_perms=16, n_bands=4, shingle=5,
+        threshold=0.5, max_bucket=1,
+    ).toPandas().iloc[0]
+    assert row["n_true"] == len(_py_true_pairs(_EVAL_DOCS))
+    assert row["n_cand"] == 0 and row["n_hit"] == 0
+    assert row["recall"] == 0.0
+    assert pd.isna(row["cand_precision"])

@@ -106,6 +106,20 @@ SHOWCASE = {
         "join); V and the corpus mean are scalar aggregates broadcast "
         "back — no single-partition exchange."
     ),
+    "q87_nb_select": (
+        "NB quality selection: the 1024-row trained ratio table is a "
+        "BroadcastHashJoin onto the corpus features (class counts and "
+        "totals reduce via partial aggregation first), and the global "
+        "top-100 compiles to TakeOrderedAndProject — per-partition "
+        "heaps, no full sort."
+    ),
+    "q88_lsh_recall": (
+        "LSH recall telemetry: candidate and truth stages are both "
+        "equi-joins (band key / shared shingle — no cartesian anywhere "
+        "despite all-pairs ground-truth semantics); the one-row metrics "
+        "reduce is a partial aggregate per partition before the final "
+        "exchange."
+    ),
 }
 
 
