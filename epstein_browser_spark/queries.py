@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from epstein_browser_spark import dedup, merge, similarity, textstats
+from epstein_browser_spark import convstats, dedup, merge, similarity, textstats
 from epstein_browser_spark.core.quality import (
     classify_low_quality_batch,
     quality_score_batch,
@@ -3713,6 +3713,335 @@ FROM u
 
 
 # ---------------------------------------------------------------------------
+# agent-transcript analytics (convstats) + encoding repair + DSIR selection
+# ---------------------------------------------------------------------------
+
+def _derived_agent_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-transcript-shaped input (the north-rule input_hint schema with
+    a NON-constant role/tool/ts derivation, unlike _derived_transcripts):
+    turn 0 is the system prompt, doc_id%7==3 turns are tool results (with
+    a deterministic tool name and an 'error: ' prefix on the %11==0
+    slice), odd turns are user, the rest assistant; ts advances one
+    minute per doc_id. Every column derives from doc_id with plain
+    arithmetic so the oracle reproduces it in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    turn_idx = F.floor(F.col("doc_id") / 50).cast("int")
+    role = (
+        F.when(turn_idx == 0, "system")
+        .when(F.pmod("doc_id", F.lit(7)) == 3, "tool")
+        .when(F.pmod(turn_idx, F.lit(2)) == 1, "user")
+        .otherwise("assistant")
+    )
+    tool = F.when(
+        role == "tool",
+        F.element_at(
+            F.array(F.lit("search"), F.lit("browser"), F.lit("python")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    text = F.when(
+        (role == "tool") & (F.pmod("doc_id", F.lit(11)) == 0),
+        F.concat(F.lit("error: "), F.col("text")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        F.concat(F.lit("c"), F.pmod("doc_id", F.lit(50)).cast("string"))
+        .alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(doc_id AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+
+
+_AGENT_TR_CTE = """
+tr AS (
+  SELECT 'c' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx,
+         CASE WHEN doc_id // 50 = 0 THEN 'system'
+              WHEN doc_id % 7 = 3 THEN 'tool'
+              WHEN (doc_id // 50) % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role,
+         CASE WHEN doc_id // 50 <> 0 AND doc_id % 7 = 3
+                   AND doc_id % 11 = 0
+              THEN 'error: ' || text ELSE text END AS text,
+         CASE WHEN doc_id // 50 <> 0 AND doc_id % 7 = 3
+              THEN ['search', 'browser', 'python']
+                   [CAST(doc_id % 3 AS INT) + 1]
+              END AS tool,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+  FROM documents)
+"""
+
+
+def q89_role_transitions(spark, sf_dir):
+    """Conversation-flow bigram matrix (convstats.role_transitions): the
+    role→role transition census a dialog-training pipeline validates
+    corpus well-formedness with (every conversation enters from the
+    synthetic 'start' role). Transcript analog of the reference's
+    grouped analytics censuses (/root/reference/app.py:515-566). One
+    conv-keyed window shuffle + a partial-agg groupBy bounded by
+    |roles|²."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.role_transitions(tr)
+
+
+_Q89_SQL = f"""
+WITH {_AGENT_TR_CTE},
+l AS (SELECT conv_id,
+             coalesce(lag(role) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx), 'start')
+               AS prev_role,
+             role
+      FROM tr)
+SELECT prev_role, role,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM l GROUP BY prev_role, role
+"""
+
+
+def q90_tool_census(spark, sf_dir):
+    """Per-tool usage census (convstats.tool_census) over the tool-result
+    turns: call/conversation counts, mean result length, error rate —
+    the tool-health rollup of an agent-transcript corpus (transcript
+    analog of the reference's popular-searches census,
+    /root/reference/app.py:557-566). Role filter prunes before the one
+    partial-agg shuffle; output bounded by the tool vocabulary."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.tool_census(tr)
+
+
+_Q90_SQL = f"""
+WITH {_AGENT_TR_CTE}
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(avg(length(text)), 4) AS avg_result_chars,
+       round(avg(CASE WHEN contains(lower(text), 'error:')
+                      THEN 1.0 ELSE 0.0 END), 6) AS error_rate
+FROM tr WHERE role = 'tool'
+GROUP BY tool
+"""
+
+
+def q91_conv_profile(spark, sf_dir):
+    """Per-conversation profile (convstats.conv_profile): turn counts by
+    role, tool diversity, assistant verbosity, wall-clock span,
+    well-formedness flags — the row a curation gate keeps or drops whole
+    dialogs by (transcript analog of the reference's per-volume
+    breakdown, /root/reference/app.py:886-915). A single partial-agg
+    groupBy on the conversation key."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.conv_profile(tr)
+
+
+_Q91_SQL = f"""
+WITH {_AGENT_TR_CTE}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_calls,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+                     ELSE 0 END) AS BIGINT) AS assistant_chars,
+       CAST(epoch(max(ts) - min(ts)) AS BIGINT) AS span_seconds,
+       max(role = 'system') AS has_system,
+       max(role = 'assistant') AS has_assistant
+FROM tr GROUP BY conv_id
+"""
+
+
+_MOJIBAKE_BAD = {good: bad for bad, good in textstats.MOJIBAKE_FIXES}
+_MOJI_SUFFIX = (
+    f" {_MOJIBAKE_BAD['—']} broken {_MOJIBAKE_BAD['’']}quote"
+    f"{_MOJIBAKE_BAD['’']}"
+)
+_MOJI_PREFIX = _MOJIBAKE_BAD["ü"] + "ber "
+
+
+def q92_mojibake_repair(spark, sf_dir):
+    """Encoding-repair census (textstats.fix_mojibake /
+    mojibake_census): the ftfy-style UTF-8-read-as-cp1252 cleanup step
+    every web-scale text pipeline runs before quality scoring (CCNet's
+    normalization stage). Corruption is PLANTED deterministically by
+    doc_id%4 — an appended mojibake em-dash/quote suffix, a full
+    e→'Ã©' substitution, a mojibake 'über' prefix — so both engines
+    see identical inputs and the repair chain (a JVM replace chain
+    inside whole-stage codegen, no Python, no regex) is value-checked
+    end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(4))
+    corrupted = (
+        F.when(m == 1, F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)))
+        .when(m == 2, F.replace(F.col("text"), F.lit("e"),
+                                F.lit(_MOJIBAKE_BAD["é"])))
+        .when(m == 3, F.concat(F.lit(_MOJI_PREFIX), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    planted = d.select("doc_id", corrupted.alias("text"))
+    return textstats.mojibake_census(planted).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q92_sql() -> str:
+    chain = "text"
+    for bad, good in textstats.MOJIBAKE_FIXES:
+        chain = f"replace({chain}, '{bad}', '{good}')"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 1 THEN text || '{_MOJI_SUFFIX}'
+           WHEN 2 THEN replace(text, 'e', '{_MOJIBAKE_BAD["é"]}')
+           WHEN 3 THEN '{_MOJI_PREFIX}' || text
+           ELSE text END AS text
+  FROM documents),
+f AS (SELECT doc_id, text, {chain} AS fixed FROM c)
+SELECT doc_id,
+       (length(text) > length(fixed)) AS was_mojibake,
+       CAST(length(text) AS BIGINT) AS chars_before,
+       CAST(length(fixed) AS BIGINT) AS chars_after
+FROM f
+"""
+
+
+def q93_dsir_select(spark, sf_dir):
+    """DSIR Gumbel top-k selection (textstats.dsir_select): the
+    importance-RESAMPLING step on top of q79's weights — top-100 by
+    ``log_weight + deterministic hash Gumbel`` (sampling ∝ exp(weight)
+    without replacement), target = the English slice. The ranking key
+    is an exact integer micro-nat sum with doc_id tie-break; the top-k
+    plans as TakeOrderedAndProject (no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.dsir_select(d, d.filter(F.col("lang") == "en"),
+                                k=100, seed="sel0")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _q93_sql(k: int = 100, seed: str = "sel0") -> str:
+    draw = _md5_int_sql(f"'{seed}:' || CAST(doc_id AS VARCHAR)", 5)
+    u = f"(({draw}) + 0.5) / 1048576.0"
+    return f"""
+WITH w AS ({_q79_sql()}),
+g AS (SELECT doc_id, log_weight,
+             CAST(round(log_weight * 1000000.0) AS BIGINT)
+           + CAST(round(-ln(-ln({u})) * 1000000.0) AS BIGINT)
+             AS score_micro
+      FROM w)
+SELECT doc_id, log_weight, score_micro
+FROM g ORDER BY score_micro DESC, doc_id LIMIT {k}
+"""
+
+
+def q94_conv_packing(spark, sf_dir):
+    """Conversation-ATOMIC sequence packing
+    (convstats.pack_conversations): whole dialogs assigned to
+    2048-token training sequences — the fine-tuning counterpart of
+    q59's GPT concat-and-chunk, where a dialog must never straddle a
+    sequence boundary. Same sharded running-sum machinery (md5 shard
+    here so the whole assignment is value-oracled; production uses the
+    default xxhash64 shard)."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("conv_id")), 1, 4), 16, 10)
+        .cast("int"),
+        F.lit(8),
+    )
+    return convstats.pack_conversations(tr, budget=2048, shard_col=shard,
+                                        n_shards=8)
+
+
+_Q94_SHARD = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(conv_id), {i + 1}, 1))"
+    f" - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_Q94_SQL = f"""
+WITH {_AGENT_TR_CTE},
+ct AS (
+  SELECT conv_id,
+         CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM tr GROUP BY conv_id),
+s AS (SELECT conv_id, n_tokens,
+             CAST(({_Q94_SHARD}) % 8 AS INT) AS shard
+      FROM ct)
+SELECT conv_id, n_tokens, shard,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 2048.0) AS BIGINT) AS seq_in_shard
+FROM s
+"""
+
+
+def q95_sft_pairs(spark, sf_dir):
+    """SFT example builder (convstats.sft_pairs): every assistant turn
+    paired with its last-4-turn context rendered as 'role: text' lines —
+    the exporter that turns a transcript corpus into supervised training
+    pairs. Emits context/target lengths + md5s (the q54 pattern: the
+    assembly is value-checked without shipping the assembled strings).
+    Bounded window frame keeps per-row work O(k·turn_chars)."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.sft_pairs(tr, k_context=4)
+
+
+_Q95_SQL = f"""
+WITH {_AGENT_TR_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM tr)
+SELECT conv_id, turn_idx,
+       CAST(length(ctx) AS BIGINT) AS n_context_chars,
+       md5(ctx) AS context_md5,
+       CAST(length(text) AS BIGINT) AS n_target_chars,
+       md5(text) AS target_md5
+FROM c WHERE role = 'assistant' AND ctx IS NOT NULL
+"""
+
+
+def q96_context_budget(spark, sf_dir):
+    """Context-window trimming (convstats.context_budget_suffix): the
+    maximal suffix of each conversation's turns whose whitespace-token
+    total fits a 512-token budget — what an example builder does when a
+    dialog outgrows the model context. One reverse-ordered window over
+    the conversation key; no second pass, no per-conv collect."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.context_budget_suffix(tr, budget=512)
+
+
+_Q96_SQL = f"""
+WITH {_AGENT_TR_CTE},
+t AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM tr)
+SELECT conv_id, turn_idx, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS rev_cum_tokens,
+       (sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                            ROWS UNBOUNDED PRECEDING) <= 512) AS keep
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 #
 # ORDERING IS DELIBERATE, not numeric: the round driver's correctness gate
@@ -3728,6 +4057,14 @@ FROM u
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q89_role_transitions": (q89_role_transitions, _Q89_SQL),
+    "q90_tool_census": (q90_tool_census, _Q90_SQL),
+    "q91_conv_profile": (q91_conv_profile, _Q91_SQL),
+    "q92_mojibake_repair": (q92_mojibake_repair, _q92_sql()),
+    "q93_dsir_select": (q93_dsir_select, _q93_sql()),
+    "q94_conv_packing": (q94_conv_packing, _Q94_SQL),
+    "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
+    "q96_context_budget": (q96_context_budget, _Q96_SQL),
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
@@ -3745,10 +4082,6 @@ QUERIES: dict[str, tuple] = {
     "q52_length_quantiles_approx": (q52_length_quantiles_approx, _Q52_SQL),
     "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
-    "q55_quality_rules": (q55_quality_rules, _q55_sql()),
-    "q56_url_domains": (q56_url_domains, _q56_sql()),
-    "q57_decontamination": (q57_decontamination, _Q57_SQL),
-    "q58_vocab_stats": (q58_vocab_stats, _Q58_SQL),
     "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
     "q60_bm25_rank": (q60_bm25_rank, _Q60_SQL),
     "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
@@ -3769,20 +4102,32 @@ QUERIES: dict[str, tuple] = {
     "q76_conv_neardup": (q76_conv_neardup, _q76_sql()),
     # --- core extraction / quality / dedup / ANN families ---
     "q20_minhash_pairs": (q20_minhash_pairs, None),
-    "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
-    "q32_text_preference": (q32_text_preference, _Q32_SQL),
-    "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
     "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
     "q39_search_page": (q39_search_page, _Q39_SQL),
-    "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
     # ------------- 50-row driver window ends here -------------
     # --- long-green rows rotated out for the r5 debuts (driver-green
     # r1-r4; still pinned per-query by tests/test_queries_oracle.py).
+    # q27/q32/q37/q40/q55/q56/q57/q58 rotated out late-r5 for q89-q96:
+    # q27's merge/dedup-classify family stays in-window via q42/q43,
+    # q32's corrected-text preference via the q28/q29 extraction pair,
+    # q37's exact-cosine baseline via its q38 LSH twin, q40's reprocess
+    # queue via the pipeline tests, q55/q56's per-doc column-expression
+    # family via q54 (in-window), q57's decontamination via its newer
+    # q85 containment twin, and q58's vocab census via its q77 TF-IDF
+    # twin — all still pinned per-query by tests/test_queries_oracle.py. ---
+    "q27_merge_classify": (q27_merge_classify, _Q27_SQL),
+    "q32_text_preference": (q32_text_preference, _Q32_SQL),
+    "q37_cosine_pairs": (q37_cosine_pairs, _Q37_SQL),
+    "q40_failures_queue": (q40_failures_queue, _Q40_SQL),
+    "q55_quality_rules": (q55_quality_rules, _q55_sql()),
+    "q56_url_domains": (q56_url_domains, _q56_sql()),
+    "q57_decontamination": (q57_decontamination, _Q57_SQL),
+    "q58_vocab_stats": (q58_vocab_stats, _Q58_SQL),
     # q25/q48/q49 rotated out mid-r5 for q82-q84 (their newer in-window
     # twins — q51 langid-ngram, q53 multiprobe, q67 ivf-pq — cover the
     # same families); q44/q45 rotated out for q85/q86 (q44 sessions is

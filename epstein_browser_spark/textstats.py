@@ -969,3 +969,104 @@ def nb_quality_scores(corpus: DataFrame, labeled: DataFrame,
              / F.lit(1000000.0)).alias("nb_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding repair (ftfy-style mojibake) + DSIR selection
+# ---------------------------------------------------------------------------
+
+def _sloppy_cp1252(b: bytes) -> str:
+    """Decode bytes as windows-1252 with latin-1 fallthrough for the five
+    undefined cp1252 slots — exactly how UTF-8 text gets mangled when a
+    scraper misdeclares the charset (ftfy's "sloppy-windows-1252")."""
+    out = []
+    for x in b:
+        try:
+            out.append(bytes([x]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(x))
+    return "".join(out)
+
+
+# (mojibake sequence, intended character): the UTF-8 bytes of each target
+# char re-decoded as sloppy cp1252. Longest (3-byte) sequences first so a
+# later 2-byte fix can never split an unfixed 3-byte one.
+MOJIBAKE_FIXES: list[tuple[str, str]] = [
+    (_sloppy_cp1252(ch.encode("utf-8")), ch)
+    for ch in "’“”–—"  # ’ “ ” – —
+] + [
+    (_sloppy_cp1252(ch.encode("utf-8")), ch)
+    for ch in "éèêüöäñçà"
+]
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the classic UTF-8-read-as-cp1252 double-encoding artifacts
+    (ftfy's core fix, the CCNet/C4 encoding-cleanup step) as a chain of
+    JVM ``replace`` calls — whole-stage-codegen'd, no Python, no regex
+    backtracking. Idempotent: no repaired character re-encodes to a
+    sequence the chain matches (pinned by test)."""
+    for bad, good in MOJIBAKE_FIXES:
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def mojibake_census(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, was_mojibake, chars_before, chars_after) — per-doc encoding
+    repair report: flag + codepoint counts around :func:`fix_mojibake`
+    (every fix strictly shrinks the text, so ``chars_before >
+    chars_after`` iff a fix applied). Pure column expressions; the scan
+    prunes to (id, text)."""
+    fixed = fix_mojibake(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        (F.length(text_col) > F.length(fixed)).alias("was_mojibake"),
+        F.length(text_col).cast("long").alias("chars_before"),
+        F.length(fixed).cast("long").alias("chars_after"),
+    )
+
+
+def dsir_select(corpus: DataFrame, target: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                k: int = 100, n_buckets: int = 1024,
+                seed: str = "sel0") -> DataFrame:
+    """Gumbel top-k importance resampling — the SELECTION step DSIR (Xie
+    et al. NeurIPS'23 §3) runs on top of :func:`dsir_logweights`: sampling
+    k docs without replacement ∝ exp(log_weight) is exactly taking the
+    top k by ``log_weight + Gumbel noise``. The noise here is a
+    DETERMINISTIC hash draw — ``u = (md5(seed:id)₅ + 0.5) / 16⁵`` (a
+    dyadic rational, exact in double), ``g = −ln(−ln u)`` — so the epoch
+    selection is reproducible data, re-drawable with a new ``seed``
+    (the q83 shard-shuffle lesson applied to sampling).
+
+    Determinism across engines: the Gumbel quantizes to integer
+    micro-nats like the weights themselves, and the ranking key is the
+    exact integer sum ``score_micro = lw_micro + g_micro`` with ``id``
+    as the final tie-break. The only divergence window is a 1-ulp libm
+    ``ln`` difference at a .5-micro-nat rounding boundary (~1e-10 per
+    draw — the documented q79 residual).
+
+    Scale shape: weights are the dsir_logweights plan (bounded broadcast
+    ratio table, partial-agg sums); the draw is one md5 per row; the
+    top-k plans as TakeOrderedAndProject — no global sort, k rows to the
+    driver's successor stage."""
+    lw = dsir_logweights(corpus, target, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets)
+    # exact integer micro-nats back out of the correctly-rounded double
+    lw_micro = F.round(F.col("log_weight") * 1000000.0, 0).cast("long")
+    u = (
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"),
+                               F.col("id").cast("string"))), 1, 5),
+            16, 10).cast("long").cast("double") + F.lit(0.5))
+        / F.lit(float(16 ** 5))
+    )
+    g_micro = F.round(-F.log(-F.log(u)) * 1000000.0, 0).cast("long")
+    scored = lw.select(
+        "id",
+        "log_weight",
+        (lw_micro + g_micro).alias("score_micro"),
+    )
+    return scored.orderBy(F.desc("score_micro"), F.asc("id")).limit(k)
