@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from epstein_browser_spark import textstats
+
 START_ROLE = "start"  # synthetic prev_role for each conversation's first turn
 
 
@@ -64,6 +66,7 @@ def role_transitions(
 
 def tool_census(
     df: DataFrame,
+    conv_col: str = "conv_id",
     role_col: str = "role",
     tool_col: str = "tool",
     text_col: str = "text",
@@ -73,15 +76,20 @@ def tool_census(
     usage census over the tool-result turns (``role='tool'``): call and
     conversation counts, mean result length, and the fraction of results
     whose text carries ``error_marker`` (case-insensitive prefix-anywhere
-    match, the cheap JVM `contains`).
+    match, the cheap JVM `contains`; a NULL result counts as non-error,
+    so the rate's denominator is ALL calls — the SQL `CASE ... ELSE 0`
+    semantics).
 
     Scale shape: the role filter prunes before the shuffle; one
     partial-agg groupBy bounded by the tool vocabulary (dozens)."""
     calls = df.filter(F.col(role_col) == "tool").select(
         F.col(tool_col).alias("tool"),
-        F.col("conv_id"),
+        F.col(conv_col).alias("conv_id"),
         F.length(text_col).alias("n_chars"),
-        F.lower(F.col(text_col)).contains(error_marker).alias("is_error"),
+        F.coalesce(
+            F.lower(F.col(text_col)).contains(error_marker.lower()),
+            F.lit(False),
+        ).alias("is_error"),
     )
     return (
         calls.groupBy("tool")
@@ -142,7 +150,8 @@ def conv_profile(
                 (F.col(role_col) == "assistant").cast("int")
             ).cast("boolean").alias("has_assistant"),
         )
-        .orderBy("conv_id")
+        # no orderBy: this is the one corpus-sized output here, and an
+        # ordering would add a full range-shuffle no consumer needs
     )
 
 
@@ -162,8 +171,6 @@ def pack_conversations(
     sharded running-sum assignment so no task ever sorts the corpus.
 
     Returns (conv_id, n_tokens, shard, cum_tokens, seq_in_shard)."""
-    from epstein_browser_spark import textstats
-
     conv_toks = df.groupBy(F.col(conv_col).alias("conv_id")).agg(
         F.sum(textstats.token_count(F.col(text_col)))
         .cast("long")
@@ -250,8 +257,6 @@ def context_budget_suffix(
     serving stack does when a dialog outgrows the model's context). The
     reverse running sum is one window over the conversation key ordered
     by ``turn_idx`` DESC — no second pass, no per-conv collect."""
-    from epstein_browser_spark import textstats
-
     w = (
         Window.partitionBy(conv_col)
         .orderBy(F.col(idx_col).desc())

@@ -3960,11 +3960,7 @@ def q94_conv_packing(spark, sf_dir):
                                         n_shards=8)
 
 
-_Q94_SHARD = " + ".join(
-    f"(strpos('0123456789abcdef', substring(md5(conv_id), {i + 1}, 1))"
-    f" - 1) * {16 ** (3 - i)}"
-    for i in range(4)
-)
+_Q94_SHARD = _md5_int_sql("conv_id", 4)
 _Q94_SQL = f"""
 WITH {_AGENT_TR_CTE},
 ct AS (

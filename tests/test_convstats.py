@@ -176,3 +176,22 @@ def test_context_budget_suffix_maximal(spark):
     assert out[2].rev_cum_tokens == 300
     assert out[1].rev_cum_tokens == 500
     assert out[0].rev_cum_tokens == 800
+
+
+def test_tool_census_null_text_and_marker_case(spark):
+    """NULL tool results count as non-error with the full-call denominator
+    (SQL CASE ELSE 0 semantics), the marker matches case-insensitively in
+    both directions, and the conversation key is parameterizable."""
+    rows = [
+        ("a", "tool", "grep", "ERROR: boom"),
+        ("a", "tool", "grep", None),
+        ("b", "tool", "grep", "fine"),
+        ("b", "user", None, "not a call"),
+    ]
+    df = spark.createDataFrame(rows, ["sess", "role", "tool", "text"])
+    out = {r.tool: r
+           for r in convstats.tool_census(
+               df, conv_col="sess", error_marker="Error:").collect()}
+    g = out["grep"]
+    assert g.n_calls == 3 and g.n_convs == 2
+    assert g.error_rate == round(1 / 3, 6)  # NULL counts in the denominator
