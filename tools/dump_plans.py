@@ -120,6 +120,41 @@ SHOWCASE = {
         "reduce is a partial aggregate per partition before the final "
         "exchange."
     ),
+    "q89_role_transitions": (
+        "Role-transition matrix: ONE exchange on the conversation key "
+        "feeds the lag window (partitioned windowspecdefinition — never "
+        "a global window), then the bigram census is a partial "
+        "aggregate whose output is bounded by |roles|²."
+    ),
+    "q91_conv_profile": (
+        "Per-conversation profile: every per-role count is a "
+        "conditional aggregate inside ONE HashAggregate pair on the "
+        "conversation key — the corpus is scanned once and shuffled "
+        "once; no orderBy, no second exchange."
+    ),
+    "q92_mojibake_repair": (
+        "Encoding repair: the whole replace chain (plant + fix, a "
+        "dozen string replaces) stays inside a single "
+        "WholeStageCodegen over the scan — zero exchanges, zero "
+        "Python; ReadSchema prunes to (doc_id, text)."
+    ),
+    "q93_dsir_select": (
+        "DSIR Gumbel selection: the bounded log-ratio table broadcasts "
+        "onto the corpus features (BroadcastHashJoin), per-doc sums are "
+        "partial aggregates, and the global top-100 compiles to "
+        "TakeOrderedAndProject — per-partition heaps, no full sort."
+    ),
+    "q95_sft_pairs": (
+        "SFT pair assembly: one exchange on the conversation key, a "
+        "BOUNDED window frame (ROWS 4 PRECEDING..1 PRECEDING) so "
+        "per-row state is O(k), and the md5/length projection keeps "
+        "the output row-bounded."
+    ),
+    "q96_context_budget": (
+        "Context-window trimming: the reverse running sum is one "
+        "partitioned window (conversation key, turn_idx DESC) — no "
+        "second pass, no per-conversation collect, no global sort."
+    ),
 }
 
 
