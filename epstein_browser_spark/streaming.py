@@ -205,6 +205,33 @@ def session_counts_stream(events_stream: DataFrame,
     )
 
 
+def tool_census_stream(transcripts_stream: DataFrame,
+                       error_marker: str = "error:",
+                       watermark: str = "2 hours") -> DataFrame:
+    """convstats.tool_census as a live stream: per-tool per-hour call and
+    error counters over the transcript stream — the tool-health monitor
+    of an agent platform (watermarked tumbling window; late tool results
+    beyond the watermark drop). Same error semantics as the batch census
+    (case-insensitive marker, NULL results count as non-error), so the
+    parity test pins stream == the identical batch expression. State is
+    bounded by |tools| × open windows, not stream history."""
+    calls = transcripts_stream.filter(F.col("role") == "tool")
+    is_error = F.coalesce(
+        F.lower(F.col("text")).contains(error_marker.lower()),
+        F.lit(False),
+    )
+    return (
+        calls.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tool")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum(is_error.cast("int")).alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "tool", "n_calls", "n_errors")
+    )
+
+
 def attribution_stream(events_stream: DataFrame,
                        attribution_window: str = "1 hour",
                        watermark: str = "2 hours") -> DataFrame:

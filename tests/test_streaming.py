@@ -587,3 +587,72 @@ def test_dedup_stream_keeps_failed_and_empty_rows(spark, tmp_path):
     # both failed/empty turns kept; the meaningful duplicate collapsed
     assert ("a", 0) in keys and ("a", 1) in keys
     assert len([k for k in keys if k in (("a", 2), ("b", 0))]) == 1
+
+
+def test_stream_tool_census_equals_batch(spark, tmp_path):
+    """tool_census_stream (watermarked hourly tool-health counters) over a
+    finite file stream equals the identical batch expression, with the
+    batch convstats.tool_census error semantics (case-insensitive marker,
+    NULL result = non-error)."""
+    import pandas as pd
+
+    from epstein_browser_spark.streaming import tool_census_stream
+
+    # 'zzz' at a far-future ts is the watermark sentinel (see the
+    # sessionization test): append mode only emits closed windows
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "zz"],
+            "turn_idx": pd.array([1, 2, 1, 2, 1, 1], dtype="int32"),
+            "role": ["tool", "tool", "tool", "user", "tool", "tool"],
+            "text": ["ERROR: boom", None, "ok", "error: not a call", "fine",
+                     "sentinel"],
+            "tool": ["grep", "grep", "web", "ignored", "web", "zzz"],
+            "ts": pd.to_datetime([
+                "2024-01-01 00:05:00", "2024-01-01 00:15:00",
+                "2024-01-01 00:25:00", "2024-01-01 00:35:00",
+                "2024-01-01 01:10:00",
+                "2024-01-02 00:00:00",
+            ]),
+        }
+    )
+    in_dir = str(tmp_path / "tr")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream
+        .schema("conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp")
+        .parquet(in_dir)
+    )
+    q = (
+        tool_census_stream(stream)
+        .writeStream.format("memory").queryName("toolcensus_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM toolcensus_t WHERE tool != 'zzz' "
+        "ORDER BY window_start, tool"
+    ).toPandas()
+    from pyspark.sql import functions as F
+    exp = (
+        spark.read.parquet(in_dir)
+        .filter((F.col("role") == "tool") & (F.col("tool") != "zzz"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tool")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum(
+                F.coalesce(F.lower(F.col("text")).contains("error:"),
+                           F.lit(False)).cast("int")
+            ).alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("window_start"), "tool",
+                "n_calls", "n_errors")
+        .orderBy("window_start", "tool")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the user-row 'error:' text is NOT a tool result and must not count
+    g = got.set_index("tool")
+    assert int(g.loc["grep", "n_errors"]) == 1  # ERROR: boom; NULL is clean
