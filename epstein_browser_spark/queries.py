@@ -4037,6 +4037,73 @@ FROM t
 """
 
 
+def q97_mixture_alpha(spark, sf_dir):
+    """α-sampling mixture reweighting (the XLM-R / PaLM multilingual
+    policy): per-source sampling weights ∝ share^α (α=0.3) so
+    low-resource sources are upsampled relative to their token share,
+    plus the expected epochs over each source for a 1M-token budget —
+    the numbers a mixture config is written from (composes with q69's
+    mixture report and q61's stratified sampler).
+
+    Cross-engine determinism: p^α quantizes to integer nano-units so the
+    normalizer is an exact integer sum (no float summation order); the
+    final weights divide exact integers (correctly-rounded doubles both
+    engines agree on). Scale shape: one partial-agg groupBy to ≤|sources|
+    rows, two broadcast scalars — nothing corpus-sized past the first
+    aggregate."""
+    alpha = 0.3
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(textstats.token_count(F.col("text")))
+        .cast("long").alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    w = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_tokens") / F.col("_tot"))
+        .withColumn(
+            "_w_nano",
+            F.round(F.pow("share", F.lit(alpha)) * 1e9, 0).cast("long"),
+        )
+    )
+    wsum = w.agg(F.sum("_w_nano").alias("_wsum"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round(F.col("_w_nano") / F.col("_wsum"), 6)
+            .alias("alpha_weight"),
+            F.round(
+                F.col("_w_nano") / F.col("_wsum") * 1000000.0
+                / F.col("n_tokens"), 6
+            ).alias("epochs_at_1m"),
+        )
+    )
+
+
+_Q97_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+w AS (SELECT lang, n_tokens,
+             CAST(n_tokens AS DOUBLE) / t AS share,
+             CAST(round(pow(CAST(n_tokens AS DOUBLE) / t, 0.3)
+                        * 1000000000.0) AS BIGINT) AS w_nano
+      FROM per CROSS JOIN tot),
+ws AS (SELECT CAST(sum(w_nano) AS BIGINT) AS s FROM w)
+SELECT lang, n_tokens, round(share, 6) AS share,
+       round(CAST(w_nano AS DOUBLE) / s, 6) AS alpha_weight,
+       round(CAST(w_nano AS DOUBLE) / s * 1000000.0 / n_tokens, 6)
+         AS epochs_at_1m
+FROM w CROSS JOIN ws
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4061,6 +4128,7 @@ QUERIES: dict[str, tuple] = {
     "q94_conv_packing": (q94_conv_packing, _Q94_SQL),
     "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
     "q96_context_budget": (q96_context_budget, _Q96_SQL),
+    "q97_mixture_alpha": (q97_mixture_alpha, _Q97_SQL),
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
@@ -4079,7 +4147,6 @@ QUERIES: dict[str, tuple] = {
     "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
     "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
-    "q60_bm25_rank": (q60_bm25_rank, _Q60_SQL),
     "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
     "q63_range_join": (q63_range_join, _Q63_SQL),
@@ -4108,7 +4175,9 @@ QUERIES: dict[str, tuple] = {
     # ------------- 50-row driver window ends here -------------
     # --- long-green rows rotated out for the r5 debuts (driver-green
     # r1-r4; still pinned per-query by tests/test_queries_oracle.py).
-    # q27/q32/q37/q40/q55/q56/q57/q58 rotated out late-r5 for q89-q96:
+    # q27/q32/q37/q40/q55/q56/q57/q58 rotated out late-r5 for q89-q96,
+    # q60 for q97 (its explode/broadcast ranking family stays in-window
+    # via the q77 TF-IDF twin):
     # q27's merge/dedup-classify family stays in-window via q42/q43,
     # q32's corrected-text preference via the q28/q29 extraction pair,
     # q37's exact-cosine baseline via its q38 LSH twin, q40's reprocess
@@ -4124,6 +4193,7 @@ QUERIES: dict[str, tuple] = {
     "q56_url_domains": (q56_url_domains, _q56_sql()),
     "q57_decontamination": (q57_decontamination, _Q57_SQL),
     "q58_vocab_stats": (q58_vocab_stats, _Q58_SQL),
+    "q60_bm25_rank": (q60_bm25_rank, _Q60_SQL),
     # q25/q48/q49 rotated out mid-r5 for q82-q84 (their newer in-window
     # twins — q51 langid-ngram, q53 multiprobe, q67 ivf-pq — cover the
     # same families); q44/q45 rotated out for q85/q86 (q44 sessions is
