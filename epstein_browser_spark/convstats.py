@@ -276,3 +276,101 @@ def context_budget_suffix(
         rev_cum.cast("long").alias("rev_cum_tokens"),
         (rev_cum <= budget).alias("keep"),
     )
+
+
+def self_repetition(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+) -> DataFrame:
+    """(conv_id, turn_idx, prev_turn_idx, n_common_words, jaccard) —
+    consecutive same-role turn similarity: for every ``role`` turn that
+    has an earlier ``role`` turn in the same conversation, the distinct-
+    word Jaccard against that previous turn. The agent-transcript "model
+    is repeating itself" detector (high consecutive-assistant-turn
+    overlap is the dialog analog of the reference's within-document
+    repetition flags, /root/reference/helpers/error_detection.py:64-93)
+    — a curation gate drops or down-weights loops this surfaces.
+
+    Scale shape: the role filter prunes before the shuffle, one window
+    on the conversation key for ``lag``, then pure JVM array set ops
+    (array_intersect/array_union on per-turn distinct word arrays) — no
+    self-join, no UDF, output ≤ one row per kept turn."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = df.filter(F.col(role_col) == role).select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.array_distinct(textstats.tokens(F.col(text_col))).alias("_w"),
+    )
+    lagged = toks.select(
+        "conv_id",
+        "turn_idx",
+        F.lag("turn_idx").over(w).alias("prev_turn_idx"),
+        "_w",
+        F.lag("_w").over(w).alias("_pw"),
+    ).filter(F.col("prev_turn_idx").isNotNull())
+    inter = F.size(F.array_intersect("_w", "_pw"))
+    union = F.size(F.array_union("_w", "_pw"))
+    return lagged.select(
+        "conv_id",
+        "turn_idx",
+        "prev_turn_idx",
+        inter.cast("long").alias("n_common_words"),
+        F.when(union > 0, F.round(inter / union, 6))
+        .otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def tool_grounding(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, turn_idx, n_words, n_grounded, grounding) — for every
+    assistant turn preceded by a tool result in its conversation, the
+    fraction of the turn's distinct words that appear in the MOST RECENT
+    tool result: the cheap faithfulness/grounding proxy a RAG- or
+    agent-transcript curation pipeline scores responses with (a
+    grounded answer reuses the evidence's vocabulary; a hallucinated
+    one doesn't). Assistant turns with no preceding tool result are out
+    of scope (no row), mirroring q95's ctx IS NOT NULL convention.
+
+    Scale shape: one window on the conversation key carries the last
+    tool text forward (``last(..., ignorenulls)`` over an unbounded-
+    preceding row frame — assistant rows are never ``role='tool'``, so
+    including the current row is safe), then JVM array set ops per row.
+    No join: the carry is O(turns) state inside the one shuffle the
+    table is already laid out for."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.array_distinct(textstats.tokens(F.col(text_col))).alias("_w"),
+        F.last(
+            F.when(F.col(role_col) == "tool", F.col(text_col)),
+            ignorenulls=True,
+        ).over(w).alias("_tool_text"),
+    ).filter(
+        (F.col("role") == "assistant") & F.col("_tool_text").isNotNull()
+    )
+    tw = F.array_distinct(textstats.tokens(F.col("_tool_text")))
+    n_words = F.size("_w")
+    n_grounded = F.size(F.array_intersect(F.col("_w"), tw))
+    return carried.select(
+        "conv_id",
+        "turn_idx",
+        n_words.cast("long").alias("n_words"),
+        n_grounded.cast("long").alias("n_grounded"),
+        F.when(n_words > 0, F.round(n_grounded / n_words, 6))
+        .otherwise(F.lit(0.0)).alias("grounding"),
+    )

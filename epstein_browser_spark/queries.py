@@ -4104,6 +4104,88 @@ FROM w CROSS JOIN ws
 """
 
 
+def q98_self_repetition(spark, sf_dir):
+    """Consecutive assistant-turn self-repetition
+    (convstats.self_repetition): distinct-word Jaccard between each
+    assistant turn and the previous assistant turn in its conversation —
+    the "model is looping / repeating itself" detector an
+    agent-transcript curation gate drops dialogs by (the dialog analog
+    of q64's within-document repetition signals). Role filter prunes
+    before the one conv-keyed window shuffle; pure JVM array set ops,
+    no self-join, no UDF."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.self_repetition(tr)
+
+
+_Q98_SQL = f"""
+WITH {_AGENT_TR_CTE},
+a AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '')) AS w
+  FROM tr WHERE role = 'assistant'),
+l AS (
+  SELECT conv_id, turn_idx,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_turn_idx,
+         w,
+         lag(w) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pw
+  FROM a),
+m AS (
+  SELECT conv_id, turn_idx, prev_turn_idx,
+         len(list_filter(w, x -> list_contains(pw, x))) AS n_inter,
+         len(w) + len(pw)
+           - len(list_filter(w, x -> list_contains(pw, x))) AS n_union
+  FROM l WHERE prev_turn_idx IS NOT NULL)
+SELECT conv_id, turn_idx, prev_turn_idx,
+       CAST(n_inter AS BIGINT) AS n_common_words,
+       CASE WHEN n_union > 0
+            THEN round(CAST(n_inter AS DOUBLE) / n_union, 6)
+            ELSE 0.0 END AS jaccard
+FROM m
+"""
+
+
+def q99_tool_grounding(spark, sf_dir):
+    """Tool-result grounding rate (convstats.tool_grounding): for every
+    assistant turn preceded by a tool result in its conversation, the
+    fraction of the turn's distinct words appearing in the MOST RECENT
+    tool result — the cheap faithfulness proxy a RAG/agent curation
+    pipeline scores responses with before keeping them as training
+    targets. One window carries the last tool text forward
+    (last ignorenulls over an unbounded-preceding row frame); no join,
+    no UDF."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    return convstats.tool_grounding(tr)
+
+
+_Q99_SQL = f"""
+WITH {_AGENT_TR_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+         last_value(CASE WHEN role = 'tool' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tt
+  FROM tr),
+g AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '')) AS aw,
+         list_distinct(list_filter(string_split_regex(trim(tt), '\\s+'),
+                                   w -> w <> '')) AS tw
+  FROM c WHERE role = 'assistant' AND tt IS NOT NULL)
+SELECT conv_id, turn_idx,
+       CAST(len(aw) AS BIGINT) AS n_words,
+       CAST(len(list_filter(aw, x -> list_contains(tw, x))) AS BIGINT)
+         AS n_grounded,
+       CASE WHEN len(aw) > 0
+            THEN round(CAST(len(list_filter(aw, x -> list_contains(tw, x)))
+                            AS DOUBLE) / len(aw), 6)
+            ELSE 0.0 END AS grounding
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4129,6 +4211,8 @@ QUERIES: dict[str, tuple] = {
     "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
     "q96_context_budget": (q96_context_budget, _Q96_SQL),
     "q97_mixture_alpha": (q97_mixture_alpha, _Q97_SQL),
+    "q98_self_repetition": (q98_self_repetition, _Q98_SQL),
+    "q99_tool_grounding": (q99_tool_grounding, _Q99_SQL),
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
@@ -4143,7 +4227,6 @@ QUERIES: dict[str, tuple] = {
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # --- newest operator families (rounds 3-4) ---
     "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
-    "q52_length_quantiles_approx": (q52_length_quantiles_approx, _Q52_SQL),
     "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
     "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
@@ -4164,7 +4247,6 @@ QUERIES: dict[str, tuple] = {
     "q75_conv_dedup": (q75_conv_dedup, _Q75_SQL),
     "q76_conv_neardup": (q76_conv_neardup, _q76_sql()),
     # --- core extraction / quality / dedup / ANN families ---
-    "q20_minhash_pairs": (q20_minhash_pairs, None),
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
@@ -4177,7 +4259,10 @@ QUERIES: dict[str, tuple] = {
     # r1-r4; still pinned per-query by tests/test_queries_oracle.py).
     # q27/q32/q37/q40/q55/q56/q57/q58 rotated out late-r5 for q89-q96,
     # q60 for q97 (its explode/broadcast ranking family stays in-window
-    # via the q77 TF-IDF twin):
+    # via the q77 TF-IDF twin), q20+q52 for q98/q99 (q20 was the one
+    # rows-only window row — its fully value-checked md5 twin q42 and
+    # cluster consumer q43 stay in; q52's quantile-sketch family keeps
+    # its exact q45 twin pytest-pinned and its recall bound unit-tested):
     # q27's merge/dedup-classify family stays in-window via q42/q43,
     # q32's corrected-text preference via the q28/q29 extraction pair,
     # q37's exact-cosine baseline via its q38 LSH twin, q40's reprocess
@@ -4205,6 +4290,7 @@ QUERIES: dict[str, tuple] = {
     "q47_frame_sample": (q47_frame_sample, _Q47_SQL),
     "q44_sessions": (q44_sessions, _Q44_SQL),
     "q45_length_quantiles": (q45_length_quantiles, _Q45_SQL),
+    "q52_length_quantiles_approx": (q52_length_quantiles_approx, _Q52_SQL),
     "q25_langid": (q25_langid, _langid_sql()),
     "q48_ivf_topk": (q48_ivf_topk, _q48_sql()),
     "q49_ann_lsh_multiprobe": (q49_ann_lsh_multiprobe, _q49_sql()),
@@ -4212,6 +4298,7 @@ QUERIES: dict[str, tuple] = {
     "q17_lowq_classify": (q17_lowq_classify, _Q17_SQL),
     "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),
     "q19_jaccard_pairs": (q19_jaccard_pairs, _Q19_SQL),
+    "q20_minhash_pairs": (q20_minhash_pairs, None),
     "q21_simhash_pairs": (q21_simhash_pairs, _simhash_sql()),
     "q23_ann_lsh": (q23_ann_lsh, _q23_sql()),
     # --- long-green relational/string rows (pytest-pinned) ---

@@ -195,3 +195,79 @@ def test_tool_census_null_text_and_marker_case(spark):
     g = out["grep"]
     assert g.n_calls == 3 and g.n_convs == 2
     assert g.error_rate == round(1 / 3, 6)  # NULL counts in the denominator
+
+
+def test_self_repetition_hand_computed(spark):
+    """Jaccard over DISTINCT words between consecutive same-role turns;
+    non-assistant turns neither emit rows nor break the chain; the first
+    assistant turn of a conversation emits nothing."""
+    rows = [
+        ("a", 0, "assistant", "x y z"),
+        ("a", 1, "user", "noise noise"),         # skipped, not a break
+        ("a", 2, "assistant", "x y q"),          # vs turn 0: |∩|=2 |∪|=4
+        ("a", 3, "assistant", "x x x"),          # vs turn 2: |∩|=1 |∪|=3
+        ("b", 0, "assistant", "solo"),           # no predecessor → no row
+        ("c", 0, "assistant", ""),               # empty-token edge
+        ("c", 1, "assistant", ""),               # ∪=0 → jaccard 0.0
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {(r.conv_id, r.turn_idx): r
+           for r in convstats.self_repetition(df).collect()}
+    assert set(out) == {("a", 2), ("a", 3), ("c", 1)}
+    assert out[("a", 2)].prev_turn_idx == 0
+    assert out[("a", 2)].n_common_words == 2
+    assert out[("a", 2)].jaccard == 0.5
+    assert out[("a", 3)].n_common_words == 1
+    assert out[("a", 3)].jaccard == round(1 / 3, 6)
+    assert out[("c", 1)].n_common_words == 0
+    assert out[("c", 1)].jaccard == 0.0
+
+
+def test_self_repetition_layout_invariance(spark, tr):
+    base = {tuple(r) for r in convstats.self_repetition(tr).collect()}
+    relaid = convstats.self_repetition(tr.repartition(7, "turn_idx"))
+    assert {tuple(r) for r in relaid.collect()} == base
+    assert len(base) > 0
+
+
+def test_tool_grounding_hand_computed(spark):
+    """Grounding is against the MOST RECENT tool result only; assistant
+    turns before any tool result emit no row; words are de-duplicated."""
+    rows = [
+        ("a", 0, "assistant", "pre tool"),       # no tool yet → no row
+        ("a", 1, "tool", "alpha beta gamma"),
+        ("a", 2, "assistant", "alpha beta zeta"),   # 2/3 grounded
+        ("a", 3, "tool", "delta"),
+        ("a", 4, "assistant", "alpha delta"),       # vs 'delta' only: 1/2
+        ("a", 5, "user", "alpha"),                  # wrong role → no row
+        ("b", 0, "tool", "only evidence"),
+        ("b", 1, "assistant", "evidence evidence"),  # distinct → 1/1
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {(r.conv_id, r.turn_idx): r
+           for r in convstats.tool_grounding(df).collect()}
+    assert set(out) == {("a", 2), ("a", 4), ("b", 1)}
+    assert out[("a", 2)].n_words == 3
+    assert out[("a", 2)].n_grounded == 2
+    assert out[("a", 2)].grounding == round(2 / 3, 6)
+    assert out[("a", 4)].n_grounded == 1   # 'alpha' is stale evidence now
+    assert out[("a", 4)].grounding == 0.5
+    assert out[("b", 1)].n_words == 1
+    assert out[("b", 1)].grounding == 1.0
+
+
+def test_tool_grounding_scope_matches_tool_turns(spark, tr):
+    """Every emitted row is an assistant turn with ≥1 earlier tool turn in
+    its conversation (q95's ctx-IS-NOT-NULL convention), and ratios are
+    well-formed."""
+    out = convstats.tool_grounding(tr).collect()
+    assert len(out) > 0
+    first_tool = {
+        r.conv_id: r.t for r in tr.filter(F.col("role") == "tool")
+        .groupBy("conv_id").agg(F.min("turn_idx").alias("t")).collect()
+    }
+    for r in out:
+        assert r.conv_id in first_tool
+        assert r.turn_idx > first_tool[r.conv_id]
+        assert 0.0 <= r.grounding <= 1.0
+        assert r.n_grounded <= r.n_words
