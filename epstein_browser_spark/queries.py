@@ -4057,6 +4057,11 @@ def q97_mixture_alpha(spark, sf_dir):
         F.sum(textstats.token_count(F.col("text")))
         .cast("long").alias("n_tokens")
     )
+    # The ≤|sources|-row aggregate feeds TWO scalar normalizers (total
+    # tokens, then the weight sum); without a cut Catalyst inlines the
+    # corpus-sized aggregate into each consumer — four full scans at
+    # 100 TB. localCheckpoint pins the tiny frame once (q43 precedent).
+    per = per.localCheckpoint(eager=True)
     tot = per.agg(F.sum("n_tokens").alias("_tot"))
     w = (
         per.crossJoin(F.broadcast(tot))

@@ -155,6 +155,26 @@ SHOWCASE = {
         "partitioned window (conversation key, turn_idx DESC) — no "
         "second pass, no per-conversation collect, no global sort."
     ),
+    "q97_mixture_alpha": (
+        "α-sampling mixture: ONE corpus scan reduces to the "
+        "≤|sources|-row per-source aggregate, localCheckpointed so the "
+        "two scalar normalizers (token total, weight sum) consume the "
+        "tiny ExistingRDD instead of re-inlining the corpus aggregate — "
+        "every join in the plan is a broadcast over ≤|sources| rows."
+    ),
+    "q98_self_repetition": (
+        "Assistant self-repetition: the role filter prunes BEFORE the "
+        "single exchange on the conversation key; lag + array set ops "
+        "all sit in one partitioned window + codegen projection — no "
+        "self-join, no Python."
+    ),
+    "q99_tool_grounding": (
+        "Tool grounding: the last-tool-text carry is last(ignorenulls) "
+        "over an unbounded-preceding ROW frame inside the ONE "
+        "conversation-key window shuffle; the word-overlap ratio is a "
+        "pure codegen array projection — no join against the tool "
+        "turns."
+    ),
 }
 
 
