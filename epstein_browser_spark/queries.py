@@ -4191,6 +4191,74 @@ FROM g
 """
 
 
+def q100_episode_segments(spark, sf_dir):
+    """Inactivity-gap episode segmentation: split each conversation into
+    episodes wherever the gap to the previous turn exceeds 60 minutes —
+    how a pipeline cuts long-running agent sessions into training-sized
+    dialogs (the transcript analog of q44's event sessionization, but
+    batch, per-turn-labeled, and on the north-rule ts column). The base
+    derivation spaces turns exactly 50 minutes apart, so the query adds
+    a deterministic arithmetic jitter ((turn_idx² + conv_num) mod 23
+    minutes, reproduced verbatim in the oracle) giving gaps in [28, 72]
+    — both sides of the threshold are exercised.
+
+    Scale shape: ONE exchange on the conversation key serves both
+    windows (lag, then the running is-new sum); episode ids are emitted
+    per turn rather than aggregated so the plan stays single-shuffle —
+    downstream grouping is the consumer's choice."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    jit = tr.withColumn(
+        "_ts2",
+        F.expr(
+            "timestampadd(MINUTE, CAST(pmod(turn_idx * turn_idx"
+            " + CAST(substring(conv_id, 2) AS INT), 23) AS INT), ts)"
+        ),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gapped = jit.select(
+        "conv_id",
+        "turn_idx",
+        F.expr(
+            "timestampdiff(MINUTE,"
+            " lag(_ts2) OVER (PARTITION BY conv_id ORDER BY turn_idx),"
+            " _ts2)"
+        ).cast("long").alias("gap_minutes"),
+    )
+    is_new = F.when(
+        F.col("gap_minutes").isNull() | (F.col("gap_minutes") > 60), 1
+    ).otherwise(0)
+    return gapped.select(
+        "conv_id",
+        "turn_idx",
+        "gap_minutes",
+        F.sum(is_new).over(w).cast("long").alias("episode"),
+    )
+
+
+_Q100_SQL = f"""
+WITH {_AGENT_TR_CTE},
+j AS (
+  SELECT conv_id, turn_idx,
+         ts + INTERVAL ((turn_idx * turn_idx
+                         + CAST(substr(conv_id, 2) AS INT)) % 23) MINUTE
+           AS ts2
+  FROM tr),
+g AS (
+  SELECT conv_id, turn_idx,
+         date_diff('minute',
+                   lag(ts2) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                   ts2) AS gap_minutes
+  FROM j)
+SELECT conv_id, turn_idx,
+       CAST(gap_minutes AS BIGINT) AS gap_minutes,
+       CAST(sum(CASE WHEN gap_minutes IS NULL OR gap_minutes > 60
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+         AS episode
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4218,6 +4286,7 @@ QUERIES: dict[str, tuple] = {
     "q97_mixture_alpha": (q97_mixture_alpha, _Q97_SQL),
     "q98_self_repetition": (q98_self_repetition, _Q98_SQL),
     "q99_tool_grounding": (q99_tool_grounding, _Q99_SQL),
+    "q100_episode_segments": (q100_episode_segments, _Q100_SQL),
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
@@ -4254,7 +4323,6 @@ QUERIES: dict[str, tuple] = {
     # --- core extraction / quality / dedup / ANN families ---
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
-    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
     "q39_search_page": (q39_search_page, _Q39_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
@@ -4267,7 +4335,9 @@ QUERIES: dict[str, tuple] = {
     # via the q77 TF-IDF twin), q20+q52 for q98/q99 (q20 was the one
     # rows-only window row — its fully value-checked md5 twin q42 and
     # cluster consumer q43 stay in; q52's quantile-sketch family keeps
-    # its exact q45 twin pytest-pinned and its recall bound unit-tested):
+    # its exact q45 twin pytest-pinned and its recall bound unit-tested),
+    # q38 for q100 (its LSH-ANN family stays in-window via the q53
+    # multiprobe twin and the q88 recall telemetry):
     # q27's merge/dedup-classify family stays in-window via q42/q43,
     # q32's corrected-text preference via the q28/q29 extraction pair,
     # q37's exact-cosine baseline via its q38 LSH twin, q40's reprocess
@@ -4304,6 +4374,7 @@ QUERIES: dict[str, tuple] = {
     "q18_dedup_exact": (q18_dedup_exact, _Q18_SQL),
     "q19_jaccard_pairs": (q19_jaccard_pairs, _Q19_SQL),
     "q20_minhash_pairs": (q20_minhash_pairs, None),
+    "q38_cosine_pairs_lsh": (q38_cosine_pairs_lsh, _q38_sql()),
     "q21_simhash_pairs": (q21_simhash_pairs, _simhash_sql()),
     "q23_ann_lsh": (q23_ann_lsh, _q23_sql()),
     # --- long-green relational/string rows (pytest-pinned) ---

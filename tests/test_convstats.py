@@ -271,3 +271,29 @@ def test_tool_grounding_scope_matches_tool_turns(spark, tr):
         assert r.turn_idx > first_tool[r.conv_id]
         assert 0.0 <= r.grounding <= 1.0
         assert r.n_grounded <= r.n_words
+
+
+def test_episode_segments_invariants(spark, sf_dir):
+    """q100: episode ids start at 1, are non-decreasing in turn order,
+    and increment exactly where the (jittered) gap exceeds 60 minutes;
+    the synthetic jitter actually exercises both sides of the threshold."""
+    from epstein_browser_spark.queries import q100_episode_segments
+
+    rows = sorted(
+        q100_episode_segments(spark, sf_dir).collect(),
+        key=lambda r: (r.conv_id, r.turn_idx),
+    )
+    assert len(rows) > 0
+    prev = {}
+    max_ep = 1
+    for r in rows:
+        if r.conv_id not in prev:
+            assert r.gap_minutes is None and r.episode == 1
+        else:
+            p = prev[r.conv_id]
+            assert 28 <= r.gap_minutes <= 72
+            expected = p.episode + (1 if r.gap_minutes > 60 else 0)
+            assert r.episode == expected
+        prev[r.conv_id] = r
+        max_ep = max(max_ep, r.episode)
+    assert max_ep >= 2  # the threshold splits somewhere — not vacuous

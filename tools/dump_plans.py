@@ -175,6 +175,13 @@ SHOWCASE = {
         "pure codegen array projection — no join against the tool "
         "turns."
     ),
+    "q100_episode_segments": (
+        "Episode segmentation: ONE exchange on the conversation key "
+        "serves BOTH windows (the ts-gap lag, then the running is-new "
+        "sum — same partitioning and ordering, so no second sort or "
+        "shuffle); episode ids are emitted per turn, keeping the plan "
+        "single-shuffle with no aggregate."
+    ),
 }
 
 
