@@ -374,3 +374,60 @@ def tool_grounding(
         F.when(n_words > 0, F.round(n_grounded / n_words, 6))
         .otherwise(F.lit(0.0)).alias("grounding"),
     )
+
+
+def turn_integrity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation ingest-integrity gate: duplicate turn indices,
+    holes in the index sequence, and timestamp regressions — the
+    validation row a transcript pipeline drops or quarantines dialogs by
+    BEFORE any extraction or dedup runs (a hole means a lost turn; a
+    duplicate means a double delivery the exact-dedup stage would
+    otherwise canonicalize arbitrarily; a ts regression means the
+    ordering key and the wall clock disagree).
+
+    ``n_dup_idx`` counts rows beyond the first per index value;
+    ``n_missing_idx`` counts holes in ``[min_idx, max_idx]``;
+    ``n_ts_regress`` counts turns whose timestamp precedes the previous
+    turn's under the total ``(idx, ts)`` order (deterministic even with
+    duplicated indices, since ts breaks the tie). ``is_valid`` is the
+    all-clear conjunction.
+
+    Scale shape: ONE exchange on the conversation key serves both the
+    lag window and the final groupBy (same partitioning, so Catalyst
+    plans a single shuffle); output is one row per conversation.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col, ts_col)
+    lagged = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("_idx"),
+        F.col(ts_col).alias("_ts"),
+        F.lag(ts_col).over(w).alias("_prev_ts"),
+    )
+    regress = (
+        F.col("_prev_ts").isNotNull() & (F.col("_ts") < F.col("_prev_ts"))
+    ).cast("long")
+    per = lagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct("_idx").cast("long").alias("_n_distinct"),
+        F.min("_idx").cast("long").alias("_min_idx"),
+        F.max("_idx").cast("long").alias("_max_idx"),
+        F.sum(regress).cast("long").alias("n_ts_regress"),
+    )
+    n_dup = F.col("n_turns") - F.col("_n_distinct")
+    n_missing = (
+        F.col("_max_idx") - F.col("_min_idx") + 1 - F.col("_n_distinct")
+    )
+    return per.select(
+        "conv_id",
+        "n_turns",
+        n_dup.cast("long").alias("n_dup_idx"),
+        n_missing.cast("long").alias("n_missing_idx"),
+        "n_ts_regress",
+        ((n_dup == 0) & (n_missing == 0) & (F.col("n_ts_regress") == 0))
+        .alias("is_valid"),
+    )

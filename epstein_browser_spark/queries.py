@@ -4259,6 +4259,227 @@ FROM g
 """
 
 
+
+
+def q101_boilerplate_strip(spark, sf_dir):
+    """Boilerplate REMOVAL rewrite (textstats.strip_boilerplate): the
+    apply half of q71's census — every non-overlapping 10-word segment
+    appearing in >=2 documents is cut and the document re-assembled from
+    the survivors in order, emitting per-doc before/after sizes and the
+    md5 of the cleaned text (the q54/q95 pattern: the rewrite is
+    value-checked without shipping the rewritten corpus). This is the
+    stage CCNet/RefinedWeb actually run after boilerplate DETECTION —
+    the census alone never changes the training set. One tokenize, one
+    segment explode, a partial-agg census, one shuffle join back, one
+    per-doc re-assembly groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.strip_boilerplate(d).withColumnRenamed("id", "doc_id")
+
+
+_Q101_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents WHERE len(list_filter(
+        string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '')) >= 1),
+e AS (
+  SELECT doc_id, len(toks) AS n,
+         length(array_to_string(toks, ' ')) AS chars_before,
+         g.g AS g,
+         array_to_string(toks[g.g*10+1 : g.g*10+10], ' ') AS seg
+  FROM t, LATERAL (SELECT unnest(generate_series(
+           0, CAST(floor((len(toks)-1)/10) AS BIGINT))) AS g) g),
+census AS (
+  SELECT seg FROM e WHERE (g+1)*10 <= n
+  GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+k AS (
+  SELECT e.doc_id, e.g, e.seg, e.chars_before,
+         (c.seg IS NOT NULL AND (e.g+1)*10 <= e.n) AS is_bp
+  FROM e LEFT JOIN census c USING (seg)),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_segs,
+         sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_dropped,
+         min(chars_before) AS chars_before,
+         coalesce(string_agg(seg, ' ' ORDER BY g)
+                    FILTER (WHERE NOT is_bp), '') AS cleaned
+  FROM k GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       CAST(chars_before AS BIGINT) AS chars_before,
+       CAST(length(cleaned) AS BIGINT) AS chars_after,
+       md5(cleaned) AS clean_md5
+FROM agg
+"""
+
+
+def q102_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document
+    (textstats.token_entropy): the order-free gibberish / degenerate-
+    repetition quality scalar (near-zero for a doc that repeats one
+    phrase, ~ln(n_distinct) for token soup) — complements q64's
+    positional repetition signals and q84's bigram-LM score, both of
+    which shuffled-boilerplate spam evades. Integer micro-nat exactness
+    throughout (the q79/q84 discipline): the per-type term sum is an
+    exact integer, so no float summation order anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.token_entropy(d).withColumnRenamed("id", "doc_id")
+
+
+_Q102_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> w <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * CAST(round(ln(c) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM cnt GROUP BY doc_id),
+h AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         CAST(round(ln(n_tokens) * 1000000.0) AS BIGINT)
+           - CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS h_micro,
+         CAST(round(ln(n_tokens) * 1000000.0) AS BIGINT) AS ln_n
+  FROM per)
+SELECT doc_id, n_tokens, n_distinct, h_micro,
+       CASE WHEN n_tokens > 1
+            THEN round(CAST(h_micro AS DOUBLE) / ln_n, 6)
+            ELSE 0.0 END AS norm_entropy
+FROM h
+"""
+
+
+def q103_centroid_diversity(spark, sf_dir):
+    """Per-label corpus diversity via the O(n) centroid identity
+    (similarity.centroid_diversity): mean pairwise cosine from
+    per-dimension sums and per-vector norms — Σ_{i≠j} u_i·u_j =
+    ||Σu||² − Σ||u||² — replacing the O(n²) pair join (q37) that cannot
+    run at 10^12 rows. Components quantize to integer micro-units and
+    re-normalize through correctly-rounded IEEE sqrt/divide, so every
+    accumulated term is an exact integer on both engines; only the
+    final reported ratio is floating-point."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_diversity(e, "embedding", "label")
+
+
+_Q103_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+s AS (
+  SELECT label, q,
+         list_sum(list_transform(q, x -> x * x)) AS sq
+  FROM q WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+u AS (
+  SELECT label,
+         list_transform(q, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(sq)
+                                           * 1000000.0) AS BIGINT)) AS nu
+  FROM s),
+uu AS (
+  SELECT label, nu,
+         list_sum(list_transform(nu, x -> x * x)) AS usq
+  FROM u),
+dims AS (
+  SELECT label, usq,
+         unnest(nu) AS v,
+         unnest(range(1, len(nu) + 1)) AS dim
+  FROM uu),
+per_dim AS (
+  SELECT label, dim, sum(v) AS s,
+         sum(CASE WHEN dim = 1 THEN usq END) AS usq0
+  FROM dims GROUP BY label, dim),
+per_grp AS (
+  SELECT label, sum(s * s) AS centroid_sq, sum(usq0) AS sum_usq
+  FROM per_dim GROUP BY label),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM uu
+      GROUP BY label),
+m AS (
+  SELECT g.label, n.n_vecs,
+         CASE WHEN n.n_vecs > 1
+              THEN round(CAST(g.centroid_sq - g.sum_usq AS DOUBLE)
+                         / CAST(n.n_vecs * (n.n_vecs - 1) AS DOUBLE)
+                         / 1000000000000.0, 6)
+              ELSE 0.0 END AS mean_cos
+  FROM per_grp g JOIN n USING (label))
+SELECT label, n_vecs, mean_cos, round(1.0 - mean_cos, 6) AS diversity
+FROM m
+"""
+
+
+def q104_turn_integrity(spark, sf_dir):
+    """Transcript ingest-integrity gate (convstats.turn_integrity):
+    duplicate turn indices, holes in the index sequence, timestamp
+    regressions, and the per-conversation all-clear flag — the
+    validation row a 10^12-turn pipeline quarantines dialogs by BEFORE
+    extraction or dedup touches them. Defects are PLANTED
+    deterministically (the q92/q100 pattern, reproduced verbatim in the
+    oracle): doc_id%53==7 turns get an off-by-one index (creating a
+    duplicate AND a hole at once), doc_id%89==2 turns get a 180-minute
+    timestamp rollback — so at sf0.01 every defect class is non-vacuous
+    on both engines. ONE conv-keyed exchange serves the lag window and
+    the final groupBy."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    doc_id = (
+        F.col("turn_idx").cast("long") * 50
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    planted = tr.select(
+        "conv_id",
+        (F.col("turn_idx")
+         + F.when(F.pmod(doc_id, F.lit(53)) == 7, 1).otherwise(0))
+        .alias("turn_idx"),
+        F.when(
+            F.pmod(doc_id, F.lit(89)) == 2,
+            F.expr("timestampadd(MINUTE, -180, ts)"),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    return convstats.turn_integrity(planted)
+
+
+_Q104_SQL = f"""
+WITH {{agent_cte}},
+p AS (
+  SELECT conv_id,
+         turn_idx + CASE WHEN (turn_idx * 50
+                               + CAST(substr(conv_id, 2) AS BIGINT)) % 53 = 7
+                         THEN 1 ELSE 0 END AS turn_idx,
+         CASE WHEN (turn_idx * 50
+                    + CAST(substr(conv_id, 2) AS BIGINT)) % 89 = 2
+              THEN ts - INTERVAL 180 MINUTE ELSE ts END AS ts
+  FROM tr),
+l AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS prev_ts
+  FROM p),
+per AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct,
+         CAST(min(turn_idx) AS BIGINT) AS min_idx,
+         CAST(max(turn_idx) AS BIGINT) AS max_idx,
+         CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_regress
+  FROM l GROUP BY conv_id)
+SELECT conv_id, n_turns,
+       CAST(n_turns - n_distinct AS BIGINT) AS n_dup_idx,
+       CAST(max_idx - min_idx + 1 - n_distinct AS BIGINT) AS n_missing_idx,
+       n_ts_regress,
+       (n_turns - n_distinct = 0 AND max_idx - min_idx + 1 - n_distinct = 0
+        AND n_ts_regress = 0) AS is_valid
+FROM per
+""".replace("{agent_cte}", _AGENT_TR_CTE)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4275,6 +4496,10 @@ FROM g
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q101_boilerplate_strip": (q101_boilerplate_strip, _Q101_SQL),
+    "q102_token_entropy": (q102_token_entropy, _Q102_SQL),
+    "q103_centroid_diversity": (q103_centroid_diversity, _Q103_SQL),
+    "q104_turn_integrity": (q104_turn_integrity, _Q104_SQL),
     "q89_role_transitions": (q89_role_transitions, _Q89_SQL),
     "q90_tool_census": (q90_tool_census, _Q90_SQL),
     "q91_conv_profile": (q91_conv_profile, _Q91_SQL),
@@ -4303,17 +4528,14 @@ QUERIES: dict[str, tuple] = {
     "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
     "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
-    "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
     "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
     "q63_range_join": (q63_range_join, _Q63_SQL),
     "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
-    "q65_topk_per_group": (q65_topk_per_group, _Q65_SQL),
     "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
     "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
     "q69_mixture_report": (q69_mixture_report, _q69_sql()),
-    "q70_chunking": (q70_chunking, _Q70_SQL),
     "q71_boilerplate_lines": (q71_boilerplate_lines, _Q71_SQL),
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
@@ -4326,8 +4548,17 @@ QUERIES: dict[str, tuple] = {
     "q39_search_page": (q39_search_page, _Q39_SQL),
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
-    "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q50/q59/q65/q70 rotated out for the q101-q104 debuts: q50's
+    # multimodal family stays in-window via q81 media decode, q59's
+    # packing family via q73 (BPE budgets) + q94 (conversation-atomic),
+    # q65's per-group/global top-k family via q77/q93, q70's
+    # sequence/slice chunking machinery via q71 (in-window) — all four
+    # still pinned per-query by tests/test_queries_oracle.py.
+    "q50_resize_plan": (q50_resize_plan, _Q50_SQL),
+    "q59_sequence_packing": (q59_sequence_packing, _Q59_SQL),
+    "q65_topk_per_group": (q65_topk_per_group, _Q65_SQL),
+    "q70_chunking": (q70_chunking, _Q70_SQL),
     # --- long-green rows rotated out for the r5 debuts (driver-green
     # r1-r4; still pinned per-query by tests/test_queries_oracle.py).
     # q27/q32/q37/q40/q55/q56/q57/q58 rotated out late-r5 for q89-q96,

@@ -1070,3 +1070,136 @@ def dsir_select(corpus: DataFrame, target: DataFrame,
         (lw_micro + g_micro).alias("score_micro"),
     )
     return scored.orderBy(F.desc("score_micro"), F.asc("id")).limit(k)
+
+
+def strip_boilerplate(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", seg_len: int = 10,
+                      min_doc_freq: int = 2) -> DataFrame:
+    """Corpus-level boilerplate REMOVAL — the apply half of the
+    boilerplate-line census (queries.q71): every non-overlapping
+    ``seg_len``-token segment whose normalized form appears in
+    ``>= min_doc_freq`` distinct documents is cut, and the document is
+    re-assembled from the surviving segments in order. This is the
+    rewrite step CCNet/RefinedWeb run after detecting repeated lines
+    (ToS footers, cookie banners, nav crumbs) — detection alone
+    (the census) doesn't change the training corpus.
+
+    Semantics: segmentation is over the NORMALIZED token stream
+    (lowercased, whitespace-split), so ``text_clean`` is normalized
+    text. The final partial segment (``len % seg_len`` leftover tokens)
+    never participates in the census and is always kept — boilerplate
+    is a full-segment phenomenon, and a short tail equal to some
+    frequent full segment's text is a different string length anyway.
+    Returns one row per input document: ``(id, n_segs, n_dropped,
+    chars_before, chars_after, clean_md5)`` — the assembled text is
+    value-checked by md5 without shipping it (the q54/q95 pattern).
+
+    Scale shape: one tokenize, one posexplode to ~n_tokens/seg_len
+    rows, a partial-agg census on the segment string, one shuffle join
+    back on the segment, one groupBy on ``id`` to re-assemble. Nothing
+    is driver-side and no stage holds more than the segment stream;
+    the census output is bounded by the distinct-repeated-segment
+    count, not the corpus.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= 1)
+    seg_arr = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.size("_toks") - 1) / seg_len).cast("long"),
+        ),
+        lambda g: F.concat_ws(
+            " ", F.slice("_toks", (g * seg_len + 1).cast("int"), seg_len)
+        ),
+    )
+    ex = base.select(
+        "id",
+        F.size("_toks").alias("_n"),
+        F.length(F.concat_ws(" ", "_toks")).alias("_chars_before"),
+        F.posexplode(seg_arr).alias("_g", "_seg"),
+    )
+    full = F.expr(f"(_g + 1) * {seg_len}") <= F.col("_n")
+    census = (
+        ex.filter(full)
+        .groupBy("_seg")
+        .agg(F.countDistinct("id").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_seg", F.lit(True).alias("_is_bp"))
+    )
+    marked = ex.join(census, "_seg", "left").withColumn(
+        "_drop", full & F.coalesce("_is_bp", F.lit(False))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("_drop"), F.struct("_g", "_seg"))
+                )
+            ),
+            lambda x: x["_seg"],
+        ),
+        " ",
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(F.col("_drop").cast("long")).cast("long")
+            .alias("n_dropped"),
+            F.first("_chars_before").cast("long").alias("chars_before"),
+            F.length(kept_text).cast("long").alias("chars_after"),
+            F.md5(kept_text).alias("clean_md5"),
+        )
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    classic gibberish / degenerate-repetition quality scalar (a doc
+    that repeats one phrase has near-zero entropy; random token soup
+    approaches ``ln(n_distinct)``). Complements the positional
+    repetition signals (q64) and the bigram-LM score (q84): entropy is
+    order-free, so it catches shuffled-boilerplate spam those miss.
+
+    Exactness (the q79/q84 integer micro-nat discipline): per-token-type
+    terms quantize to integer micro-nats — ``s = Σ c·round(ln(c)·1e6)``
+    is an exact integer sum, immune to float summation order — and
+    ``h_micro = round(ln(n)·1e6) − round(s/n)`` divides exact integers
+    (correctly-rounded IEEE division both engines agree on).
+    ``norm_entropy = h_micro / round(ln(n)·1e6)`` rescales to [0,1]
+    (1 = all tokens distinct, 0 = a single repeated token; single-token
+    docs define 0).
+
+    Scale shape: one tokenize + explode, one partial-agg groupBy on
+    ``(id, token)`` (map-side combine collapses repeats), one groupBy
+    on ``id``. Output is one row per document; nothing corpus-wide.
+    """
+    cnt = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .groupBy("id", "_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    lp = F.round(F.log("_c") * 1000000.0, 0).cast("long")
+    per = cnt.groupBy("id").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("_c") * lp).cast("long").alias("_s"),
+    )
+    ln_n = F.round(F.log("n_tokens") * 1000000.0, 0).cast("long")
+    h_micro = ln_n - F.round(F.col("_s") / F.col("n_tokens"), 0).cast("long")
+    return per.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        h_micro.alias("h_micro"),
+        F.when(F.col("n_tokens") > 1,
+               F.round(h_micro.cast("double") / ln_n.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
