@@ -837,14 +837,17 @@ def centroid_diversity(
     per_dim = dims.groupBy("grp", "_dim").agg(
         F.sum("_v").cast("decimal(38,0)").alias("_s"),
         # _usq is per-vector; summing it per (grp, dim) would multiply
-        # it by dim — carry it once via the dim-0 slice instead
+        # it by dim — carry it (and the vector count) once via the
+        # dim-0 slice instead, so ONE aggregate over ONE scan feeds
+        # everything and no second corpus pass or join is needed
         F.sum(F.when(F.col("_dim") == 0, F.col("_usq"))).alias("_usq0"),
+        F.sum(F.when(F.col("_dim") == 0, 1)).alias("_n0"),
     )
     per_grp = per_dim.groupBy("grp").agg(
         F.sum(F.col("_s") * F.col("_s")).alias("_centroid_sq"),
         F.sum("_usq0").alias("_sum_usq"),
+        F.sum("_n0").cast("long").alias("n_vecs"),
     )
-    n = unit.groupBy("grp").agg(F.count("*").cast("long").alias("n_vecs"))
     pairs = (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
     mean_cos = F.when(
         F.col("n_vecs") > 1,
@@ -854,12 +857,9 @@ def centroid_diversity(
             6,
         ),
     ).otherwise(F.lit(0.0))
-    return (
-        per_grp.join(n, "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            "n_vecs",
-            mean_cos.alias("mean_cos"),
-            F.round(F.lit(1.0) - mean_cos, 6).alias("diversity"),
-        )
+    return per_grp.select(
+        F.col("grp").alias(group_col),
+        "n_vecs",
+        mean_cos.alias("mean_cos"),
+        F.round(F.lit(1.0) - mean_cos, 6).alias("diversity"),
     )

@@ -1120,6 +1120,11 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text",
         F.length(F.concat_ws(" ", "_toks")).alias("_chars_before"),
         F.posexplode(seg_arr).alias("_g", "_seg"),
     )
+    # the segment frame feeds BOTH the census build and the join-back
+    # probe; without a cut Catalyst re-inlines the scan+tokenize into
+    # each consumer — two full corpus passes at 100 TB (the q82
+    # dup_spans precedent: checkpoint the tokenized form once)
+    ex = ex.localCheckpoint(eager=True)
     full = F.expr(f"(_g + 1) * {seg_len}") <= F.col("_n")
     census = (
         ex.filter(full)
