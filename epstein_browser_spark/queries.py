@@ -4480,6 +4480,207 @@ FROM per
 """.replace("{agent_cte}", _AGENT_TR_CTE)
 
 
+def q105_robust_length_gate(spark, sf_dir):
+    """Robust length-outlier gate (textstats.robust_length_outliers):
+    per-source modified z-score from the median and the MAD — the
+    curation filter for truncation/concatenation artifacts that
+    mean/stddev z-scores miss because the outliers drag the mean.
+    Both medians are exact `percentile` (the q45 estimator, identical
+    to DuckDB quantile_cont); at 100 TB the gate swaps in
+    approx_percentile (q52's t-digest path). The conventional 3.5 cut
+    assumes heavy-tailed web lengths; the synthetic corpus is
+    uniform-ish (max |z| ≈ 1.8-3.0 across sf), so the query exercises
+    the flag at 1.5 to keep BOTH boolean outcomes populated at every
+    test scale."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textstats.robust_length_outliers(d, z_thresh=1.5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("grp", "source")
+    )
+
+
+_Q105_SQL = """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med
+  FROM documents d JOIN med m USING (source)),
+mad AS (
+  SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+  FROM dev GROUP BY source),
+s AS (
+  SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad,
+         CASE WHEN mad.mad > 0
+              THEN 0.6745 * (dev.n_chars - dev.med) / mad.mad
+              ELSE 0.0 END AS z
+  FROM dev JOIN mad USING (source))
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS "length",
+       round(med, 4) AS grp_median, round(mad, 4) AS grp_mad,
+       round(z, 6) AS robust_z, (abs(z) > 1.5) AS is_outlier
+FROM s
+"""
+
+
+def q106_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (textstats.vocab_growth):
+    cumulative distinct token types vs cumulative tokens per source at
+    20-doc ingestion checkpoints — the corpus-diversity monitor (a
+    flattening curve = new shards add volume, not vocabulary; a
+    type-token ratio that stops falling = dedup leaking templates).
+    Checkpoints are global doc_id ranges, not per-source row_numbers —
+    no raw-row window, so no per-source sort shuffle at 10^12 rows;
+    the only corpus-wide shuffle is the (source, token) first-
+    appearance partial agg."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.vocab_growth(d).withColumnRenamed("grp", "source")
+
+
+_Q106_SQL = """
+WITH base AS (
+  SELECT source, CAST(floor(doc_id / 20) AS BIGINT) AS bucket,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+firsts AS (
+  SELECT source, tok, min(bucket) AS bucket
+  FROM (SELECT source, bucket, unnest(list_distinct(toks)) AS tok
+        FROM base)
+  GROUP BY source, tok),
+newt AS (SELECT source, bucket, count(*) AS new_types
+         FROM firsts GROUP BY source, bucket),
+pb AS (SELECT source, bucket, count(*) AS new_docs,
+              sum(len(toks)) AS new_tokens
+       FROM base GROUP BY source, bucket),
+j AS (SELECT pb.source, pb.bucket, pb.new_docs, pb.new_tokens,
+             coalesce(newt.new_types, 0) AS new_types
+      FROM pb LEFT JOIN newt USING (source, bucket))
+SELECT source, bucket,
+       CAST(sum(new_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(new_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(new_types) OVER w AS BIGINT) AS cum_types,
+       CASE WHEN sum(new_tokens) OVER w > 0
+            THEN round(CAST(sum(new_types) OVER w AS DOUBLE)
+                       / CAST(sum(new_tokens) OVER w AS DOUBLE), 6)
+            ELSE 0.0 END AS type_token_ratio
+FROM j
+WINDOW w AS (PARTITION BY source ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q107_unigram_kl(spark, sf_dir):
+    """Per-source unigram KL divergence vs the corpus distribution
+    (textstats.unigram_kl) — the mixture-drift diagnostic: which
+    source's token distribution is unusual, how far a crawl snapshot
+    drifted from the training mix. Integer micro-nat exactness (the
+    q79/q102 discipline) with a decimal(38,0) term sum — at 10^12
+    tokens a per-type term passes bigint range; only the final /N_g
+    rescale is floating-point."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.unigram_kl(d).withColumnRenamed("grp", "source")
+
+
+_Q107_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> w <> '')) AS tok
+  FROM documents),
+gt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok),
+ng AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+              CAST(count(*) AS BIGINT) AS n_types
+       FROM gt GROUP BY source),
+ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_t FROM gt GROUP BY tok),
+nt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM ng),
+term AS (
+  SELECT gt.source, ng.n_g, ng.n_types,
+         CAST(gt.c AS HUGEINT) * (
+             CAST(round(ln(gt.c) * 1000000.0) AS BIGINT)
+           - CAST(round(ln(ng.n_g) * 1000000.0) AS BIGINT)
+           - CAST(round(ln(ct.c_t) * 1000000.0) AS BIGINT)
+           + CAST(round(ln(nt.n) * 1000000.0) AS BIGINT)) AS t
+  FROM gt JOIN ng USING (source) JOIN ct USING (tok) CROSS JOIN nt),
+agg AS (
+  SELECT source, max(n_g) AS n_tokens, max(n_types) AS n_types,
+         sum(t) AS kl_micro
+  FROM term GROUP BY source)
+SELECT source, n_tokens, n_types,
+       round(CAST(kl_micro AS DOUBLE) / n_tokens / 1000000.0, 6) AS kl_nats
+FROM agg
+"""
+
+
+def q108_chunk_langid(spark, sf_dir):
+    """Per-chunk language ID / code-switch report (textstats.
+    chunk_langid): 40-token chunks each vote via q51's trigram-profile
+    argmax; per document the report is chunk count, majority language,
+    agreement ratio, distinct real languages, and the code-switch flag
+    — the CCNet per-paragraph langid that catches the half-English
+    half-German page a document-level vote (q51) waves through. The
+    synthetic corpus's per-chunk votes are naturally diverse (every
+    output column takes multiple values at sf0.001+), so nothing is
+    planted."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.chunk_langid(d).withColumnRenamed("id", "doc_id")
+
+
+def _q108_sql() -> str:
+    hit_cols, best_parts = [], []
+    for lang, profile in textstats.LANG_TRIGRAMS.items():
+        lst = ", ".join("'" + g.replace("'", "''") + "'" for g in profile)
+        hit_cols.append(
+            f"sum(CASE WHEN sh IN ({lst}) THEN 1 ELSE 0 END) AS h_{lang}"
+        )
+        # sum() yields HUGEINT, which DuckDB printf('%d') rejects
+        best_parts.append(
+            f"printf('%010d', CAST(coalesce(h.h_{lang}, 0) AS BIGINT))"
+            f" || '{lang}'"
+        )
+    best = "greatest(" + ", ".join(best_parts) + ")"
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+chunks AS (
+  SELECT id, g.g AS ci,
+         array_to_string(toks[g.g*40+1 : g.g*40+40], ' ') AS chunk
+  FROM norm, LATERAL (SELECT unnest(generate_series(
+         0, CAST(ceil(len(toks) / 40.0) AS BIGINT) - 1)) AS g) g
+  WHERE len(toks) >= 1),
+sh AS (
+  SELECT DISTINCT id, ci, chunk[i.i:i.i+2] AS sh
+  FROM chunks, LATERAL (SELECT unnest(generate_series(
+         1, length(chunk) - 2)) AS i) i
+  WHERE length(chunk) >= 3),
+hits AS (
+  SELECT id, ci, {", ".join(hit_cols)}
+  FROM sh GROUP BY id, ci),
+cl AS (
+  SELECT c.id, c.ci,
+         CASE WHEN CAST(substring({best}, 1, 10) AS INTEGER) > 0
+              THEN substring({best}, 11, 10) ELSE 'und' END AS lang
+  FROM chunks c LEFT JOIN hits h ON h.id = c.id AND h.ci = c.ci),
+per_lang AS (SELECT id, lang, count(*) AS cnt FROM cl GROUP BY id, lang),
+per_doc AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         max(printf('%010d', CAST(cnt AS BIGINT)) || lang) AS top,
+         CAST(sum(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_langs
+  FROM per_lang GROUP BY id)
+SELECT d.doc_id,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(substring(p.top, 11, 10), 'und') AS majority_lang,
+       coalesce(round(CAST(substring(p.top, 1, 10) AS DOUBLE)
+                      / p.n_chunks, 6), 0.0) AS lang_agreement,
+       coalesce(p.n_langs, 0) AS n_langs,
+       coalesce(p.n_langs >= 2, FALSE) AS is_code_switched
+FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4496,6 +4697,10 @@ FROM per
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q105_robust_length_gate": (q105_robust_length_gate, _Q105_SQL),
+    "q106_vocab_growth": (q106_vocab_growth, _Q106_SQL),
+    "q107_unigram_kl": (q107_unigram_kl, _Q107_SQL),
+    "q108_chunk_langid": (q108_chunk_langid, _q108_sql()),
     "q101_boilerplate_strip": (q101_boilerplate_strip, _Q101_SQL),
     "q102_token_entropy": (q102_token_entropy, _Q102_SQL),
     "q103_centroid_diversity": (q103_centroid_diversity, _Q103_SQL),
@@ -4515,9 +4720,7 @@ QUERIES: dict[str, tuple] = {
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
-    "q86_ngram_novelty": (q86_ngram_novelty, _Q86_SQL),
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
-    "q83_shard_shuffle": (q83_shard_shuffle, _Q83_SQL),
     "q84_lm_perplexity": (q84_lm_perplexity, _Q84_SQL),
     "q77_tfidf_topk": (q77_tfidf_topk, _Q77_SQL),
     "q78_winnow_fingerprints": (q78_winnow_fingerprints, _q78_sql()),
@@ -4526,11 +4729,9 @@ QUERIES: dict[str, tuple] = {
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # --- newest operator families (rounds 3-4) ---
     "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
-    "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
     "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
-    "q63_range_join": (q63_range_join, _Q63_SQL),
     "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
     "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
@@ -4549,6 +4750,16 @@ QUERIES: dict[str, tuple] = {
     "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q53/q63/q83/q86 rotated out for the q105-q108 debuts: q53's
+    # IVF/ANN family stays in-window via q66/q67/q74/q80/q88, q63's
+    # temporal-join family via q62 (as-of), q83's deterministic-
+    # assignment family via q61 + q93, q86's n-gram-overlap family
+    # via q85 (containment) -- all four still pinned per-query by
+    # tests/test_queries_oracle.py.
+    "q53_ivf_topk_multiprobe": (q53_ivf_topk_multiprobe, _q48_sql(nprobe=4)),
+    "q63_range_join": (q63_range_join, _Q63_SQL),
+    "q83_shard_shuffle": (q83_shard_shuffle, _Q83_SQL),
+    "q86_ngram_novelty": (q86_ngram_novelty, _Q86_SQL),
     # q50/q59/q65/q70 rotated out for the q101-q104 debuts: q50's
     # multimodal family stays in-window via q81 media decode, q59's
     # packing family via q73 (BPE budgets) + q94 (conversation-atomic),

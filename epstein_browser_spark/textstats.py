@@ -9,7 +9,7 @@ the stats a 100 TB corpus-curation job needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny marker-word inventories for the n-gram/stopword language heuristic
@@ -1207,4 +1207,301 @@ def token_entropy(df: DataFrame, text_col: str = "text",
                F.round(h_micro.cast("double") / ln_n.cast("double"), 6))
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
+    )
+
+
+def robust_length_outliers(df: DataFrame, len_col: str = "n_chars",
+                           group_col: str = "source",
+                           id_col: str = "doc_id",
+                           z_thresh: float = 3.5) -> DataFrame:
+    """Per-group robust length-outlier gate: modified z-score from the
+    median and the MAD (median absolute deviation), the standard
+    curation filter for truncated/concatenated-document artifacts —
+    mean/stddev z-scores are themselves dragged by the outliers they
+    are supposed to catch, so heavy-tailed web corpora gate on
+    ``0.6745·(x − median)/MAD`` (the Iglewicz-Hoberg modified z) with
+    the conventional 3.5 cut instead.
+
+    Exactness: both medians run as exact ``percentile`` (the q45
+    discipline — linear interpolation, same estimator as DuckDB's
+    ``quantile_cont``); deviations of integer lengths from a half-
+    integer median are exact doubles, so the whole score is reproduced
+    bit-identically by the oracle. Groups whose MAD is 0 (more than
+    half the docs share one length) define z = 0 — no division blowup.
+
+    Scale shape: two corpus scans (the second pass is inherent — MAD
+    is a median OF deviations from the first-pass median) and two
+    |groups|-row stat tables, both broadcast back, so no corpus-wide
+    shuffle at all. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (t-digest, partial-aggregable — q52's path);
+    the exact form here is what gives the value oracle."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({len_col}, 0.5)").alias("_med")
+    )
+    # the |groups|-row median table feeds BOTH the MAD pass and the
+    # scoring pass; without a cut Catalyst re-inlines its corpus scan
+    # into each consumer — 4 corpus scans instead of the inherent 3
+    med = med.localCheckpoint(eager=True)
+    dev = df.join(F.broadcast(med), group_col)
+    mad = dev.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({len_col} - _med), 0.5)").alias("_mad")
+    )
+    scored = dev.join(F.broadcast(mad), group_col)
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(len_col) - F.col("_med")) / F.col("_mad"),
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(len_col).alias("length"),
+        F.round(F.col("_med"), 4).alias("grp_median"),
+        F.round(F.col("_mad"), 4).alias("grp_mad"),
+        F.round(z, 6).alias("robust_z"),
+        (F.abs(z) > F.lit(z_thresh)).alias("is_outlier"),
+    )
+
+
+def unigram_kl(df: DataFrame, text_col: str = "text",
+               group_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-group unigram-distribution KL divergence vs the whole corpus
+    — the mixture-drift diagnostic behind data-mixing dashboards:
+    which source's token distribution is unusual, how far a new crawl
+    snapshot drifted from the training mix, which domain to re-weight.
+    ``KL(p_g ‖ p_c) = Σ_t p_g(t)·ln(p_g(t)/p_c(t))`` over token types.
+
+    Exactness (the q79/q102 integer micro-nat discipline): each type's
+    term is ``c_gt·(L(c_gt) − L(N_g) − L(c_t) + L(N))`` with
+    ``L(x) = round(ln(x)·1e6)`` — ln at INTEGER arguments, so both
+    engines quantize identical doubles — summed as decimal(38,0)
+    (at 10^12 tokens a per-type term reaches ~6e19, past bigint).
+    Only the final ``/N_g/1e6`` rescale is floating-point.
+
+    Scale shape: one tokenize+explode, one partial-agg groupBy on
+    ``(group, token)``, a vocab-sized groupBy on token, then joins of
+    |groups|- and |vocab|-sized tables (corpus totals enter via a
+    broadcast 1-row cross join). Nothing quadratic, no corpus-wide
+    window."""
+    gt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .groupBy("grp", "_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    # the (group, token) count table feeds FOUR consumers (n_g, c_t,
+    # the corpus total, and the term join); without a cut Catalyst
+    # re-inlines the tokenize+explode into each — 8 corpus scans at
+    # 100 TB instead of 1 (the q82/q101 precedent). The table itself
+    # is only |groups|x|vocab| rows.
+    gt = gt.localCheckpoint(eager=True)
+    n_g = gt.groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("_n_g"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    c_t = gt.groupBy("_tok").agg(F.sum("_c").cast("long").alias("_c_t"))
+    n_tot = n_g.agg(F.sum("_n_g").cast("long").alias("_n"))
+
+    def _L(col: Column) -> Column:
+        return F.round(F.log(col) * 1000000.0, 0).cast("long")
+
+    term = (
+        F.col("_c")
+        * (_L(F.col("_c")) - _L(F.col("_n_g"))
+           - _L(F.col("_c_t")) + _L(F.col("_n")))
+    ).cast("decimal(38,0)")
+    per_grp = (
+        gt.join(F.broadcast(n_g), "grp")
+        .join(F.broadcast(c_t), "_tok")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("grp")
+        .agg(
+            F.max("_n_g").alias("n_tokens"),
+            F.max("n_types").alias("n_types"),
+            F.sum(term).alias("_kl_micro"),
+        )
+    )
+    return per_grp.select(
+        "grp",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("_kl_micro").cast("double")
+            / F.col("n_tokens") / 1000000.0, 6,
+        ).alias("kl_nats"),
+    )
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source", id_col: str = "doc_id",
+                 bucket_docs: int = 20) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve per group: cumulative distinct
+    token types vs cumulative tokens at ingestion checkpoints — the
+    corpus-diversity monitor a training pipeline watches while a crawl
+    streams in (a flattening curve means new shards add volume but no
+    new vocabulary; a type-token ratio that stops falling means dedup
+    is leaking templated content).
+
+    Checkpoints are id-ranges (``bucket = floor(id / bucket_docs)``,
+    global ingestion order), NOT per-group row_numbers — a rank window
+    over raw rows would shuffle the whole corpus into per-group sorted
+    partitions (the skew trap q104 avoids). A token's first appearance
+    is ``min(bucket)`` per (group, type): one partial-agg shuffle on
+    (group, token); the cumulative sums then run over the aggregated
+    |groups|×|buckets| table, where a window is free.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(id_col) / bucket_docs).cast("long").alias("bucket"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    first = (
+        base.select("grp", "bucket",
+                    F.explode(F.array_distinct("_toks")).alias("_tok"))
+        .groupBy("grp", "_tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("_new_types"))
+    )
+    per_bucket = base.groupBy("grp", "bucket").agg(
+        F.count("*").alias("_new_docs"),
+        F.sum(F.size("_toks")).alias("_new_tokens"),
+    )
+    # both aggregates are |groups|x|buckets| rows; cutting them keeps
+    # the join+window from re-inlining each side's corpus scan (4
+    # corpus passes instead of the inherent 2)
+    first = first.localCheckpoint(eager=True)
+    per_bucket = per_bucket.localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("grp").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = per_bucket.join(first, ["grp", "bucket"], "left").select(
+        "grp", "bucket", "_new_docs", "_new_tokens",
+        F.coalesce("_new_types", F.lit(0)).alias("_new_types"),
+    )
+    return joined.select(
+        "grp",
+        "bucket",
+        F.sum("_new_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("_new_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("_new_types").over(w).cast("long").alias("cum_types"),
+    ).withColumn(
+        "type_token_ratio",
+        F.when(
+            F.col("cum_tokens") > 0,
+            F.round(F.col("cum_types").cast("double")
+                    / F.col("cum_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def chunk_langid(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", chunk_words: int = 40,
+                 n: int = 3) -> DataFrame:
+    """Per-chunk language ID + per-document code-switch report — the
+    document-granularity langid (q51) votes once, so a half-English
+    half-German page passes an 'en' filter with the German half intact;
+    CCNet-style pipelines therefore langid per PARAGRAPH. Chunks are
+    ``chunk_words``-token windows (the partial tail chunk included —
+    that is where appended foreign boilerplate lives); each chunk votes
+    via the q51 trigram-profile overlap (same ``_argmax_lang``
+    sortable-string argmax, so chunk verdicts are engine-independent),
+    and per document the report is: chunk count, majority language
+    (ties to the lexicographically larger language — deterministic),
+    agreement = majority chunks / all chunks, distinct real (non-'und')
+    languages, and the ``is_code_switched`` flag (>= 2 real languages).
+
+    Scale shape: one tokenize, one chunk explode, one shingle explode
+    + distinct (the exploded_shingles discipline — the chunk string is
+    materialized below the lambda, so trigram extraction is O(len) and
+    codegen-able), two partial-agg groupBys keyed by (id, chunk) /
+    (id, lang), and a broadcast-free rejoin on id. No corpus-wide
+    window, nothing quadratic in document length."""
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    cw = int(chunk_words)
+    chunks = norm.filter(F.size("_toks") >= 1).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_toks") / F.lit(cw)).cast("int") - 1,
+                ),
+                lambda g: F.concat_ws(
+                    " ", F.slice(F.col("_toks"), g * cw + 1, cw)
+                ),
+            )
+        ).alias("_ci", "_chunk"),
+    )
+    # the chunk frame feeds BOTH the shingle build and the verdict
+    # rejoin; without a cut Catalyst re-inlines the tokenize + chunk
+    # explode into each consumer — two extra full corpus passes at
+    # 100 TB (the q82/q101 segment-frame precedent)
+    chunks = chunks.localCheckpoint(eager=True)
+    sh = (
+        chunks.filter(F.length("_chunk") >= n)
+        .select(
+            "id", "_ci", "_chunk",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_chunk") - (n - 1))
+            ).alias("_i"),
+        )
+        .select("id", "_ci", F.expr(f"substring(_chunk, _i, {n})").alias("_sh"))
+        .distinct()
+    )
+    hit_cols = {
+        lang: F.sum(
+            F.when(F.col("_sh").isin(profile), 1).otherwise(0)
+        )
+        for lang, profile in LANG_TRIGRAMS.items()
+    }
+    hits = sh.groupBy("id", "_ci").agg(
+        *[h.alias(f"_h_{lang}") for lang, h in hit_cols.items()]
+    )
+    lang = _argmax_lang(
+        {lang: F.coalesce(F.col(f"_h_{lang}"), F.lit(0))
+         for lang in LANG_TRIGRAMS}
+    )
+    chunk_lang = (
+        chunks.join(hits, ["id", "_ci"], "left")
+        .select("id", "_ci", lang.alias("_lang"))
+    )
+    per_lang = chunk_lang.groupBy("id", "_lang").agg(
+        F.count("*").alias("_cnt")
+    )
+    enc = F.concat(F.format_string("%010d", F.col("_cnt")), F.col("_lang"))
+    per_doc = per_lang.groupBy("id").agg(
+        F.sum("_cnt").cast("long").alias("n_chunks"),
+        F.max(enc).alias("_top"),
+        F.sum(F.when(F.col("_lang") != "und", 1).otherwise(0))
+        .cast("long").alias("n_langs"),
+    )
+    report = per_doc.select(
+        "id",
+        "n_chunks",
+        F.substring("_top", 11, 10).alias("majority_lang"),
+        F.round(
+            F.substring("_top", 1, 10).cast("double") / F.col("n_chunks"), 6
+        ).alias("lang_agreement"),
+        "n_langs",
+        (F.col("n_langs") >= 2).alias("is_code_switched"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(report, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("majority_lang", F.lit("und")).alias("majority_lang"),
+            F.coalesce("lang_agreement", F.lit(0.0)).alias("lang_agreement"),
+            F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
+            F.coalesce("is_code_switched", F.lit(False))
+            .alias("is_code_switched"),
+        )
     )

@@ -1,0 +1,253 @@
+"""Unit tests for the final round-5 operators: robust length-outlier
+gate, Heaps'-law vocabulary growth, per-source unigram KL divergence,
+per-chunk language ID / code-switch report.
+
+Each also has a full DuckDB value oracle (q105-q108); these pin the
+semantic guarantees the oracles can't express — the MAD=0 degeneracy,
+the modified-z hand value, KL's zero at identical distributions and
+positivity under skew, vocabulary-curve monotonicity/saturation, the
+chunking boundaries and majority tie-break — against hand computations
+on tiny inputs, plus layout invariance.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from epstein_browser_spark import textstats
+
+
+# ---------------------------------------------------------------------------
+# robust_length_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_robust_outlier_hand_case(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "source": ["a"] * 5,
+            "n_chars": [1, 2, 3, 4, 100],
+        }
+    )
+    out = (
+        textstats.robust_length_outliers(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # median 3, deviations [2,1,0,1,97] -> MAD 1
+    assert out["grp_median"].eq(3.0).all()
+    assert out["grp_mad"].eq(1.0).all()
+    # z(100) = 0.6745 * 97 = 65.4265 — far past any cut
+    assert abs(out.loc[4, "robust_z"] - 65.4265) < 1e-6
+    assert bool(out.loc[4, "is_outlier"])
+    # z(1) = 0.6745 * -2 = -1.349 — inside the 3.5 cut
+    assert abs(out.loc[0, "robust_z"] - (-1.349)) < 1e-6
+    assert not bool(out.loc[0, "is_outlier"])
+
+
+def test_robust_outlier_mad_zero_degenerates_to_zero(spark):
+    # >half the group shares one length -> MAD 0 -> z defined as 0
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["a"] * 4,
+            "n_chars": [7, 7, 7, 9999],
+        }
+    )
+    out = textstats.robust_length_outliers(
+        spark.createDataFrame(pdf)
+    ).toPandas()
+    assert out["robust_z"].eq(0.0).all()
+    assert not out["is_outlier"].any()
+
+
+def test_robust_outlier_groups_independent(spark):
+    # the same length can be an outlier in one source and typical in
+    # another — the gate is per-group by construction
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["a"] * 5 + ["b"] * 5,
+            "n_chars": [10, 11, 12, 13, 500] + [480, 490, 500, 510, 520],
+        }
+    )
+    out = (
+        textstats.robust_length_outliers(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")
+    )
+    assert bool(out.loc[4, "is_outlier"])  # 500 among ~10s
+    assert not bool(out.loc[7, "is_outlier"])  # 500 among ~500s
+
+
+# ---------------------------------------------------------------------------
+# unigram_kl
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_kl_zero_for_identical_distributions(spark):
+    # two sources with IDENTICAL token distributions: each source's
+    # distribution equals the corpus distribution, so KL ~ 0 (exactly,
+    # up to the +/- 1-micro-nat quantization of each ln term)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["a", "a", "b", "b"],
+            "text": ["x x y", "z", "x x y", "z"],
+        }
+    )
+    out = textstats.unigram_kl(spark.createDataFrame(pdf)).toPandas()
+    assert (out["kl_nats"].abs() < 1e-4).all()
+    assert out["n_tokens"].eq(4).all()
+    assert out["n_types"].eq(3).all()
+
+
+def test_unigram_kl_positive_under_skew(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2),
+            "source": ["a", "b"],
+            "text": ["x x x x x x x x", "y y y y y y y y"],
+        }
+    )
+    out = (
+        textstats.unigram_kl(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("grp")
+    )
+    # disjoint vocabularies: KL(p_a || p_c) = ln 2 for both sources
+    import math
+
+    assert abs(out.loc["a", "kl_nats"] - math.log(2)) < 1e-5
+    assert abs(out.loc["b", "kl_nats"] - math.log(2)) < 1e-5
+
+
+def test_unigram_kl_layout_invariance(spark):
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = textstats.unigram_kl(d).toPandas().sort_values("grp")
+    b = (
+        textstats.unigram_kl(d.repartition(13, "lang"))
+        .toPandas()
+        .sort_values("grp")
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_hand_case(spark):
+    # bucket_docs=2: docs 0,1 -> bucket 0; docs 2,3 -> bucket 1
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["a"] * 4,
+            "text": ["x y", "x", "x z", "x x"],
+        }
+    )
+    out = (
+        textstats.vocab_growth(
+            spark.createDataFrame(pdf), bucket_docs=2
+        )
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert out.loc[0, "cum_docs"] == 2
+    assert out.loc[0, "cum_tokens"] == 3
+    assert out.loc[0, "cum_types"] == 2  # x, y
+    assert out.loc[1, "cum_docs"] == 4
+    assert out.loc[1, "cum_tokens"] == 7
+    assert out.loc[1, "cum_types"] == 3  # + z (x already seen)
+    assert abs(out.loc[1, "type_token_ratio"] - round(3 / 7, 6)) < 1e-9
+
+
+def test_vocab_growth_monotone_and_saturates(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.vocab_growth(d).toPandas()
+    total_types = (
+        d.select(
+            F.explode(
+                textstats.tokens(F.lower(F.col("text")))
+            ).alias("t"),
+            "source",
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n"))
+        .toPandas()
+        .set_index("source")["n"]
+    )
+    for src, g in out.groupby("grp"):
+        g = g.sort_values("bucket")
+        for c in ("cum_docs", "cum_tokens", "cum_types"):
+            assert g[c].is_monotonic_increasing, (src, c)
+        # the curve ends at exactly the per-source distinct-type count
+        assert g["cum_types"].iloc[-1] == total_types[src]
+
+
+# ---------------------------------------------------------------------------
+# chunk_langid
+# ---------------------------------------------------------------------------
+
+_EN_40 = " ".join(["the and of to in that it is was for"] * 4)
+_DE_40 = " ".join(["der die und ein ich dich sich nicht schon unter"] * 4)
+
+
+def test_chunk_langid_code_switch_detected(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                _EN_40 + " " + _DE_40,  # half English, half German
+                _EN_40,  # pure English, one chunk
+                "",  # empty -> no chunks
+            ],
+        }
+    )
+    out = (
+        textstats.chunk_langid(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_chunks"] == 2
+    assert out.loc[0, "n_langs"] == 2
+    assert bool(out.loc[0, "is_code_switched"])
+    assert abs(out.loc[0, "lang_agreement"] - 0.5) < 1e-9
+    assert out.loc[1, "n_chunks"] == 1
+    assert out.loc[1, "majority_lang"] == "en"
+    assert out.loc[1, "n_langs"] == 1
+    assert not bool(out.loc[1, "is_code_switched"])
+    assert out.loc[2, "n_chunks"] == 0
+    assert out.loc[2, "majority_lang"] == "und"
+    assert not bool(out.loc[2, "is_code_switched"])
+
+
+def test_chunk_langid_tail_chunk_votes(spark):
+    # 41 tokens -> 2 chunks; the 1-token tail is where appended foreign
+    # boilerplate would live, so it must get its own vote (here: too
+    # short to shingle meaningfully -> 'und', still counted)
+    pdf = pd.DataFrame({"doc_id": [0], "text": [_EN_40 + " zz"]})
+    out = textstats.chunk_langid(spark.createDataFrame(pdf)).toPandas()
+    assert out.loc[0, "n_chunks"] == 2
+    assert out.loc[0, "majority_lang"] in ("en", "und")
+
+
+def test_chunk_langid_layout_invariance(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = textstats.chunk_langid(d).toPandas().sort_values("id")
+    b = (
+        textstats.chunk_langid(d.repartition(11))
+        .toPandas()
+        .sort_values("id")
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
