@@ -922,3 +922,37 @@ def lsh_recall_eval(df: DataFrame, text_col: str = "text",
                F.round(F.col("n_hit") / F.col("n_cand"), 6))
         .alias("cand_precision"),
     )
+
+
+def keep_best_in_cluster(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         score_col: str = "n_chars") -> DataFrame:
+    """Quality-ranked keep policy: every doc gets (id, cluster_id, score,
+    rank_in_cluster, is_kept) where the kept representative is the
+    HIGHEST-scoring member (ties to the smallest id). dedup_clusters
+    keeps min-id — fine for idempotent re-runs, but production pipelines
+    (FineWeb et al.) keep the longest / highest-quality member so dedup
+    never downgrades the surviving copy. Singleton docs are their own
+    kept cluster.
+
+    Scale shape: components from the q43 machinery, then ONE window
+    ranked within cluster_id — cluster frames are near-dup groups
+    (bounded by the pair-generation caps), never corpus-sized."""
+    comp = connected_components(pairs)
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
+        .join(comp, "id", "left")
+        .select(
+            "id", "score",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    rank = F.row_number().over(w)
+    return scored.select(
+        "id", "cluster_id", "score",
+        rank.alias("rank_in_cluster"),
+        (rank == 1).alias("is_kept"),
+    )

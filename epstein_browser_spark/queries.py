@@ -4681,6 +4681,130 @@ FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
 """
 
 
+def q109_keep_best(spark, sf_dir):
+    """Quality-ranked dedup keep policy (dedup.keep_best_in_cluster):
+    q43 resolves near-dup clusters and keeps the MIN id; production
+    pipelines (FineWeb et al.) instead keep the highest-quality member
+    so dedup never downgrades the surviving copy. Score here = n_chars
+    (keep-longest, the common default), ties to the smallest id —
+    fully deterministic, so the per-cluster ranking is value-oracled.
+    ONE window over cluster_id (frames are near-dup groups, bounded by
+    the pair-generation caps, never corpus-sized) on top of the q43
+    component machinery."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.keep_best_in_cluster(d, pairs).withColumn(
+        "score", F.col("score").cast("long")
+    )
+
+
+_Q109_SQL = """
+WITH RECURSIVE g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - 2),
+           i -> lower(trim(text))[i:i+2])) AS grams
+  FROM documents WHERE doc_id < 200 AND length(lower(trim(text))) >= 3),
+b AS (SELECT id, grams, list_sort(grams)[1] AS blk FROM g),
+p AS (
+  SELECT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+  WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.5),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT s AS id FROM e),
+walk(id, label) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.s, w.label FROM e JOIN walk w ON e.d = w.id),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+scored AS (
+  SELECT doc.doc_id AS id,
+         coalesce(comp.cluster_id, doc.doc_id) AS cluster_id,
+         CAST(doc.n_chars AS BIGINT) AS score
+  FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
+  WHERE doc.doc_id < 200)
+SELECT id, cluster_id, score,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY score DESC, id) AS rank_in_cluster,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY score DESC, id) = 1 AS is_kept
+FROM scored
+"""
+
+
+def q110_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap matrix: q19's exact-Jaccard
+    near-dup pairs aggregated per unordered source pair — the
+    provenance-overlap report a mixture owner reads before weighting
+    sources (two crawls that near-duplicate each other should not both
+    be upsampled; q69/q97 weight by volume alone). Per (src_a, src_b):
+    pair count and the min/max Jaccard observed — order-free picks of
+    per-pair doubles (NO float-sum aggregates like avg, whose
+    summation order differs between engines). Two broadcast joins of
+    the |docs|-row (id, source) projection onto the pair set, one
+    partial-agg groupBy on the source pair."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    meta = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(meta.select(F.col("doc_id").alias("id_a"),
+                                    F.col("source").alias("_sa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(meta.select(F.col("doc_id").alias("id_b"),
+                                    F.col("source").alias("_sb"))),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+_Q110_SQL = """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, length(lower(trim(text))) - 2),
+           i -> lower(trim(text))[i:i+2])) AS grams
+  FROM documents WHERE doc_id < 200 AND length(lower(trim(text))) >= 3),
+b AS (SELECT id, grams, list_sort(grams)[1] AS blk FROM g),
+p AS (
+  SELECT a.id AS id_a, c.id AS id_b,
+         CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, c.grams))) AS jaccard
+  FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+  WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.5),
+j AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b,
+         p.jaccard
+  FROM p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b)
+SELECT src_a, src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(jaccard), 6) AS min_jaccard,
+       round(max(jaccard), 6) AS max_jaccard
+FROM j GROUP BY src_a, src_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4697,6 +4821,8 @@ FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q109_keep_best": (q109_keep_best, _Q109_SQL),
+    "q110_source_overlap": (q110_source_overlap, _Q110_SQL),
     "q105_robust_length_gate": (q105_robust_length_gate, _Q105_SQL),
     "q106_vocab_growth": (q106_vocab_growth, _Q106_SQL),
     "q107_unigram_kl": (q107_unigram_kl, _Q107_SQL),
@@ -4746,10 +4872,15 @@ QUERIES: dict[str, tuple] = {
     # --- core extraction / quality / dedup / ANN families ---
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
-    "q39_search_page": (q39_search_page, _Q39_SQL),
-    "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q39/q42 rotated out for the q109/q110 debuts: q39's search/
+    # pagination family stays pinned via long-green q10/q12/q33 and
+    # in-window ranking twin q77; q42's minhash-pair family via
+    # in-window q43 (same shingle machinery), q76 (conv minhash
+    # LSH) and q88 (LSH recall eval).
+    "q39_search_page": (q39_search_page, _Q39_SQL),
+    "q42_minhash_pairs_md5": (q42_minhash_pairs_md5, _minhash_md5_sql()),
     # q53/q63/q83/q86 rotated out for the q105-q108 debuts: q53's
     # IVF/ANN family stays in-window via q66/q67/q74/q80/q88, q63's
     # temporal-join family via q62 (as-of), q83's deterministic-

@@ -251,3 +251,58 @@ def test_chunk_langid_layout_invariance(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# keep_best_in_cluster
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_hand_case(spark):
+    from epstein_browser_spark import dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 9],
+            "n_chars": [10, 50, 50, 7],
+        }
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    )
+    out = (
+        dedup.keep_best_in_cluster(spark.createDataFrame(pdf), pairs)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # {1,2,3} one cluster (labeled by min id): 2 and 3 tie on score 50,
+    # tie-break keeps the smaller id
+    assert out.loc[[1, 2, 3], "cluster_id"].eq(1).all()
+    assert bool(out.loc[2, "is_kept"])
+    assert out.loc[2, "rank_in_cluster"] == 1
+    assert not bool(out.loc[3, "is_kept"])
+    assert out.loc[3, "rank_in_cluster"] == 2
+    assert out.loc[1, "rank_in_cluster"] == 3
+    # 9 is a singleton: its own kept cluster
+    assert out.loc[9, "cluster_id"] == 9
+    assert bool(out.loc[9, "is_kept"])
+
+
+def test_keep_best_exactly_one_kept_per_cluster(spark):
+    from epstein_browser_spark import dedup
+    from pyspark.sql import functions as SF
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 200")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    out = dedup.keep_best_in_cluster(d, pairs)
+    per = out.groupBy("cluster_id").agg(
+        SF.sum(SF.col("is_kept").cast("int")).alias("k"),
+        SF.max("score").alias("mx"),
+        SF.max(SF.when(SF.col("is_kept"), SF.col("score"))).alias("kept_score"),
+    ).toPandas()
+    assert per["k"].eq(1).all()
+    # the kept member always carries the cluster's max score
+    assert (per["kept_score"] == per["mx"]).all()
