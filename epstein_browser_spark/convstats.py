@@ -431,3 +431,37 @@ def turn_integrity(
         ((n_dup == 0) & (n_missing == 0) & (F.col("n_ts_regress") == 0))
         .alias("is_valid"),
     )
+
+
+def template_turns(df: DataFrame, text_col: str = "text",
+                   role_col: str = "role",
+                   conv_col: str = "conv_id",
+                   min_occurrences: int = 2) -> DataFrame:
+    """Canned-response / template-turn census: exact turn texts repeated
+    ``min_occurrences``+ times across the corpus, per role — the
+    dialog-curation report behind stripping templated refusals, system-
+    prompt echoes, and copy-pasted tool boilerplate before SFT (a turn
+    that appears verbatim in hundreds of conversations teaches the
+    model the template, not the behavior). Exact match on purpose: the
+    NEAR-dup analogues are q75/q76 (conversation granularity) and q98
+    (consecutive-turn similarity); the exact census is the cheap first
+    pass that catches the overwhelming bulk.
+
+    Output per (role, text_md5): occurrence count, distinct
+    conversations touched, turn length. The text itself ships only as
+    md5 + length (the q42/q54 discipline: value-check without shipping
+    the corpus). ONE partial-agg groupBy keyed by (role, md5) — repeats
+    collapse map-side, so the shuffle carries one row per distinct
+    turn text, not per turn."""
+    census = (
+        df.groupBy(
+            F.col(role_col).alias("role"),
+            F.md5(F.col(text_col)).alias("text_md5"),
+            F.length(F.col(text_col)).cast("long").alias("turn_len"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct(F.col(conv_col)).cast("long").alias("n_convs"),
+        )
+    )
+    return census.filter(F.col("n_occurrences") >= min_occurrences)

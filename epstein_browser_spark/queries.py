@@ -4805,6 +4805,53 @@ FROM j GROUP BY src_a, src_b
 """
 
 
+def q111_template_turns(spark, sf_dir):
+    """Canned-response / template-turn census (convstats.template_turns):
+    exact turn texts repeated across the transcript corpus, per role —
+    what dialog curation strips before SFT (templated refusals, system-
+    prompt echoes, copy-pasted tool boilerplate teach the template, not
+    the behavior). Templates are PLANTED deterministically (the
+    q92/q104 pattern): turns whose reconstructed doc_id
+    (turn_idx*50 + conv number) is ≡5 mod 13 are replaced with a
+    per-role canned string, reproduced verbatim in the oracle — so the
+    census is non-vacuous for several roles at every sf. Texts ship as
+    md5 + length only (the q42/q54 discipline)."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    doc_id = (
+        F.col("turn_idx").cast("long") * 50
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    planted = tr.withColumn(
+        "text",
+        F.when(
+            F.pmod(doc_id, F.lit(13)) == 5,
+            F.concat(F.lit("I cannot help with that request. [canned:"),
+                     F.col("role"), F.lit("]")),
+        ).otherwise(F.col("text")),
+    )
+    return convstats.template_turns(planted)
+
+
+_Q111_SQL = """
+WITH {agent_cte},
+planted AS (
+  SELECT role, conv_id,
+         CASE WHEN (CAST(turn_idx AS BIGINT) * 50
+                    + CAST(substring(conv_id, 2, 10) AS BIGINT)) % 13 = 5
+              THEN 'I cannot help with that request. [canned:' || role
+                   || ']'
+              ELSE text END AS text
+  FROM tr)
+SELECT role, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS turn_len,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM planted
+GROUP BY role, md5(text), length(text)
+HAVING count(*) >= 2
+""".replace("{agent_cte}", _AGENT_TR_CTE)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4821,6 +4868,7 @@ FROM j GROUP BY src_a, src_b
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q111_template_turns": (q111_template_turns, _Q111_SQL),
     "q109_keep_best": (q109_keep_best, _Q109_SQL),
     "q110_source_overlap": (q110_source_overlap, _Q110_SQL),
     "q105_robust_length_gate": (q105_robust_length_gate, _Q105_SQL),
@@ -4845,7 +4893,6 @@ QUERIES: dict[str, tuple] = {
     "q100_episode_segments": (q100_episode_segments, _Q100_SQL),
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
-    "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
     "q84_lm_perplexity": (q84_lm_perplexity, _Q84_SQL),
     "q77_tfidf_topk": (q77_tfidf_topk, _Q77_SQL),
@@ -4874,6 +4921,10 @@ QUERIES: dict[str, tuple] = {
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q85 rotated out for the q111 debut: the n-gram-overlap family
+    # keeps long-green q57 (decontamination) pinned by pytest and
+    # in-window q82 (dup spans) on the same gram machinery.
+    "q85_eval_containment": (q85_eval_containment, _Q85_SQL),
     # q39/q42 rotated out for the q109/q110 debuts: q39's search/
     # pagination family stays pinned via long-green q10/q12/q33 and
     # in-window ranking twin q77; q42's minhash-pair family via

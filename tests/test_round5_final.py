@@ -306,3 +306,45 @@ def test_keep_best_exactly_one_kept_per_cluster(spark):
     assert per["k"].eq(1).all()
     # the kept member always carries the cluster's max score
     assert (per["kept_score"] == per["mx"]).all()
+
+
+# ---------------------------------------------------------------------------
+# template_turns
+# ---------------------------------------------------------------------------
+
+
+def test_template_turns_census(spark):
+    from epstein_browser_spark import convstats
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2", "c3"],
+            "role": ["assistant"] * 5,
+            "text": ["CANNED", "unique-a", "CANNED", "unique-b", "CANNED"],
+        }
+    )
+    out = convstats.template_turns(spark.createDataFrame(pdf)).toPandas()
+    # only the repeated text survives the census
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_occurrences"] == 3
+    assert row["n_convs"] == 3
+    assert row["turn_len"] == len("CANNED")
+    import hashlib
+
+    assert row["text_md5"] == hashlib.md5(b"CANNED").hexdigest()
+
+
+def test_template_turns_empty_when_all_unique(spark):
+    from epstein_browser_spark import convstats
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "role": ["assistant", "user"],
+            "text": ["one", "two"],
+        }
+    )
+    assert (
+        convstats.template_turns(spark.createDataFrame(pdf)).count() == 0
+    )
