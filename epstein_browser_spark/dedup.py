@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from epstein_browser_spark.textstats import exploded_shingles, shingle_sets
+from epstein_browser_spark.textstats import (
+    deterministic_split,
+    exploded_shingles,
+    shingle_sets,
+)
 
 
 class CapMetrics:
@@ -921,6 +925,36 @@ def lsh_recall_eval(df: DataFrame, text_col: str = "text",
         F.when(F.col("n_cand") > 0,
                F.round(F.col("n_hit") / F.col("n_cand"), 6))
         .alias("cand_precision"),
+    )
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id", train_pct: int = 80,
+                       val_pct: int = 10) -> DataFrame:
+    """Cluster-atomic train/val/test assignment: every member of a
+    near-dup cluster lands in the split of its CLUSTER id, so a test
+    document can never be a near-duplicate of a training document (the
+    per-doc hash split leaks — two near-identical docs hash
+    independently, and the model is then evaluated on paraphrases of
+    its training data). Singleton docs keep their per-doc assignment
+    (cluster_id == id).
+
+    Output per doc: (id, cluster_id, split, naive_split, was_leaky) —
+    ``naive_split`` is what the per-doc hash would have assigned and
+    ``was_leaky`` marks docs the cluster-atomic rule MOVED, i.e. members
+    of clusters that straddled split boundaries under naive hashing
+    (the leak-rate report is one aggregate over this flag).
+
+    Scale shape: components from the q43 machinery, then two pure
+    column expressions — no shuffle beyond dedup_clusters' own."""
+    clusters = dedup_clusters(df, pairs, id_col)
+    split = deterministic_split(F.col("cluster_id"), train_pct, val_pct)
+    naive = deterministic_split(F.col("id"), train_pct, val_pct)
+    return clusters.select(
+        "id", "cluster_id",
+        split.alias("split"),
+        naive.alias("naive_split"),
+        (split != naive).alias("was_leaky"),
     )
 
 

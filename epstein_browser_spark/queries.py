@@ -1395,8 +1395,10 @@ def q43_dup_clusters(spark, sf_dir):
     )
 
 
-_Q43_SQL = """
-WITH RECURSIVE g AS (
+# the q43 connected-components closure over 3-gram Jaccard>=0.5 pairs at
+# doc_id < 200 — shared verbatim by the q112 leakage-safe-split oracle so
+# the two restatements cannot drift
+_Q43_COMP_CTE = """g AS (
   SELECT doc_id AS id,
          list_distinct(list_transform(
            generate_series(1, length(lower(trim(text))) - 2),
@@ -1415,7 +1417,10 @@ walk(id, label) AS (
   SELECT id, id FROM n
   UNION
   SELECT e.s, w.label FROM e JOIN walk w ON e.d = w.id),
-comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)"""
+
+_Q43_SQL = f"""
+WITH RECURSIVE {_Q43_COMP_CTE}
 SELECT doc.doc_id AS id,
        coalesce(comp.cluster_id, doc.doc_id) AS cluster_id,
        doc.doc_id = coalesce(comp.cluster_id, doc.doc_id) AS is_canonical
@@ -1766,11 +1771,22 @@ def q46_split_assign(spark, sf_dir):
 # bucket = int(first 4 hex digits of md5) % 100 — mirrors
 # textstats.deterministic_split (4 digits: bias 36/65536, vs 56/256 for one
 # byte). The digit-value sum restates Spark's conv(substring(h,1,4),16,10).
-_Q46_BUCKET = " + ".join(
-    f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), "
-    f"{i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-    for i in range(4)
-)
+def _split_bucket_sql(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST({expr} AS VARCHAR))"
+        f", {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def _split_case_sql(expr: str) -> str:
+    """The full deterministic_split restatement: bucket → split name."""
+    return (f"CASE WHEN ({_split_bucket_sql(expr)}) % 100 < 80 THEN 'train' "
+            f"WHEN ({_split_bucket_sql(expr)}) % 100 < 90 THEN 'val' "
+            f"ELSE 'test' END")
+
+
+_Q46_BUCKET = _split_bucket_sql("doc_id")
 _Q46_SQL = f"""
 SELECT doc_id,
   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -4852,6 +4868,269 @@ HAVING count(*) >= 2
 """.replace("{agent_cte}", _AGENT_TR_CTE)
 
 
+def q112_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware (cluster-atomic) train/val/test split
+    (dedup.leakage_safe_split): every member of a q43 near-dup cluster
+    lands in the split of its CLUSTER id, so a held-out document is
+    never a near-duplicate of a training document — the leak the
+    per-doc hash split (q46) cannot prevent. `was_leaky` marks the docs
+    the cluster-atomic rule moved (33 of 200 at sf0.01 — the realized
+    leak rate of naive splitting on this corpus). Oracle: the q43
+    recursive-CTE closure (shared CTE text — cannot drift) + the q46
+    bucket arithmetic applied to cluster_id and id."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.leakage_safe_split(d, pairs)
+
+
+_Q112_SQL = f"""
+WITH RECURSIVE {_Q43_COMP_CTE},
+t AS (
+  SELECT doc.doc_id AS id,
+         coalesce(comp.cluster_id, doc.doc_id) AS cluster_id
+  FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
+  WHERE doc.doc_id < 200),
+s AS (
+  SELECT id, cluster_id,
+         {_split_case_sql('cluster_id')} AS split,
+         {_split_case_sql('id')} AS naive_split
+  FROM t)
+SELECT id, cluster_id, split, naive_split,
+       split <> naive_split AS was_leaky
+FROM s
+"""
+
+
+def q113_split_leakage(spark, sf_dir):
+    """Cross-split n-gram leakage report (textstats.split_leakage): for
+    every val/test document under the PER-DOC hash split (q46) that
+    shares a word 8-gram with any train document, the shared-gram and
+    matched-train-doc counts — the audit that motivates q112's
+    cluster-atomic fix (GPT-3's dirtiness check pointed at the corpus's
+    own splits). One gram explode, split as a column expression, ONE
+    gram-keyed shuffle; join cost Σ_gram df_train·df_eval (per-gram
+    document frequency, never corpus size)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.split_leakage(d, n=8)
+
+
+_Q113_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+cg AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM tok WHERE len(toks) >= 8),
+sp AS (SELECT id, gram, {_split_case_sql('id')} AS split FROM cg),
+tr AS (SELECT gram, id AS tid FROM sp WHERE split = 'train'),
+ev AS (SELECT * FROM sp WHERE split <> 'train')
+SELECT ev.id AS id, ev.split AS split,
+       CAST(count(DISTINCT ev.gram) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT tr.tid) AS BIGINT) AS n_train_docs
+FROM ev JOIN tr USING (gram)
+GROUP BY ev.id, ev.split
+"""
+
+
+def q114_budget_sampling(spark, sf_dir):
+    """Token-budget mixture materialization
+    (textstats.budgeted_source_sample): q97's α-sampling weights turned
+    into an actual per-source document selection for a 10k-token budget
+    — integer per-source budgets (w_nano·B div Σw_nano, exact on both
+    engines), documents taken in deterministic md5(id) order until the
+    budget is crossed (first crossing doc included). The selection is
+    DATA — stable across runs, engines, and row order. One corpus
+    groupBy (localCheckpoint-pinned), broadcast budget table, one
+    source-partitioned window."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+    )
+    out = textstats.budgeted_source_sample(
+        docs, group_col="lang", token_col="n_tokens", id_col="doc_id",
+        budget_tokens=10000, alpha=0.3,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("src").alias("lang"),
+        "n_tokens", "budget_tokens", "sel_rank", "cum_tokens",
+    )
+
+
+_Q114_SQL = """
+WITH docs AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+per AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        FROM docs GROUP BY lang),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t FROM per),
+w AS (SELECT lang,
+             CAST(round(pow(CAST(src_tokens AS DOUBLE) / t, 0.3)
+                        * 1000000000.0) AS BIGINT) AS w_nano
+      FROM per CROSS JOIN tot),
+ws AS (SELECT CAST(sum(w_nano) AS BIGINT) AS s FROM w),
+bud AS (SELECT lang, CAST((w_nano * 10000) // s AS BIGINT) AS budget_tokens
+        FROM w CROSS JOIN ws),
+r AS (
+  SELECT d.doc_id, d.lang, d.n_tokens, b.budget_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS BIGINT) AS sel_rank,
+         CAST(sum(d.n_tokens) OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM docs d JOIN bud b USING (lang))
+SELECT doc_id, lang, n_tokens, budget_tokens, sel_rank, cum_tokens
+FROM r WHERE cum_tokens - n_tokens < budget_tokens
+"""
+
+
+def q115_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility audit: REAL-BPE tokens per
+    whitespace word and UTF-8 bytes per BPE token, by language — the
+    multilingual tokenizer-budget report (XLM-R/BLOOM-style fertility
+    tables: a language whose fertility is 2× pays 2× the context budget
+    per word, and bytes/token exposes scripts the merge table
+    under-serves). Reuses q72's frozen-merges JVM replace chain
+    (codegen, zero Python); per-doc counts partial-agg to ≤|langs|
+    rows. Ratios divide exact integer sums (round 6 — the cross-engine
+    division discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    from epstein_browser_spark import bpe
+
+    counts = bpe.doc_bpe_token_counts(d, _bpe_merges(), "text", "doc_id")
+    per_doc = (
+        d.select(
+            "doc_id", "lang",
+            textstats.token_count(F.col("text")).cast("long").alias("n_ws"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        .join(counts, F.col("doc_id") == counts["id"])
+        .drop("id")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("n_ws").alias("n_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum("n_bytes").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang", "n_ws_tokens", "n_bpe_tokens", "n_bytes",
+        F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 6)
+        .alias("fertility"),
+        F.round(F.col("n_bytes") / F.col("n_bpe_tokens"), 6)
+        .alias("bytes_per_token"),
+    )
+
+
+def _q115_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT doc_id, sum({_bpe_count_sql('w')}) AS n FROM w GROUP BY doc_id),
+per AS (
+  SELECT d.lang,
+         CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_ws,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe,
+         CAST(strlen(d.text) AS BIGINT) AS n_bytes
+  FROM documents d JOIN c USING (doc_id))
+SELECT lang,
+       CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS fertility,
+       round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe), 6)
+         AS bytes_per_token
+FROM per GROUP BY lang
+"""
+
+
+def q116_split_leak_pairs(spark, sf_dir):
+    """Split-policy verification row for q112: over the q43 near-dup
+    pair set, how many pairs straddle splits under the NAIVE per-doc
+    hash split vs the cluster-atomic one — and how many straddle the
+    train boundary specifically (the harmful direction: a held-out doc
+    whose near-duplicate was trained on). Cluster-atomic is zero BY
+    CONSTRUCTION; the naive row is the measured leak this corpus would
+    ship with. Pairs localCheckpoint-pinned so the capped candidate set
+    is computed once for both the component closure and the pair
+    audit; the two-policy unpivot is a 1-row stack — nothing
+    corpus-sized after the aggregate."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = pairs.localCheckpoint(eager=True)
+    assign = dedup.leakage_safe_split(d, pairs)
+    a = assign.select(F.col("id").alias("id_a"), F.col("split").alias("sa"),
+                      F.col("naive_split").alias("na"))
+    b = assign.select(F.col("id").alias("id_b"), F.col("split").alias("sb"),
+                      F.col("naive_split").alias("nb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("na") != F.col("nb")).cast("long"))
+        .alias("_naive_cross"),
+        F.sum((F.col("sa") != F.col("sb")).cast("long"))
+        .alias("_atomic_cross"),
+        F.sum(((F.col("na") == "train") != (F.col("nb") == "train"))
+              .cast("long")).alias("_naive_te"),
+        F.sum(((F.col("sa") == "train") != (F.col("sb") == "train"))
+              .cast("long")).alias("_atomic_te"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, "
+            "'naive', n_pairs, _naive_cross, _naive_te, "
+            "'cluster_atomic', n_pairs, _atomic_cross, _atomic_te) "
+            "AS (policy, n_pairs, n_cross_split, n_train_eval)"
+        )
+    )
+
+
+_Q116_SQL = f"""
+WITH RECURSIVE {_Q43_COMP_CTE},
+t AS (
+  SELECT doc.doc_id AS id,
+         coalesce(comp.cluster_id, doc.doc_id) AS cluster_id
+  FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
+  WHERE doc.doc_id < 200),
+s AS (
+  SELECT id,
+         {_split_case_sql('cluster_id')} AS split,
+         {_split_case_sql('id')} AS naive_split
+  FROM t),
+jp AS (
+  SELECT sa.split AS sa, sa.naive_split AS na,
+         sb.split AS sb, sb.naive_split AS nb
+  FROM p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+           AS naive_cross,
+         CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+           AS atomic_cross,
+         CAST(sum(CASE WHEN (na = 'train') <> (nb = 'train')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS naive_te,
+         CAST(sum(CASE WHEN (sa = 'train') <> (sb = 'train')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS atomic_te
+  FROM jp)
+SELECT 'naive' AS policy, n_pairs, naive_cross AS n_cross_split,
+       naive_te AS n_train_eval FROM agg
+UNION ALL
+SELECT 'cluster_atomic', n_pairs, atomic_cross, atomic_te FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -4868,6 +5147,11 @@ HAVING count(*) >= 2
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q115_tokenizer_fertility": (q115_tokenizer_fertility, _q115_sql()),
+    "q116_split_leak_pairs": (q116_split_leak_pairs, _Q116_SQL),
+    "q112_leakage_safe_split": (q112_leakage_safe_split, _Q112_SQL),
+    "q113_split_leakage": (q113_split_leakage, _Q113_SQL),
+    "q114_budget_sampling": (q114_budget_sampling, _Q114_SQL),
     "q111_template_turns": (q111_template_turns, _Q111_SQL),
     "q109_keep_best": (q109_keep_best, _Q109_SQL),
     "q110_source_overlap": (q110_source_overlap, _Q110_SQL),
@@ -4901,16 +5185,11 @@ QUERIES: dict[str, tuple] = {
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # --- newest operator families (rounds 3-4) ---
-    "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
-    "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
-    "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
-    "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
     "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
     "q69_mixture_report": (q69_mixture_report, _q69_sql()),
-    "q71_boilerplate_lines": (q71_boilerplate_lines, _Q71_SQL),
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
     "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
@@ -4921,6 +5200,23 @@ QUERIES: dict[str, tuple] = {
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q66/q71 rotated out for the q115/q116 debuts: q66's PQ-ADC
+    # machinery is composed verbatim by in-window q67 (IVF-PQ), q71's
+    # boilerplate census by in-window q101 (the strip rewrite) — both
+    # still pinned per-query by tests/test_queries_oracle.py.
+    "q66_pq_adc_topk": (q66_pq_adc_topk, _q66_sql()),
+    "q71_boilerplate_lines": (q71_boilerplate_lines, _Q71_SQL),
+    # q51/q61/q64 rotated out for the q112-q114 debuts: q51's
+    # trigram-langid machinery stays in-window via q108 (per-chunk
+    # langid composes the identical profile argmax), q61's
+    # deterministic-md5-sampling family via q93 (Gumbel top-k) and the
+    # debuting q114 (budgeted selection on the same md5-order
+    # machinery), q64's repetition family via q102 (token entropy) and
+    # q98 (dialog self-repetition) — all three still pinned per-query
+    # by tests/test_queries_oracle.py.
+    "q51_langid_ngram": (q51_langid_ngram, _q51_sql()),
+    "q61_stratified_sample": (q61_stratified_sample, _q61_sql()),
+    "q64_repetition_signals": (q64_repetition_signals, _Q64_SQL),
     # q85 rotated out for the q111 debut: the n-gram-overlap family
     # keeps long-green q57 (decontamination) pinned by pytest and
     # in-window q82 (dup spans) on the same gram machinery.

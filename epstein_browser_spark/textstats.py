@@ -1505,3 +1505,108 @@ def chunk_langid(df: DataFrame, text_col: str = "text",
             .alias("is_code_switched"),
         )
     )
+
+
+def split_leakage(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8,
+                  train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Cross-split n-gram leakage report for the PER-DOC hash split: for
+    every val/test document sharing at least one word n-gram with any
+    TRAIN document, the count of shared distinct grams and of distinct
+    train documents matched — the audit a curation pipeline runs before
+    trusting held-out metrics (GPT-3's appendix-C dirtiness check,
+    pointed at the corpus's own splits instead of an external benchmark;
+    the FIX is `dedup.leakage_safe_split`, this is the detector).
+
+    Scale shape: one gram explode, the split assignment as a pure column
+    expression, then ONE shuffle keyed on the gram for the train↔eval
+    join. Join cost is Σ_gram df_train·df_eval — quadratic in per-gram
+    document frequency, never in corpus size (the q88 honesty note:
+    boilerplate grams are the hot keys; AQE skew-join handles them, and
+    a production run typically drops grams above a df cap first, which
+    only REMOVES report rows for ubiquitous grams)."""
+    grams = word_ngrams_exploded(df, text_col, id_col, n)
+    g = grams.withColumn(
+        "split", deterministic_split(F.col("id"), train_pct, val_pct)
+    )
+    train = g.filter(F.col("split") == SPLIT_NAMES[0]).select(
+        "gram", F.col("id").alias("_tid")
+    )
+    ev = g.filter(F.col("split") != SPLIT_NAMES[0])
+    return (
+        ev.join(train, "gram")
+        .groupBy("id", "split")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+            F.countDistinct("_tid").cast("long").alias("n_train_docs"),
+        )
+    )
+
+
+def budgeted_source_sample(df: DataFrame, group_col: str = "lang",
+                           token_col: str = "n_tokens",
+                           id_col: str = "doc_id",
+                           budget_tokens: int = 10000,
+                           alpha: float = 0.3) -> DataFrame:
+    """Materialize an α-sampling mixture (the q97 weights) into an actual
+    document selection: each source gets an integer token budget
+    ∝ share^α, and documents are taken in deterministic md5 order until
+    the budget is crossed (the first crossing doc is INCLUDED, so every
+    source with a positive budget contributes). This is the step between
+    "mixture report" (q69/q97) and a training run — the selection is
+    DATA: stable across runs, engines, and row order, and a different
+    epoch/budget is a different selection, not a different RNG stream.
+
+    Cross-engine determinism: budgets divide exact integers
+    (w_nano·B div Σw_nano — no float summation or division ordering);
+    the per-source order is md5(id) with id tiebreak; the keep rule
+    compares exact integer running sums.
+
+    Scale shape: one partial-agg groupBy to ≤|sources| rows (pinned with
+    localCheckpoint so the corpus is scanned once — the q97 lesson), the
+    budget table broadcast, then ONE window partitioned by source. A
+    source's rows must fit a window partition; at extreme skew the q59
+    sharded-running-sum form replaces the window (documented tradeoff —
+    the selection is per-source sequential by definition)."""
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("src"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    per = docs.groupBy("src").agg(F.sum("n_tokens").alias("src_tokens"))
+    per = per.localCheckpoint(eager=True)
+    tot = per.agg(F.sum("src_tokens").alias("_tot"))
+    w = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_w_nano",
+            F.round(
+                F.pow(F.col("src_tokens") / F.col("_tot"), F.lit(alpha))
+                * 1e9, 0
+            ).cast("long"),
+        )
+    )
+    wsum = w.agg(F.sum("_w_nano").alias("_wsum"))
+    budgets = (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "src",
+            F.expr(f"_w_nano * {int(budget_tokens)} div _wsum")
+            .alias("budget_tokens"),
+        )
+    )
+    order = [F.md5(F.col("id").cast("string")), F.col("id")]
+    win = Window.partitionBy("src").orderBy(*order)
+    cum = Window.partitionBy("src").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.join(F.broadcast(budgets), "src")
+        .select(
+            "id", "src", "n_tokens", "budget_tokens",
+            F.row_number().over(win).cast("long").alias("sel_rank"),
+            F.sum("n_tokens").over(cum).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens")
+                < F.col("budget_tokens"))
+    )

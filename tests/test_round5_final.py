@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from epstein_browser_spark import textstats
 
+SF_DIR = "/root/testdata/sf0.01"
+
 
 # ---------------------------------------------------------------------------
 # robust_length_outliers
@@ -348,3 +350,156 @@ def test_template_turns_empty_when_all_unique(spark):
     assert (
         convstats.template_turns(spark.createDataFrame(pdf)).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split / split_leakage / budgeted_source_sample
+# ---------------------------------------------------------------------------
+
+
+def _split_of(i: int) -> str:
+    import hashlib
+
+    b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    from epstein_browser_spark import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1], "id_b": [2]})
+    )
+    out = (
+        dedup.leakage_safe_split(docs, pairs)
+        .toPandas().set_index("id").sort_index()
+    )
+    # cluster {1,2} takes the split of its min id; 3 stays naive
+    assert out.loc[1, "cluster_id"] == 1 and out.loc[2, "cluster_id"] == 1
+    assert out.loc[1, "split"] == _split_of(1)
+    assert out.loc[2, "split"] == _split_of(1)
+    assert out.loc[3, "split"] == _split_of(3)
+    # naive_split is the per-doc hash; was_leaky iff the rule moved it
+    for i in (1, 2, 3):
+        assert out.loc[i, "naive_split"] == _split_of(i)
+        assert out.loc[i, "was_leaky"] == (
+            out.loc[i, "split"] != out.loc[i, "naive_split"]
+        )
+    # every cluster is split-atomic
+    assert out.groupby("cluster_id")["split"].nunique().eq(1).all()
+
+
+def test_split_leakage_detects_cross_split_gram(spark):
+    from epstein_browser_spark import textstats
+
+    # pick ids landing in train / test / train by the md5 bucket
+    train_id = next(i for i in range(1000) if _split_of(i) == "train")
+    test_id = next(i for i in range(1000) if _split_of(i) == "test")
+    train_id2 = next(
+        i for i in range(train_id + 1, 2000) if _split_of(i) == "train"
+    )
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [train_id, test_id, train_id2],
+                "text": [
+                    shared + " train tail words here",
+                    shared + " totally different suffix",
+                    "no overlap with anything else at all in this one",
+                ],
+            }
+        )
+    )
+    out = textstats.split_leakage(docs, n=8).toPandas()
+    # exactly the test doc is reported, against exactly one train doc
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["id"] == test_id and row["split"] == "test"
+    assert row["n_shared_grams"] == 1 and row["n_train_docs"] == 1
+
+
+def test_budgeted_source_sample_budget_rule(spark):
+    from epstein_browser_spark import textstats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "lang": ["a"] * 3,
+                "n_tokens": [5, 5, 5],
+            }
+        )
+    )
+    out = (
+        textstats.budgeted_source_sample(
+            docs, group_col="lang", budget_tokens=8
+        )
+        .toPandas().sort_values("sel_rank")
+    )
+    # single source: budget == B; docs taken in md5 order until the
+    # first crossing (included) — 5 < 8 keep, 10-5=5 < 8 keep, 15-10 drop
+    assert (out["budget_tokens"] == 8).all()
+    assert len(out) == 2
+    assert list(out["cum_tokens"]) == [5, 10]
+    # the kept prefix obeys the crossing rule exactly
+    assert ((out["cum_tokens"] - out["n_tokens"]) < 8).all()
+
+
+def test_budgeted_source_sample_every_source_contributes(spark):
+    from epstein_browser_spark import textstats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(10)),
+                "lang": ["a"] * 8 + ["b"] * 2,
+                "n_tokens": [100] * 8 + [10] * 2,
+            }
+        )
+    )
+    out = textstats.budgeted_source_sample(
+        docs, group_col="lang", budget_tokens=50
+    ).toPandas()
+    # α upsamples the small source; both sources select ≥ 1 doc and
+    # selections stay per-source ordered prefixes
+    assert set(out["src"]) == {"a", "b"}
+    per = out.groupby("src")["sel_rank"]
+    assert (per.min() == 1).all()
+    assert (per.max() == per.count()).all()
+
+
+# ---------------------------------------------------------------------------
+# q115 / q116 registry-level invariants (value parity is oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_bounds(spark):
+    from epstein_browser_spark.queries import q115_tokenizer_fertility
+
+    out = q115_tokenizer_fertility(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # BPE splits within words and never merges across them, so every
+    # word is >= 1 token: fertility >= 1 for every language
+    assert (out["fertility"] >= 1.0).all()
+    assert (out["n_bpe_tokens"] >= out["n_ws_tokens"]).all()
+    assert (out["bytes_per_token"] > 0).all()
+
+
+def test_split_leak_pairs_policy_contrast(spark):
+    from epstein_browser_spark.queries import q116_split_leak_pairs
+
+    out = (
+        q116_split_leak_pairs(spark, SF_DIR)
+        .toPandas().set_index("policy")
+    )
+    # same pair universe for both policies; the cluster-atomic rule is
+    # leak-free BY CONSTRUCTION while naive hashing measurably leaks
+    assert out.loc["naive", "n_pairs"] == out.loc["cluster_atomic", "n_pairs"]
+    assert out.loc["naive", "n_pairs"] > 0
+    assert out.loc["cluster_atomic", "n_cross_split"] == 0
+    assert out.loc["cluster_atomic", "n_train_eval"] == 0
+    assert out.loc["naive", "n_cross_split"] >= out.loc["naive", "n_train_eval"]
