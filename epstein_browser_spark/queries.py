@@ -5039,12 +5039,14 @@ WITH w AS (
   FROM documents),
 c AS (SELECT doc_id, sum({_bpe_count_sql('w')}) AS n FROM w GROUP BY doc_id),
 per AS (
+  -- LEFT join (the q72 pattern): Spark's explode_outer keeps wordless
+  -- docs with n_bpe 0, and their BYTES must still count toward the lang
   SELECT d.lang,
          CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
                               x -> x <> '')) AS BIGINT) AS n_ws,
          CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe,
          CAST(strlen(d.text) AS BIGINT) AS n_bytes
-  FROM documents d JOIN c USING (doc_id))
+  FROM documents d LEFT JOIN c USING (doc_id))
 SELECT lang,
        CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
        CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,

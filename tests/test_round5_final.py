@@ -503,3 +503,40 @@ def test_split_leak_pairs_policy_contrast(spark):
     assert out.loc["cluster_atomic", "n_cross_split"] == 0
     assert out.loc["cluster_atomic", "n_train_eval"] == 0
     assert out.loc["naive", "n_cross_split"] >= out.loc["naive", "n_train_eval"]
+
+
+def test_tokenizer_fertility_wordless_doc_counts_bytes(spark, tmp_path):
+    """A whitespace-only doc has 0 words/BPE tokens but its BYTES still
+    count toward the language (Spark's explode_outer keeps it; the
+    oracle must LEFT-join for the same reason — regression for the
+    inner-join form that silently dropped such docs)."""
+    import duckdb
+
+    from epstein_browser_spark.queries import (
+        _q115_sql,
+        q115_tokenizer_fertility,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "text": ["hello world", "   "],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = q115_tokenizer_fertility(spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["n_ws_tokens"] == 2
+    assert got.iloc[0]["n_bytes"] == len("hello world") + 3
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    exp = con.sql(_q115_sql()).df()
+    assert exp.iloc[0]["n_bytes"] == got.iloc[0]["n_bytes"]
+    assert exp.iloc[0]["n_bpe_tokens"] == got.iloc[0]["n_bpe_tokens"]
