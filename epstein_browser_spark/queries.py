@@ -4387,9 +4387,15 @@ def q103_centroid_diversity(spark, sf_dir):
 
 _Q103_SQL = """
 WITH q AS (
+  -- CAST to DOUBLE before scaling (the q117 lesson): DuckDB otherwise
+  -- multiplies FLOAT * literal in FLOAT precision and quantizes ±1 off
+  -- Spark's exact float->double promotion; q103's final 6dp rounding
+  -- happened to absorb it at sf0.01, but the arrays themselves must
+  -- match the Spark kernel
   SELECT label,
          list_transform(embedding,
-                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS q
   FROM embeddings),
 s AS (
   SELECT label, q,
@@ -5133,6 +5139,141 @@ SELECT 'cluster_atomic', n_pairs, atomic_cross, atomic_te FROM agg
 """
 
 
+def q117_embedding_health(spark, sf_dir):
+    """Pre-ANN embedding validation census
+    (similarity.embedding_health): per label, how many vectors are
+    NULL / wrong-dimension / all-zero (each silently corrupts or
+    crashes every downstream cosine/ANN operator), plus exact-integer
+    norm statistics over the valid rest — the gate a pipeline runs
+    before the q22/q23/q37/q48 family. Defects PLANTED
+    deterministically (the q92/q104 pattern, reproduced verbatim in
+    the oracle): vec_id%97==13 → NULL, %89==7 → all-zero, %83==11 →
+    truncated to 32 dims — all three defect classes populated at every
+    sf. Norms follow the q103 micro-unit quantization: min/max/sum are
+    exact integers on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    zero = F.transform("embedding", lambda x: F.lit(0.0).cast("float"))
+    planted = e.select(
+        "vec_id", "label",
+        F.when(F.pmod("vec_id", F.lit(97)) == 13,
+               F.lit(None).cast("array<float>"))
+        .when(F.pmod("vec_id", F.lit(89)) == 7, zero)
+        .when(F.pmod("vec_id", F.lit(83)) == 11,
+              F.slice("embedding", 1, 32))
+        .otherwise(F.col("embedding")).alias("embedding"),
+    )
+    return similarity.embedding_health(planted, "embedding", "label", 64)
+
+
+_Q117_SQL = """
+WITH planted AS (
+  SELECT label,
+         CASE WHEN vec_id % 97 = 13 THEN NULL
+              WHEN vec_id % 89 = 7
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              WHEN vec_id % 83 = 11 THEN embedding[1:32]
+              ELSE embedding END AS v
+  FROM embeddings),
+cls AS (
+  SELECT label,
+         v IS NULL AS is_null,
+         v IS NOT NULL AND len(v) <> 64 AS is_wrong,
+         CASE WHEN v IS NOT NULL AND len(v) = 64
+              -- CAST to DOUBLE before scaling: DuckDB otherwise
+              -- multiplies in FLOAT precision (63795.4995 becomes the
+              -- float 63795.5 and rounds UP) while Spark promotes the
+              -- float to double exactly
+              THEN list_sum(list_transform(
+                     v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)
+                             * CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                    AS BIGINT)))
+              END AS sq
+  FROM planted),
+nm AS (
+  SELECT label, is_null, is_wrong, sq = 0 AS is_zero,
+         CASE WHEN sq > 0
+              THEN CAST(round(sqrt(CAST(sq AS DOUBLE))) AS BIGINT)
+              END AS norm_micro
+  FROM cls)
+SELECT label AS grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN is_wrong THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wrong_dim,
+       CAST(sum(CASE WHEN coalesce(is_zero, false) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero,
+       CAST(count(norm_micro) AS BIGINT) AS n_valid,
+       min(norm_micro) AS min_norm_micro,
+       max(norm_micro) AS max_norm_micro,
+       round(CAST(sum(norm_micro) AS DOUBLE) / count(norm_micro)
+             / 1000000.0, 6) AS mean_norm
+FROM nm GROUP BY label
+"""
+
+
+def q118_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signals (textstats.code_signals): symbol
+    density, indented-line fraction, and code-keyword hits, with the
+    integer-cross-multiplied gate — the curation step that routes
+    source code away from the prose pipeline (The-Stack-style
+    separation: code must not be langid'd or sentence-packed like
+    prose). The corpus is pure prose (zero structural code chars at
+    every sf), so code is PLANTED deterministically: doc_id%7==3 docs
+    become a three-line function body derived from doc_id, reproduced
+    verbatim in the oracle — both classes populated, and the organic
+    rows exercise the all-zero signal path."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("def f_"), i, F.lit("(x):\n    y = x + "), i,
+        F.lit(";\n    return y;\n"),
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(7)) == 3, code)
+        .otherwise(F.col("text")).alias("text"),
+    )
+    out = textstats.code_signals(planted)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_Q118_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN 'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+                   || '    y = x + ' || CAST(doc_id AS VARCHAR) || ';'
+                   || chr(10) || '    return y;' || chr(10)
+              ELSE text END AS text
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[{}\\[\\]();=<>]', '', 'g'))
+              AS BIGINT) AS sym_count,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(l, '^(    |\\t)')))
+              AS BIGINT) AS indent_lines,
+         CAST(len(list_intersect(
+                list_distinct(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9_]+'),
+                  t -> t <> '')),
+                ['def', 'return', 'import', 'function', 'class', 'var',
+                 'const', 'void', 'include'])) AS BIGINT) AS kw_hits
+  FROM planted)
+SELECT doc_id, n_chars, sym_count, n_lines, indent_lines, kw_hits,
+       CASE WHEN n_chars > 0
+            THEN round(CAST(sym_count AS DOUBLE) / n_chars, 6)
+            ELSE 0.0 END AS sym_ratio,
+       (sym_count * 100 >= n_chars * 3 AND kw_hits >= 1)
+         OR indent_lines * 10 >= n_lines * 3 AS is_code
+FROM sig
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -5149,6 +5290,8 @@ SELECT 'cluster_atomic', n_pairs, atomic_cross, atomic_te FROM agg
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q117_embedding_health": (q117_embedding_health, _Q117_SQL),
+    "q118_code_detect": (q118_code_detect, _Q118_SQL),
     "q115_tokenizer_fertility": (q115_tokenizer_fertility, _q115_sql()),
     "q116_split_leak_pairs": (q116_split_leak_pairs, _Q116_SQL),
     "q112_leakage_safe_split": (q112_leakage_safe_split, _Q112_SQL),
@@ -5190,8 +5333,6 @@ QUERIES: dict[str, tuple] = {
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
-    "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
-    "q69_mixture_report": (q69_mixture_report, _q69_sql()),
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
     "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
@@ -5202,6 +5343,14 @@ QUERIES: dict[str, tuple] = {
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q68/q69 rotated out for the q117/q118 debuts: q68's embedding
+    # k-means cluster family stays in-window via q80 (SemDeDup composes
+    # the same assignment) and q74 (learned-quantizer IVF), q69's
+    # mixture-report family via q97 (α-reweighting) and q110
+    # (provenance overlap) — both still pinned per-query by
+    # tests/test_queries_oracle.py.
+    "q68_semantic_clusters": (q68_semantic_clusters, _Q68_SQL),
+    "q69_mixture_report": (q69_mixture_report, _q69_sql()),
     # q66/q71 rotated out for the q115/q116 debuts: q66's PQ-ADC
     # machinery is composed verbatim by in-window q67 (IVF-PQ), q71's
     # boilerplate census by in-window q101 (the strip rewrite) — both

@@ -863,3 +863,53 @@ def centroid_diversity(
         mean_cos.alias("mean_cos"),
         F.round(F.lit(1.0) - mean_cos, 6).alias("diversity"),
     )
+
+
+def embedding_health(df: DataFrame, vec_col: str = "embedding",
+                     group_col: str = "label",
+                     expected_dim: int = 64) -> DataFrame:
+    """Pre-ANN embedding validation census, per group: how many vectors
+    are NULL, wrong-dimension, or all-zero (each a row every ANN/cosine
+    operator downstream would silently corrupt or crash on — a zero
+    vector has no direction, a 32-dim vector poisons a 64-dim dot
+    product), plus norm statistics over the valid rest. The gate a
+    pipeline runs BEFORE q22/q23/q37/q48-style similarity work.
+
+    Cross-engine exactness (the q103 discipline): components quantize
+    to integer micro-units, the squared norm is an exact integer, and
+    the reported per-row norm is the correctly-rounded IEEE sqrt —
+    min/max/sum of exact integers, so no float summation order
+    anywhere; only the final mean divides.
+
+    Scale shape: one scan, one partial-agg groupBy to |groups| rows —
+    the per-row classification is pure column expressions."""
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x * 1000000.0, 0).cast("long")
+    )
+    sq = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    is_null = F.col(vec_col).isNull()
+    is_wrong_dim = ~is_null & (F.size(vec_col) != expected_dim)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        is_null.alias("_null"),
+        is_wrong_dim.alias("_wrong"),
+        F.when(~is_null & ~is_wrong_dim, sq).alias("_sq"),
+    ).withColumn("_zero", F.col("_sq") == 0)
+    norm_micro = F.when(
+        F.col("_sq") > 0,
+        F.round(F.sqrt(F.col("_sq").cast("double")), 0).cast("long"),
+    )
+    per = base.select("grp", "_null", "_wrong", "_zero",
+                      norm_micro.alias("_nm"))
+    n_valid = F.sum(F.col("_nm").isNotNull().cast("long"))
+    return per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("_null").cast("long")).alias("n_null"),
+        F.sum(F.col("_wrong").cast("long")).alias("n_wrong_dim"),
+        F.sum(F.coalesce(F.col("_zero").cast("long"), F.lit(0)))
+        .alias("n_zero"),
+        n_valid.alias("n_valid"),
+        F.min("_nm").alias("min_norm_micro"),
+        F.max("_nm").alias("max_norm_micro"),
+        F.round(F.sum("_nm") / n_valid / 1000000.0, 6).alias("mean_norm"),
+    )

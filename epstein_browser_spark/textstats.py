@@ -1610,3 +1610,63 @@ def budgeted_source_sample(df: DataFrame, group_col: str = "lang",
         .filter(F.col("cum_tokens") - F.col("n_tokens")
                 < F.col("budget_tokens"))
     )
+
+
+CODE_KEYWORDS = ["def", "return", "import", "function", "class", "var",
+                 "const", "void", "include"]
+
+# structural code characters: braces/brackets/parens, statement/assign
+# punctuation, comparison arrows
+CODE_SYMBOL_RE = r"[{}\[\]();=<>]"
+
+
+def code_signals(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose detection signals, per document — the pre-training
+    curation step that routes source code away from the prose pipeline
+    (code must not be langid'd, boilerplate-stripped, or
+    sentence-packed like prose; The-Stack-style pipelines separate it
+    first). Three cheap lexical signals plus the gate:
+
+    * ``sym_count`` / ``sym_ratio`` — structural code characters
+      (braces, parens, semicolons, assignment/comparison).
+    * ``indent_lines`` — lines starting with 4 spaces or a tab.
+    * ``kw_hits`` — distinct code keywords present as word tokens.
+    * ``is_code`` — (sym_ratio ≥ 3% AND any keyword) OR ≥ 30% indented
+      lines. The thresholds compare EXACT integers cross-multiplied
+      (sym_count·100 ≥ 3·n_chars), never a rounded float at the
+      boundary — the q85 lesson.
+
+    All pure JVM column expressions (regex counts, line splits, array
+    intersect) — one scan, no shuffle, whole-stage codegen."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    sym_count = n_chars - F.length(
+        F.regexp_replace(text, CODE_SYMBOL_RE, "")
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    indent_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^(    |\t)"))
+    )
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(text), r"[^a-z0-9_]+"),
+                 lambda t: t != "")
+    )
+    kw = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    kw_hits = F.size(F.array_intersect(toks, kw))
+    is_code = (
+        ((sym_count * 100 >= n_chars * 3) & (kw_hits >= 1))
+        | (indent_lines * 10 >= n_lines * 3)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        sym_count.cast("long").alias("sym_count"),
+        n_lines.cast("long").alias("n_lines"),
+        indent_lines.cast("long").alias("indent_lines"),
+        kw_hits.cast("long").alias("kw_hits"),
+        F.when(n_chars > 0, F.round(sym_count / n_chars, 6))
+        .otherwise(F.lit(0.0)).alias("sym_ratio"),
+        is_code.alias("is_code"),
+    )

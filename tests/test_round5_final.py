@@ -540,3 +540,68 @@ def test_tokenizer_fertility_wordless_doc_counts_bytes(spark, tmp_path):
     exp = con.sql(_q115_sql()).df()
     assert exp.iloc[0]["n_bytes"] == got.iloc[0]["n_bytes"]
     assert exp.iloc[0]["n_bpe_tokens"] == got.iloc[0]["n_bpe_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# embedding_health / code_signals
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_health_classifies_each_defect(spark):
+    from pyspark.sql import types as T
+
+    from epstein_browser_spark import similarity
+
+    dim = 4
+    unit = [1.0] + [0.0] * (dim - 1)
+    half = [0.5] + [0.0] * (dim - 1)
+    rows = [
+        ("g", unit), ("g", half), ("g", None),
+        ("g", [0.0] * dim), ("g", [1.0, 0.0]),
+    ]
+    schema = T.StructType([
+        T.StructField("label", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    out = similarity.embedding_health(
+        spark.createDataFrame(rows, schema), expected_dim=dim
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_rows"] == 5 and r["n_null"] == 1
+    assert r["n_wrong_dim"] == 1 and r["n_zero"] == 1
+    assert r["n_valid"] == 2
+    # unit vector -> 1e6 micro-units; the half vector -> 5e5
+    assert r["min_norm_micro"] == 500000
+    assert r["max_norm_micro"] == 1000000
+    assert abs(r["mean_norm"] - 0.75) < 1e-9
+
+
+def test_code_signals_gate_branches(spark):
+    from epstein_browser_spark import textstats
+
+    code = "def f(x):\n    y = x + 1;\n    return y;\n"
+    indent_only = "line one\n    indented a\n    indented b"
+    prose = "plain prose with no structure at all"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [code, indent_only, prose, ""],
+        }
+    )
+    out = (
+        textstats.code_signals(spark.createDataFrame(pdf))
+        .toPandas().set_index("id")
+    )
+    # symbol+keyword branch
+    assert bool(out.loc[1, "is_code"])
+    assert out.loc[1, "kw_hits"] == 2  # def, return
+    assert out.loc[1, "sym_count"] >= 5
+    # indent-only branch (no symbols, no keywords)
+    assert bool(out.loc[2, "is_code"])
+    assert out.loc[2, "sym_count"] == 0 and out.loc[2, "kw_hits"] == 0
+    assert out.loc[2, "indent_lines"] == 2 and out.loc[2, "n_lines"] == 3
+    # prose and the empty doc stay prose
+    assert not bool(out.loc[3, "is_code"])
+    assert not bool(out.loc[4, "is_code"])
+    assert out.loc[4, "sym_ratio"] == 0.0
