@@ -18,7 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from epstein_browser_spark import convstats, dedup, merge, similarity, textstats
+from epstein_browser_spark import (
+    convstats, dedup, merge, redaction, similarity, textstats,
+)
 from epstein_browser_spark.core.quality import (
     classify_low_quality_batch,
     quality_score_batch,
@@ -5274,6 +5276,141 @@ FROM sig
 """
 
 
+BLOCKWORDS = ("dup", "slow")
+
+
+def q119_blocklist_gate(spark, sf_dir):
+    """C4-style word-blocklist safety gate (redaction.blocklist_gate):
+    per-doc blocklist hit counts plus BOTH standard policies — C4's
+    any-hit drop and the RefinedWeb/Dolma fraction threshold (exact
+    cross-multiplied integers at the boundary). The blocklist here is a
+    stand-in pair chosen from the synthetic vocabulary so all three
+    outcomes are populated at sf0.01 (100 clean / 89 any-hit-only /
+    311 both): the operator is word-boundary token matching, identical
+    for a real badwords list. Generalizes the reference's scrub-before-
+    index gate (/root/reference/index_images.py:194-232) to the safety
+    filter a web corpus runs before training."""
+    out = redaction.blocklist_gate(
+        _t(spark, sf_dir, "documents"), list(BLOCKWORDS),
+        max_hits_permille=25,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_Q119_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS words
+  FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_filter(words, t -> t IN ('dup', 'slow')))
+            AS BIGINT) AS block_hits,
+       CAST(len(list_intersect(words, ['dup', 'slow'])) AS BIGINT)
+            AS n_blocked_kinds,
+       len(list_filter(words, t -> t IN ('dup', 'slow'))) > 0 AS drop_any,
+       len(words) > 0
+         AND len(list_filter(words, t -> t IN ('dup', 'slow'))) * 1000
+             >= 25 * len(words) AS drop_frac
+FROM w
+"""
+
+
+def _url_canon_augmented(d):
+    """Documents augmented with raw-variant URLs of the same logical
+    pages: mixed-case host + default port + trailing slash + utm param
+    (variant A), clean form + trailing tracking param (variant B), http
+    + default port + fragment (C, a DIFFERENT canonical — scheme is
+    significant), and a trailing-slash-only page (D). A and B
+    canonicalize together; byte-level URL equality sees four unrelated
+    strings."""
+    k = F.pmod("doc_id", F.lit(5)).cast("string")
+    m = F.pmod("doc_id", F.lit(7)).cast("string")
+    v = F.pmod("doc_id", F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit(" https://Example.COM:443/a/b/?utm_source=x&id="), k))
+        .when(v == 1, F.concat(
+            F.lit(" https://example.com/a/b?id="), k,
+            F.lit("&utm_campaign=y")))
+        .when(v == 2, F.concat(
+            F.lit(" http://example.com:80/a/b?id="), k, F.lit("#frag")))
+        .otherwise(F.concat(F.lit(" https://tracker.net/p/"), m, F.lit("/")))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), url).alias("text"))
+
+
+_URL_CANON_AUG_SQL = """
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' https://Example.COM:443/a/b/?utm_source=x&id='
+                       || CAST(doc_id % 5 AS VARCHAR)
+           WHEN 1 THEN ' https://example.com/a/b?id='
+                       || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=y'
+           WHEN 2 THEN ' http://example.com:80/a/b?id='
+                       || CAST(doc_id % 5 AS VARCHAR) || '#frag'
+           ELSE ' https://tracker.net/p/' || CAST(doc_id % 7 AS VARCHAR)
+                || '/' END AS text
+  FROM documents
+"""
+
+
+def q120_url_canonical(spark, sf_dir):
+    """Canonical-URL duplicate census (redaction.canonical_url_census):
+    lowercase scheme+host, strip default port / fragment / tracking
+    params / trailing slash, then group every URL occurrence by its
+    canonical form — the fetch-level dedup CommonCrawl-style pipelines
+    run BEFORE any text hashing (the same page under utm-decorated and
+    clean URLs is invisible to byte equality). Raw variants are planted
+    deterministically (restated verbatim in the oracle); groups with
+    n_raw_variants > 1 are the duplicates the operator exists to find."""
+    aug = _url_canon_augmented(_t(spark, sf_dir, "documents"))
+    return redaction.canonical_url_census(aug)
+
+
+def _q120_sql() -> str:
+    from epstein_browser_spark.redaction import (
+        DOMAIN_RE, TRACKING_PARAM_RE, URL_RE,
+    )
+
+    url_re = URL_RE.replace("'", "''")
+    track_re = TRACKING_PARAM_RE.replace("'", "''")
+    _ = DOMAIN_RE  # (domain extraction not needed here; URL_RE only)
+    return f"""
+WITH aug AS ({_URL_CANON_AUG_SQL}),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{url_re}')) AS url
+      FROM aug),
+p AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^https?://([^/?#]*)', 1)) AS hostport,
+             regexp_replace(url, '^https?://[^/?#]*', '') AS rest
+      FROM u),
+q AS (SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                  WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$', '')
+                  ELSE hostport END AS host,
+             regexp_replace(regexp_extract(rest, '^([^?#]*)', 1),
+                            '/+$', '') AS path0,
+             regexp_replace(
+               regexp_replace(regexp_extract(rest, '(\\?[^#]*)', 1),
+                              '{track_re}', '', 'g'),
+               '[?&]$', '') AS query
+      FROM p),
+c AS (SELECT doc_id, url,
+             scheme || '://' || host
+             || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+             || query AS canonical
+      FROM q)
+SELECT canonical, count(*) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT url) AS n_raw_variants
+FROM c GROUP BY 1 ORDER BY n_urls DESC, canonical ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -5290,6 +5427,8 @@ FROM sig
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q119_blocklist_gate": (q119_blocklist_gate, _Q119_SQL),
+    "q120_url_canonical": (q120_url_canonical, _q120_sql()),
     "q117_embedding_health": (q117_embedding_health, _Q117_SQL),
     "q118_code_detect": (q118_code_detect, _Q118_SQL),
     "q115_tokenizer_fertility": (q115_tokenizer_fertility, _q115_sql()),
@@ -5330,8 +5469,6 @@ QUERIES: dict[str, tuple] = {
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # --- newest operator families (rounds 3-4) ---
-    "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
-    "q62_asof_join": (q62_asof_join, _Q62_SQL),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
@@ -5343,6 +5480,14 @@ QUERIES: dict[str, tuple] = {
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q54/q62 rotated out for the q119/q120 debuts: q54's redaction
+    # module keeps in-window presence via q119 (blocklist_gate lives in
+    # redaction.py and the URL machinery via q120's canonical census),
+    # q62's temporal-join family via in-window q63-adjacent range logic
+    # exercised by q100 (episode gaps) — both remain pinned per-query by
+    # tests/test_queries_oracle.py.
+    "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
+    "q62_asof_join": (q62_asof_join, _Q62_SQL),
     # q68/q69 rotated out for the q117/q118 debuts: q68's embedding
     # k-means cluster family stays in-window via q80 (SemDeDup composes
     # the same assignment) and q74 (learned-quantizer IVF), q69's

@@ -188,3 +188,115 @@ def quality_rule_flags(df: DataFrame, text_col: str = "text",
         & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
     )
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Word-blocklist safety gate (C4's badwords filter, Raffel et al. 2020;
+# RefinedWeb/Dolma run the same shape with a fraction threshold instead of
+# C4's any-hit drop) — the standard "unsafe page" filter of web curation.
+# ---------------------------------------------------------------------------
+
+
+def blocklist_gate(df: DataFrame, blockwords: list[str],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   max_hits_permille: int = 25) -> DataFrame:
+    """Per-doc word-blocklist audit + both standard gate policies:
+
+    * ``block_hits`` — occurrences of any blocklisted word as a whole
+      whitespace token (case-insensitive; substring matches do NOT count
+      — C4 matches words, not character spans).
+    * ``n_blocked_kinds`` — how many DISTINCT blocklist entries appear.
+    * ``drop_any`` — C4 policy: one hit drops the document.
+    * ``drop_frac`` — RefinedWeb/Dolma policy: drop only when hits
+      exceed ``max_hits_permille`` per thousand tokens. The threshold
+      compares EXACT cross-multiplied integers
+      (``hits·1000 ≥ permille·n_words``) — no float at the boundary.
+
+    Pure JVM array/lambda expressions over the doc's own tokens — one
+    scan, no shuffle, no Python; at 100 TB this is a map-only pass whose
+    blocklist is a compile-time literal array (for huge blocklists,
+    swap the literal for a broadcast-joined explode — same semantics,
+    one extra broadcast)."""
+    from epstein_browser_spark.textstats import tokens
+
+    bw = sorted({w.lower() for w in blockwords})
+    words = tokens(F.lower(F.col(text_col)))
+    n_words = F.size(words)
+    hits = F.size(F.filter(words, lambda t: t.isin(*bw)))
+    kinds = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in bw])))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        hits.cast("long").alias("block_hits"),
+        kinds.cast("long").alias("n_blocked_kinds"),
+        (hits > 0).alias("drop_any"),
+        ((n_words > 0) & (hits * 1000 >= F.lit(max_hits_permille) * n_words))
+        .alias("drop_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the FIRST dedup any web pipeline runs (CommonCrawl
+# WET processing dedups by canonical URL before any text hashing): the same
+# page arrives as https://Example.COM:443/a/b/?utm_source=x&id=7 and
+# https://example.com/a/b?id=7, and byte-level URL equality misses it.
+# ---------------------------------------------------------------------------
+
+# tracking params stripped by canonicalization (utm_* family + click ids);
+# '&?' swallows the separator AFTER the removed param, a trailing '[?&]'
+# cleanup pass handles a removed LAST param. No backreferences in any
+# replacement string: Spark uses '$1' and DuckDB uses '\\1' — patterns
+# shared with the oracle must never need one (the repo-wide RE2 rule).
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of one URL, as pure column expressions:
+
+    1. scheme + host lowercased (path/query case is significant, host
+       case is not — RFC 3986 §6.2.2.1);
+    2. default port stripped per scheme (:443 on https, :80 on http);
+    3. fragment dropped (never sent to the server);
+    4. tracking query params removed (``utm_*``/``fbclid``/``gclid``),
+       dangling '?'/'&' cleaned;
+    5. trailing slashes stripped from a non-root path; an empty path
+       normalizes to '/'.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^https?://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_replace(url, r"^https?://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"(\?[^#]*)", 1)
+    query = F.regexp_replace(query, TRACKING_PARAM_RE, "")
+    query = F.regexp_replace(query, r"[?&]$", "")
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def canonical_url_census(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL duplicate census over every URL occurrence in the
+    corpus: (canonical, n_urls, n_docs, n_raw_variants). Groups with
+    ``n_raw_variants > 1`` are the fetch-level duplicates byte equality
+    misses. Explode + ONE partial-aggregable groupBy — the counts and
+    the distinct-variant set both combine map-side; at 100 TB the
+    canonical key is also the right shuffle key (near-uniform unless one
+    URL dominates the crawl, which this census is how you notice)."""
+    occ = url_domains(df, text_col=text_col, id_col=id_col).select(
+        "id", "url", canonical_url(F.col("url")).alias("canonical")
+    )
+    return (
+        occ.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("id").alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+        )
+        .orderBy(F.desc("n_urls"), F.asc("canonical"))
+    )
