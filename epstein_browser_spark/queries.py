@@ -5411,6 +5411,117 @@ FROM c GROUP BY 1 ORDER BY n_urls DESC, canonical ASC
 """
 
 
+def q121_domain_reputation(spark, sf_dir):
+    """Domain-level reputation from document-level safety outcomes —
+    the RefinedWeb/Dolma domain-filter step: per-doc q119 blocklist
+    flags roll up to each domain the doc links to (q56's URL plants),
+    and a domain whose docs are ≥80% flagged is blocked wholesale (the
+    cheap forward index: future fetches from a blocked domain are
+    dropped before any text processing). The rate threshold compares
+    exact cross-multiplied integers (5·n_flagged ≥ 4·n_docs) and
+    flag_permille is exact integer division — no float at the gate.
+    At sf0.01 the split is real: 7 domains blocked, 4 kept. One
+    (doc, domain) dedup + one |domains|-bounded partial-agg groupBy;
+    the per-doc gate is q119's map-only pass."""
+    d = _t(spark, sf_dir, "documents")
+    doms = (
+        redaction.url_domains(_url_augmented(d))
+        .select("id", "domain").distinct()
+    )
+    flags = redaction.blocklist_gate(
+        d, list(BLOCKWORDS), max_hits_permille=25
+    ).select("id", "drop_any")
+    per = doms.join(flags, "id")
+    return (
+        per.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("drop_any")).alias("n_flagged"),
+        )
+        .select(
+            "domain", "n_docs", "n_flagged",
+            F.expr("(1000 * n_flagged) div n_docs").alias("flag_permille"),
+            (F.col("n_flagged") * 5 >= F.col("n_docs") * 4)
+            .alias("domain_blocked"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _q121_sql() -> str:
+    from epstein_browser_spark.redaction import DOMAIN_RE, URL_RE
+
+    url_re = URL_RE.replace("'", "''")
+    return f"""
+WITH aug AS ({_URL_AUG_SQL}),
+u AS (SELECT DISTINCT doc_id,
+             lower(regexp_extract(url, '{DOMAIN_RE}', 1)) AS domain
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{url_re}')) AS url
+            FROM aug)),
+g AS (SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t IN ('dup', 'slow'))) > 0 AS flagged
+      FROM documents)
+SELECT domain, count(*) AS n_docs,
+       count(*) FILTER (flagged) AS n_flagged,
+       (1000 * count(*) FILTER (flagged)) // count(*) AS flag_permille,
+       count(*) FILTER (flagged) * 5 >= count(*) * 4 AS domain_blocked
+FROM u JOIN g USING (doc_id)
+GROUP BY domain ORDER BY domain
+"""
+
+
+def q122_conv_safety_drop(spark, sf_dir):
+    """Conversation-atomic safety gate over agent transcripts: a dialog
+    with ONE blocklisted turn is dropped WHOLE (the q75 atomicity rule
+    applied to safety — shipping the clean remainder of a flagged
+    conversation teaches the model the conversation minus the evidence).
+    Per conversation: turn count, flagged-turn count, the first flagged
+    turn index (where a human reviewer starts reading), and the drop
+    verdict. The rarer single-word blocklist keeps both branches real
+    at sf0.01 (20 of 50 conversations flagged). One conv-keyed
+    partial-agg groupBy over q119's map-only per-turn gate — at 10^12
+    turns this is extraction-shuffle-shaped, nothing heavier."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    hit = (
+        F.size(
+            F.filter(
+                textstats.tokens(F.lower(F.col("text"))),
+                lambda t: t == "dup",
+            )
+        )
+        > 0
+    )
+    return (
+        tr.select("conv_id", "turn_idx", hit.alias("hit"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.count_if(F.col("hit")).alias("n_flagged_turns"),
+            F.min(F.when(F.col("hit"), F.col("turn_idx")))
+            .alias("first_flagged_turn"),
+            (F.count_if(F.col("hit")) > 0).alias("conv_drop"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+_Q122_SQL = f"""
+WITH {_AGENT_TR_CTE},
+f AS (SELECT conv_id, turn_idx,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t = 'dup')) > 0 AS hit
+      FROM tr)
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(*) FILTER (hit) AS n_flagged_turns,
+       min(CASE WHEN hit THEN turn_idx END) AS first_flagged_turn,
+       count(*) FILTER (hit) > 0 AS conv_drop
+FROM f GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -5429,6 +5540,8 @@ QUERIES: dict[str, tuple] = {
     # round — VERDICT r4 item 7) ---
     "q119_blocklist_gate": (q119_blocklist_gate, _Q119_SQL),
     "q120_url_canonical": (q120_url_canonical, _q120_sql()),
+    "q121_domain_reputation": (q121_domain_reputation, _q121_sql()),
+    "q122_conv_safety_drop": (q122_conv_safety_drop, _Q122_SQL),
     "q117_embedding_health": (q117_embedding_health, _Q117_SQL),
     "q118_code_detect": (q118_code_detect, _Q118_SQL),
     "q115_tokenizer_fertility": (q115_tokenizer_fertility, _q115_sql()),
@@ -5473,8 +5586,6 @@ QUERIES: dict[str, tuple] = {
     "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
     "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
-    "q75_conv_dedup": (q75_conv_dedup, _Q75_SQL),
-    "q76_conv_neardup": (q76_conv_neardup, _q76_sql()),
     # --- core extraction / quality / dedup / ANN families ---
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
@@ -5484,10 +5595,14 @@ QUERIES: dict[str, tuple] = {
     # module keeps in-window presence via q119 (blocklist_gate lives in
     # redaction.py and the URL machinery via q120's canonical census),
     # q62's temporal-join family via in-window q63-adjacent range logic
-    # exercised by q100 (episode gaps) — both remain pinned per-query by
-    # tests/test_queries_oracle.py.
+    # exercised by q100 (episode gaps); q75/q76 rotated out for the
+    # q121/q122 debuts (q122 keeps the conversation-atomic family
+    # in-window, q111 the dialog-census family) — all four remain
+    # pinned per-query by tests/test_queries_oracle.py.
     "q54_pii_redaction": (q54_pii_redaction, _q54_sql()),
     "q62_asof_join": (q62_asof_join, _Q62_SQL),
+    "q75_conv_dedup": (q75_conv_dedup, _Q75_SQL),
+    "q76_conv_neardup": (q76_conv_neardup, _q76_sql()),
     # q68/q69 rotated out for the q117/q118 debuts: q68's embedding
     # k-means cluster family stays in-window via q80 (SemDeDup composes
     # the same assignment) and q74 (learned-quantizer IVF), q69's

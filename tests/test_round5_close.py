@@ -105,3 +105,31 @@ def test_canonical_census_merges_variants(spark):
     }
     assert out["https://a.example.org/x"] == (3, 3, 2)
     assert out["https://b.example.org/x"] == (1, 1, 1)
+
+
+def test_domain_reputation_gate_invariants(spark, sf_dir):
+    from epstein_browser_spark.queries import QUERIES
+
+    rows = QUERIES["q121_domain_reputation"][0](spark, sf_dir).collect()
+    assert rows, "domain reputation must be non-vacuous"
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        # the gate IS the exact cross-multiply — never a rounded rate
+        assert r["domain_blocked"] == (r["n_flagged"] * 5 >= r["n_docs"] * 4)
+        assert r["flag_permille"] == (1000 * r["n_flagged"]) // r["n_docs"]
+    # both verdicts must be real on this corpus, or the query pins nothing
+    assert {r["domain_blocked"] for r in rows} == {True, False}
+
+
+def test_conv_safety_drop_atomicity(spark, sf_dir):
+    from epstein_browser_spark.queries import QUERIES
+
+    rows = QUERIES["q122_conv_safety_drop"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["conv_drop"] == (r["n_flagged_turns"] > 0)
+        # first_flagged_turn exists exactly for dropped conversations
+        assert (r["first_flagged_turn"] is not None) == r["conv_drop"]
+        if r["first_flagged_turn"] is not None:
+            assert 0 <= r["first_flagged_turn"] < r["n_turns"] + 50
+    assert {r["conv_drop"] for r in rows} == {True, False}
