@@ -182,6 +182,25 @@ SHOWCASE = {
         "shuffle); episode ids are emitted per turn, keeping the plan "
         "single-shuffle with no aggregate."
     ),
+    "q119_blocklist_gate": (
+        "Word-blocklist safety gate: zero exchanges — the whole gate "
+        "(tokenize, blocklist hit count, both drop policies) is one "
+        "WholeStageCodegen projection over the scan; the blocklist is "
+        "a literal array, not a join."
+    ),
+    "q121_domain_reputation": (
+        "Domain reputation: the per-doc gate stays a codegen "
+        "projection; the (doc,domain) dedup and the domain rollup are "
+        "partial-aggregated before their exchanges, and the doc↔flag "
+        "join is a broadcast (both sides are per-doc-bounded) — no "
+        "cartesian, no single-partition exchange."
+    ),
+    "q122_conv_safety_drop": (
+        "Conversation-atomic safety: map-only per-turn gate, then ONE "
+        "partial-aggregable groupBy on the conversation key — the same "
+        "single-shuffle shape as extraction, so the op scales exactly "
+        "as far as the corpus scan does."
+    ),
 }
 
 
