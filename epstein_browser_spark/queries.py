@@ -5394,15 +5394,17 @@ q AS (SELECT doc_id, url, scheme,
                   ELSE hostport END AS host,
              regexp_replace(regexp_extract(rest, '^([^?#]*)', 1),
                             '/+$', '') AS path0,
-             regexp_replace(
-               regexp_replace(regexp_extract(rest, '(\\?[^#]*)', 1),
-                              '{track_re}', '', 'g'),
-               '[?&]$', '') AS query
+             list_filter(
+               string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '{track_re}'))
+               AS params
       FROM p),
 c AS (SELECT doc_id, url,
              scheme || '://' || host
              || CASE WHEN path0 = '' THEN '/' ELSE path0 END
-             || query AS canonical
+             || CASE WHEN len(params) > 0
+                     THEN '?' || array_to_string(params, '&')
+                     ELSE '' END AS canonical
       FROM q)
 SELECT canonical, count(*) AS n_urls,
        count(DISTINCT doc_id) AS n_docs,

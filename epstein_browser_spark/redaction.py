@@ -220,6 +220,8 @@ def blocklist_gate(df: DataFrame, blockwords: list[str],
     from epstein_browser_spark.textstats import tokens
 
     bw = sorted({w.lower() for w in blockwords})
+    if not bw:
+        raise ValueError("blocklist_gate needs a non-empty blocklist")
     words = tokens(F.lower(F.col(text_col)))
     n_words = F.size(words)
     hits = F.size(F.filter(words, lambda t: t.isin(*bw)))
@@ -242,12 +244,15 @@ def blocklist_gate(df: DataFrame, blockwords: list[str],
 # https://example.com/a/b?id=7, and byte-level URL equality misses it.
 # ---------------------------------------------------------------------------
 
-# tracking params stripped by canonicalization (utm_* family + click ids);
-# '&?' swallows the separator AFTER the removed param, a trailing '[?&]'
-# cleanup pass handles a removed LAST param. No backreferences in any
-# replacement string: Spark uses '$1' and DuckDB uses '\\1' — patterns
-# shared with the oracle must never need one (the repo-wide RE2 rule).
-TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+# tracking params stripped by canonicalization (utm_* family + click ids),
+# ANCHORED at the param-name start: the query string is split on '&' and
+# each param matched whole, so a param that merely CONTAINS a tracking
+# name ('xutm_source=1') is never mangled — the failure mode of the
+# regexp_replace-over-the-whole-query form, which would also need a kept
+# capture group (Spark spells it '$1', DuckDB '\\1' — patterns shared
+# with the oracle must never need a backreference, the repo-wide RE2
+# rule).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid)="
 
 
 def canonical_url(url: Column) -> Column:
@@ -257,8 +262,11 @@ def canonical_url(url: Column) -> Column:
        case is not — RFC 3986 §6.2.2.1);
     2. default port stripped per scheme (:443 on https, :80 on http);
     3. fragment dropped (never sent to the server);
-    4. tracking query params removed (``utm_*``/``fbclid``/``gclid``),
-       dangling '?'/'&' cleaned;
+    4. tracking query params removed (``utm_*``/``fbclid``/``gclid``)
+       by splitting the query on '&' and filtering whole params —
+       boundary-exact (a param CONTAINING a tracking name survives) and
+       it normalizes empty/double separators for free; a query left
+       empty loses its '?';
     5. trailing slashes stripped from a non-root path; an empty path
        normalizes to '/'.
     """
@@ -273,9 +281,14 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(rest, r"(\?[^#]*)", 1)
-    query = F.regexp_replace(query, TRACKING_PARAM_RE, "")
-    query = F.regexp_replace(query, r"[?&]$", "")
+    params = F.filter(
+        F.split(F.regexp_extract(rest, r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, query)
 
 

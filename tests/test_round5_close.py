@@ -63,9 +63,14 @@ CANON_CASES = [
     ("http://example.com:80/a/b?id=7#frag", "http://example.com/a/b?id=7"),
     # tracking-only query: the '?' itself goes
     ("https://example.com/p?utm_medium=z", "https://example.com/p"),
-    # adjacent tracking params both removed (regexp_replace is global)
+    # adjacent tracking params both removed (whole-param filtering)
     ("https://example.com/p?utm_a=1&utm_b=2&id=3&gclid=g",
      "https://example.com/p?id=3"),
+    # a param that merely CONTAINS a tracking name is never mangled
+    ("https://example.com/p?xutm_source=1&my_gclid=2",
+     "https://example.com/p?xutm_source=1&my_gclid=2"),
+    # empty/double separators normalize for free under param splitting
+    ("https://example.com/p?a=1&&b=2&", "https://example.com/p?a=1&b=2"),
     # NON-default port survives; path case is significant
     ("https://example.com:8443/A/B", "https://example.com:8443/A/B"),
     # empty path normalizes to '/'
