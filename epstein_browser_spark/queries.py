@@ -5524,6 +5524,256 @@ FROM f GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q123_domain_pagerank(spark, sf_dir):
+    """Domain authority via integer-exact PageRank (graph.pagerank) —
+    the link-graph ranking web curation runs before domain weighting
+    (Common Crawl publishes harmonic-centrality domain ranks for exactly
+    this): 5 fixed rounds, damping 850‰, all arithmetic in rank
+    micro-units with integer division, so the WHOLE iterative loop is
+    value-oracled by DuckDB restating the recurrence unrolled (the q74
+    Lloyd-loop discipline applied to graph propagation). Edges: each
+    doc's fetched-from domain (the crawl-frontier referrer, planted as
+    w{(3·doc_id)%20}.example.org — a permutation of the even w-domains,
+    so REAL cycles exist and the rounds matter) links to every domain
+    the doc's text cites (q56's URL plants), self-loops dropped.
+    cdn.example.net is a pure sink — the dangling-mass drop is exercised,
+    and odd w-referrers are pure sources pinning the base-rank floor.
+
+    Scale shape: pagerank() partitions the edge table on src ONCE and
+    localCheckpoints per round; each round is one |nodes|-sized rank
+    shuffle + a partial-agg sum — at a 10^8-domain graph the edge table
+    never re-shuffles."""
+    from epstein_browser_spark import graph
+
+    d = _t(spark, sf_dir, "documents")
+    linked = (
+        redaction.url_domains(_url_augmented(d))
+        .select("id", "domain").distinct()
+    )
+    referrer = F.concat(
+        F.lit("w"), ((F.col("id") * 3) % 20).cast("string"),
+        F.lit(".example.org"),
+    )
+    edges = (
+        linked.select(referrer.alias("src"), F.col("domain").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        graph.pagerank(edges, iters=5, damping_permille=850)
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+    )
+
+
+def _q123_sql() -> str:
+    from epstein_browser_spark.redaction import DOMAIN_RE, URL_RE
+
+    url_re = URL_RE.replace("'", "''")
+    ref = "'w' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example.org'"
+    rounds = []
+    prev = "r0"
+    for k in range(1, 6):
+        rounds.append(f"""
+r{k} AS (SELECT n.node,
+               CAST(150000 + (850 * COALESCE(s.m, 0)) // 1000 AS BIGINT)
+                 AS rank_micro
+        FROM nodes n LEFT JOIN
+             (SELECT e.dst AS node,
+                     CAST(sum(r.rank_micro // e.deg) AS BIGINT) AS m
+              FROM e JOIN {prev} r ON r.node = e.src
+              GROUP BY e.dst) s USING (node))""")
+        prev = f"r{k}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH aug AS ({_URL_AUG_SQL}),
+u AS (SELECT DISTINCT doc_id,
+             lower(regexp_extract(url, '{DOMAIN_RE}', 1)) AS domain
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{url_re}')) AS url
+            FROM aug)),
+e0 AS (SELECT DISTINCT {ref} AS src, domain AS dst
+       FROM u WHERE domain <> {ref}),
+nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+{rounds_sql}
+SELECT node, rank_micro FROM r5 ORDER BY rank_micro DESC, node
+"""
+
+
+def q124_retention_cohorts(spark, sf_dir):
+    """Cohort retention over the event log — the classic product-
+    analytics rollup (and, for a training pipeline, the user-activity
+    census behind recency-weighted interaction sampling): users cohort
+    by FIRST active day; for day offsets 0..7, how many of each cohort
+    were active again. retention_permille is exact integer division and
+    offset 0 is definitionally 1000‰ (pinned by test). Scale shape: ONE
+    user-keyed shuffle produces both the distinct active days and the
+    per-user min (same key — no second exchange for the join), then
+    cohort-keyed partial aggs; at 10^12 events nothing touches the raw
+    log twice."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = (
+        days.join(first, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("n_cohort")
+    )
+    ret = j.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        ret.join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset", "n_active", "n_cohort",
+            F.expr("(1000 * n_active) div n_cohort")
+            .alias("retention_permille"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_Q124_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id),
+j AS (SELECT d.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, d.day) AS day_offset
+      FROM days d JOIN f USING (user_id)
+      WHERE date_diff('day', f.cohort_day, d.day) <= 7),
+sizes AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY cohort_day),
+r AS (SELECT cohort_day, day_offset,
+             count(DISTINCT user_id) AS n_active
+      FROM j GROUP BY cohort_day, day_offset)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+       r.day_offset, r.n_active, sizes.n_cohort,
+       CAST((1000 * r.n_active) // sizes.n_cohort AS BIGINT)
+         AS retention_permille
+FROM r JOIN sizes USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+def q125_session_funnel(spark, sf_dir):
+    """Ordered funnel within 24-hour visit sessions: view → click →
+    purchase, each stage's timestamp the FIRST event of that type AT OR
+    AFTER the previous stage (a purchase before any view never counts —
+    pinned by test). The gap is a day, not q44's 30 minutes: this
+    corpus averages ~10h between a user's events, so the micro-session
+    funnel would be vacuous past stage one (the q09 non-vacuity rule) —
+    at 24h every stage is populated at every sf (sf0.01:
+    1214/816/498/288). Sessionization is the q44 gaps-and-islands in
+    exact epoch-micros (boundary-truncation-free on both engines); the three
+    stage timestamps are chained full-frame conditional MINs over the
+    session partition — one exchange on (user, session) serves all
+    three windows AND the per-session collapse. Output is the one-row
+    funnel report with exact integer-permille stage conversions
+    (zero denominators defined as 0‰ on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    # the cast maps TIMESTAMP_NTZ wall times through the session zone
+    # (UTC everywhere in this repo) — the joins.py epoch-micros idiom
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = mu - F.lag(mu).over(wu)
+    s = e.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.sum(
+            F.when(gap.isNull() | (gap > 86_400_000_000), 1).otherwise(0)
+        ).over(wu).cast("long").alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    s = s.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws),
+    )
+    s = s.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    s = s.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("n_reached_view"),
+        F.count("t_click").alias("n_reached_click"),
+        F.count("t_purchase").alias("n_reached_purchase"),
+    ).select(
+        "n_sessions", "n_reached_view", "n_reached_click",
+        "n_reached_purchase",
+        F.expr(
+            "CASE WHEN n_reached_view = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000 * n_reached_click) div n_reached_view END"
+        ).alias("click_permille"),
+        F.expr(
+            "CASE WHEN n_reached_click = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000 * n_reached_purchase) div n_reached_click END"
+        ).alias("purchase_permille"),
+    )
+
+
+_Q125_SQL = """
+WITH m AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS mu
+           FROM events),
+g AS (SELECT *,
+             CASE WHEN lag(mu) OVER w IS NULL
+                    OR mu - lag(mu) OVER w > 86400000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id, sid) AS t_view FROM s),
+c AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view
+                         THEN ts END)
+                  OVER (PARTITION BY user_id, sid) AS t_click FROM v),
+p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                         THEN ts END)
+                  OVER (PARTITION BY user_id, sid) AS t_purchase FROM c),
+per AS (SELECT user_id, sid, max(t_view) AS t_view,
+               max(t_click) AS t_click, max(t_purchase) AS t_purchase
+        FROM p GROUP BY user_id, sid)
+SELECT count(*) AS n_sessions,
+       count(t_view) AS n_reached_view,
+       count(t_click) AS n_reached_click,
+       count(t_purchase) AS n_reached_purchase,
+       CAST(CASE WHEN count(t_view) = 0 THEN 0
+                 ELSE (1000 * count(t_click)) // count(t_view) END
+            AS BIGINT) AS click_permille,
+       CAST(CASE WHEN count(t_click) = 0 THEN 0
+                 ELSE (1000 * count(t_purchase)) // count(t_click) END
+            AS BIGINT) AS purchase_permille
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -5540,6 +5790,9 @@ FROM f GROUP BY conv_id ORDER BY conv_id
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q123_domain_pagerank": (q123_domain_pagerank, _q123_sql()),
+    "q124_retention_cohorts": (q124_retention_cohorts, _Q124_SQL),
+    "q125_session_funnel": (q125_session_funnel, _Q125_SQL),
     "q119_blocklist_gate": (q119_blocklist_gate, _Q119_SQL),
     "q120_url_canonical": (q120_url_canonical, _q120_sql()),
     "q121_domain_reputation": (q121_domain_reputation, _q121_sql()),
@@ -5585,14 +5838,21 @@ QUERIES: dict[str, tuple] = {
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # --- newest operator families (rounds 3-4) ---
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
-    "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
-    "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
     # --- core extraction / quality / dedup / ANN families ---
     "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
-    "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q43/q72/q74 rotated out for the q123/q124/q125 debuts (all three
+    # driver-green in r4): q43's component closure is composed VERBATIM
+    # by in-window q112/q116 (_Q43_COMP_CTE) and q109; q72's BPE replace
+    # chain by in-window q73 (packing) and q115 (fertility); q74's
+    # k-means-trained quantizer family stays in-window via q67 (IVF-PQ
+    # learned codebooks) and q103 (centroid assignment). All three remain
+    # pinned per-query by tests/test_queries_oracle.py.
+    "q43_dup_clusters": (q43_dup_clusters, _Q43_SQL),
+    "q72_bpe_tokens": (q72_bpe_tokens, _q72_sql()),
+    "q74_ivf_kmeans_topk": (q74_ivf_kmeans_topk, _q74_sql()),
     # q54/q62 rotated out for the q119/q120 debuts: q54's redaction
     # module keeps in-window presence via q119 (blocklist_gate lives in
     # redaction.py and the URL machinery via q120's canonical census),
