@@ -5774,6 +5774,112 @@ FROM per
 """
 
 
+def q126_rollup_totals(spark, sf_dir):
+    """ROLLUP grouping sets: order volume by (status, year) with
+    per-status subtotals and a grand total in ONE pass — the
+    multi-granularity report shape (reference analog: the stats
+    endpoint's stacked volume rollups, app.py) that would otherwise be
+    three scans unioned. grouping_id() disambiguates real NULL keys
+    from subtotal rows (Spark and DuckDB share the first-column-is-MSB
+    bit convention — pinned by the value oracle). Money sums in exact
+    cents (the repo-wide micro-unit discipline: double SUM order
+    differs across engines; BIGINT cents cannot). Scale shape: rollup
+    is a single partial-aggregable expand — each input row feeds 3
+    grouping sets map-side, one shuffle total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderstatus",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .alias("cents"),
+        )
+        .rollup("o_orderstatus", "yr")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("gid", "o_orderstatus", "yr")
+    )
+
+
+_Q126_SQL = """
+SELECT o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(GROUPING(o_orderstatus, yr) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, yr)
+ORDER BY gid, o_orderstatus, yr
+"""
+
+
+def q127_event_pivot(spark, sf_dir):
+    """PIVOT: per-user event-type counts as columns — the wide activity
+    matrix feature stores and cohort tools export. The pivot value list
+    is EXPLICIT (the five known types), so Spark skips the
+    values-discovery scan and the plan is one partial-aggregable
+    shuffle; absent cells are 0, not NULL (a user without purchases has
+    zero purchases, not unknown). Oracle: FILTER-ed counts — the
+    relational restatement of the same expand."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    ).orderBy("user_id")
+
+
+_Q127_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q128_big_spenders_semi(spark, sf_dir):
+    """LEFT-SEMI join (EXISTS): customers with at least one order above
+    466,000 — the threshold splits the customer base roughly in half at
+    every sf, so BOTH the kept and dropped branches are real (the q09
+    non-vacuity rule). Completes the join family: J1/J2 are the
+    anti-join form; this is its EXISTS dual, planned as LeftSemi (pinned
+    by plan test) — the probe side streams, the filter is pushed below
+    the join, and no customer row ever duplicates however many
+    qualifying orders it has (the bug a naive inner-join-distinct
+    restatement invites)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 466000)
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q128_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 466000)
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -5790,6 +5896,9 @@ FROM per
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q126_rollup_totals": (q126_rollup_totals, _Q126_SQL),
+    "q127_event_pivot": (q127_event_pivot, _Q127_SQL),
+    "q128_big_spenders_semi": (q128_big_spenders_semi, _Q128_SQL),
     "q123_domain_pagerank": (q123_domain_pagerank, _q123_sql()),
     "q124_retention_cohorts": (q124_retention_cohorts, _Q124_SQL),
     "q125_session_funnel": (q125_session_funnel, _Q125_SQL),
@@ -5836,13 +5945,20 @@ QUERIES: dict[str, tuple] = {
     "q79_dsir_weights": (q79_dsir_weights, _q79_sql()),
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
-    # --- newest operator families (rounds 3-4) ---
+    # --- core extraction family ---
+    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
+    # ------------- 50-row driver window ends here -------------
+    # q29/q67/q73 rotated out for the q126/q127/q128 debuts (all three
+    # driver-green in r4): q28 keeps the extraction kernels in-window
+    # (q29's layout mode stays pinned by golden fixtures +
+    # tests/test_queries_oracle.py); q67's PQ/IVF serving shape and
+    # q73's BPE chain keep in-window presence via q103 (k-means
+    # assignment), q117 (embedding census), and q115 (BPE fertility) —
+    # the ANN top-k rank itself has been driver-green since r3/r4
+    # (q23/q48/q49/q53/q66/q74, all below, all still oracle-pinned).
+    "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
     "q67_ivf_pq_topk": (q67_ivf_pq_topk, _q67_sql()),
     "q73_packing_bpe": (q73_packing_bpe, _q73_sql()),
-    # --- core extraction / quality / dedup / ANN families ---
-    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
-    "q29_extract_multimode": (q29_extract_multimode, _Q29_SQL),
-    # ------------- 50-row driver window ends here -------------
     # q43/q72/q74 rotated out for the q123/q124/q125 debuts (all three
     # driver-green in r4): q43's component closure is composed VERBATIM
     # by in-window q112/q116 (_Q43_COMP_CTE) and q109; q72's BPE replace
