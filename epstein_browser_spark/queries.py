@@ -5880,6 +5880,172 @@ ORDER BY c_custkey
 """
 
 
+def q129_gap_fill(spark, sf_dir):
+    """Time-series gap filling with forward fill (last observation
+    carried forward): per user, hourly value sums over the user's own
+    [first, last] active-hour span, with silent hours materialized from
+    a generated sequence and filled from the previous observed hour —
+    the resample/ffill every monitoring and finance pipeline runs, and
+    the dense-grid prep for windowed feature extraction. Values in
+    exact micro-units (sum order is engine-independent on BIGINT).
+    Restricted to user_id % 29 = 0 (6 users at sf0.01) so the dense
+    grid stays compare-sized; the operator itself is per-user and
+    embarrassingly parallel. Scale shape: one user-hour partial agg,
+    one |users|-sized span agg, the grid explode is output-sized, and
+    the fill is a single user-partitioned running window — no
+    corpus-wide sort. Leading hours are never filled (the span starts
+    at the first OBSERVED hour, so value_micro is never NULL — pinned
+    by test)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+            .alias("v")
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("value_micro"),
+        F.col("v").isNull().alias("is_filled"),
+    ).orderBy("user_id", "hour")
+
+
+_Q129_SQL = """
+WITH f AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                  CAST(round(value * 1000000) AS BIGINT) AS mv
+           FROM events WHERE user_id % 29 = 0),
+h AS (SELECT user_id, hour, CAST(sum(mv) AS BIGINT) AS v
+      FROM f GROUP BY user_id, hour),
+s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      FROM h GROUP BY user_id),
+g AS (SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM s),
+j AS (SELECT g.user_id, g.hour, h.v
+      FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+SELECT user_id, strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+       last_value(v IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS value_micro,
+       v IS NULL AS is_filled
+FROM j ORDER BY user_id, hour
+"""
+
+
+def q130_hopping_window(spark, sf_dir):
+    """Hopping (sliding) time windows: 2-hour windows advancing every
+    hour, so each event lands in exactly TWO overlapping windows — the
+    smoothing aggregation dashboards and rate-limit monitors run (q31
+    is the tumbling special case; q44 the gap-session one; this
+    completes the window-assignment family, same kernel as the
+    streaming variant). Oracle: each event expands to its two window
+    starts via unnest — the relational restatement of Spark's window
+    expand. Scale shape: Expand doubles rows map-side, then one
+    partial-aggregable shuffle on the window start; never a self-join
+    of the event log against shifted copies of itself."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+            "n_events", "n_users",
+        )
+        .orderBy("w_start")
+    )
+
+
+_Q130_SQL = """
+WITH x AS (SELECT user_id,
+                  unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                    AS w_start
+           FROM events)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(w_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM x GROUP BY w_start ORDER BY w_start
+"""
+
+
+def q131_priority_bag_diff(spark, sf_dir):
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): the
+    multiset surplus and overlap of order priorities between 1995 and
+    1996 — SURVEY §2.7's union family completed with the duplicate-
+    preserving duals (DISTINCT set ops would collapse the five
+    priority values to at most five rows and measure nothing).
+    n_surplus = how many MORE 1995 orders carry each priority than
+    1996 (floored at 0), n_common = the overlapping count — both pinned
+    against direct per-year counts by test. Scale shape: Spark plans
+    both ops as count-aggregate + replicate (partial-aggregable), never
+    a row-by-row matching join; the final groupBy collapses them to
+    |priorities| rows."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_orderpriority")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    diff = (
+        y95.exceptAll(y96)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_surplus"))
+    )
+    inter = (
+        y95.intersectAll(y96)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        diff.join(inter, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_surplus", F.lit(0)).cast("long")
+            .alias("n_surplus"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q131_SQL = """
+WITH y95 AS (SELECT o_orderpriority FROM orders
+             WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT o_orderpriority FROM orders
+        WHERE year(o_orderdate) = 1996),
+d AS (SELECT o_orderpriority, count(*) AS n_surplus
+      FROM (SELECT * FROM y95 EXCEPT ALL SELECT * FROM y96)
+      GROUP BY o_orderpriority),
+i AS (SELECT o_orderpriority, count(*) AS n_common
+      FROM (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96)
+      GROUP BY o_orderpriority)
+SELECT COALESCE(d.o_orderpriority, i.o_orderpriority) AS o_orderpriority,
+       CAST(COALESCE(n_surplus, 0) AS BIGINT) AS n_surplus,
+       CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common
+FROM d FULL JOIN i ON d.o_orderpriority = i.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -5896,6 +6062,9 @@ ORDER BY c_custkey
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q129_gap_fill": (q129_gap_fill, _Q129_SQL),
+    "q130_hopping_window": (q130_hopping_window, _Q130_SQL),
+    "q131_priority_bag_diff": (q131_priority_bag_diff, _Q131_SQL),
     "q126_rollup_totals": (q126_rollup_totals, _Q126_SQL),
     "q127_event_pivot": (q127_event_pivot, _Q127_SQL),
     "q128_big_spenders_semi": (q128_big_spenders_semi, _Q128_SQL),
@@ -5925,8 +6094,6 @@ QUERIES: dict[str, tuple] = {
     "q103_centroid_diversity": (q103_centroid_diversity, _Q103_SQL),
     "q104_turn_integrity": (q104_turn_integrity, _Q104_SQL),
     "q89_role_transitions": (q89_role_transitions, _Q89_SQL),
-    "q90_tool_census": (q90_tool_census, _Q90_SQL),
-    "q91_conv_profile": (q91_conv_profile, _Q91_SQL),
     "q92_mojibake_repair": (q92_mojibake_repair, _q92_sql()),
     "q93_dsir_select": (q93_dsir_select, _q93_sql()),
     "q94_conv_packing": (q94_conv_packing, _Q94_SQL),
@@ -5945,9 +6112,16 @@ QUERIES: dict[str, tuple] = {
     "q79_dsir_weights": (q79_dsir_weights, _q79_sql()),
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
-    # --- core extraction family ---
-    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
     # ------------- 50-row driver window ends here -------------
+    # q28/q90/q91 rotated out for the q129/q130/q131 debuts: q28 has
+    # been driver-green since r1 and its extraction kernels are golden-
+    # fixture-pinned; q90's tool census keeps in-window presence via
+    # q99 (tool grounding) and q91's dialog profile via q111/q122/q104
+    # (the conversation-census family) — all three remain pinned
+    # per-query by tests/test_queries_oracle.py.
+    "q28_extract_plain": (q28_extract_plain, _Q28_SQL),
+    "q90_tool_census": (q90_tool_census, _Q90_SQL),
+    "q91_conv_profile": (q91_conv_profile, _Q91_SQL),
     # q29/q67/q73 rotated out for the q126/q127/q128 debuts (all three
     # driver-green in r4): q28 keeps the extraction kernels in-window
     # (q29's layout mode stays pinned by golden fixtures +

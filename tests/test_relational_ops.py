@@ -84,3 +84,62 @@ def test_semi_join_plan_and_no_duplication(spark, sf_dir):
     keys = [r["c_custkey"] for r in df.collect()]
     assert keys, "semi join must be non-vacuous"
     assert len(keys) == len(set(keys))  # EXISTS never duplicates
+
+
+def test_gap_fill_dense_grid_and_ffill(spark, sf_dir):
+    from epstein_browser_spark.queries import q129_gap_fill
+    from datetime import datetime, timedelta
+
+    rows = q129_gap_fill(spark, sf_dir).collect()
+    assert rows
+    # span starts at an observed hour => never NULL after forward fill
+    assert all(r["value_micro"] is not None for r in rows)
+    filled = [r for r in rows if r["is_filled"]]
+    assert filled, "silent hours must exist on this corpus"
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        hours = [datetime.strptime(r["hour"], "%Y-%m-%d %H:%M:%S") for r in rs]
+        # contiguous hourly grid, first row observed, ffill semantics
+        assert all(
+            b - a == timedelta(hours=1) for a, b in zip(hours, hours[1:])
+        )
+        assert rs[0]["is_filled"] is False
+        for prev, cur in zip(rs, rs[1:]):
+            if cur["is_filled"]:
+                assert cur["value_micro"] == prev["value_micro"]
+
+
+def test_hopping_window_double_counts(spark, sf_dir):
+    from epstein_browser_spark.queries import q130_hopping_window, _t
+
+    rows = q130_hopping_window(spark, sf_dir).collect()
+    total = _t(spark, sf_dir, "events").count()
+    # every event lands in exactly two 2h/1h windows
+    assert sum(r["n_events"] for r in rows) == 2 * total
+    starts = [r["w_start"] for r in rows]
+    assert starts == sorted(starts)
+
+
+def test_bag_set_ops_match_direct_counts(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from epstein_browser_spark.queries import q131_priority_bag_diff, _t
+
+    o = _t(spark, sf_dir, "orders")
+    c = {
+        (r["y"], r["p"]): r["n"]
+        for r in o.select(
+            F.year("o_orderdate").alias("y"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .groupBy("y", "p").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r["o_orderpriority"]: r for r in
+           q131_priority_bag_diff(spark, sf_dir).collect()}
+    prios = {p for (y, p) in c if y in (1995, 1996)}
+    assert set(got) == prios
+    for p in prios:
+        c95, c96 = c.get((1995, p), 0), c.get((1996, p), 0)
+        assert got[p]["n_surplus"] == max(c95 - c96, 0)
+        assert got[p]["n_common"] == min(c95, c96)
