@@ -6046,6 +6046,195 @@ ORDER BY o_orderpriority
 """
 
 
+def q132_json_props(spark, sf_dir):
+    """Semi-structured column extraction: events.props is a JSON string
+    ({"k": N}); per event type, extract k and aggregate — the
+    schema-on-read path every log pipeline runs before promoting hot
+    JSON fields to real columns. Malformed payloads are PLANTED
+    (event_id %97 → a broken prefix, reproduced in the oracle) and must
+    degrade to NULL, never fail the job: Spark's get_json_object is
+    lenient by design; DuckDB's json_extract throws, so the oracle
+    restates the same tolerance with a json_valid guard. get_json_object
+    stays inside whole-stage codegen (no UDF, no from_json schema
+    inference pass). n_bad counts the poison rows (non-vacuous both
+    ways), k sums exact BIGINT."""
+    e = _t(spark, sf_dir, "events")
+    props = F.when(
+        F.pmod("event_id", F.lit(97)) == 0,
+        F.concat(F.lit("{bad-"), F.col("props")),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(props, "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_parsed"),
+            (F.count("*") - F.count("k")).alias("n_bad"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q132_SQL = """
+WITH p AS (SELECT event_type,
+                  CASE WHEN event_id % 97 = 0
+                       THEN '{bad-' || props ELSE props END AS props
+           FROM events),
+x AS (SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      FROM p)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_parsed,
+       count(*) - count(k) AS n_bad,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q133_rolling_24h(spark, sf_dir):
+    """RANGE-frame rolling window: at every event, the same user's
+    trailing-24-hour event count and exact micro-value sum — the
+    sliding rate/exposure feature (rate limiting, fraud velocity,
+    per-user activity features) that ROWS frames cannot express because
+    the lookback is a TIME span, not a row count. The frame bounds are
+    exact epoch-micros integers, so tied timestamps resolve identically
+    on both engines (RANGE includes all peers). Restricted to
+    user_id % 29 = 0 (the q129 slice) to keep the compare bounded; the
+    operator is one user-partitioned range window — at 10^12 events
+    it is exactly the extraction-shuffle shape plus a per-partition
+    sort."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("mu")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("mu"),
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("mv"),
+        )
+        .select(
+            "user_id", "event_id", "ts_s",
+            F.count("*").over(w).alias("n_24h"),
+            F.sum("mv").over(w).alias("mv_sum_24h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_Q133_SQL = """
+WITH f AS (SELECT user_id, event_id,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                  epoch_us(ts) AS mu,
+                  CAST(round(value * 1000000) AS BIGINT) AS mv
+           FROM events WHERE user_id % 29 = 0)
+SELECT user_id, event_id, ts_s,
+       count(*) OVER w AS n_24h,
+       CAST(sum(mv) OVER w AS BIGINT) AS mv_sum_24h
+FROM f
+WINDOW w AS (PARTITION BY user_id ORDER BY mu
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def q134_role_sequence(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): each dialog's
+    role flow collapsed to one 'system>user>assistant>...' string — the
+    shape key conversation curation groups by to find the dominant
+    dialog templates (and the classic ordered-collect operator the
+    engine must get deterministic: an UNORDERED collect would be
+    partition-luck). Spark side: collect everything per conversation as
+    (turn_idx, role) structs, array_sort (struct order = field order),
+    then a pure-JVM transform+array_join; the groupBy collapses
+    map-side, and the per-conv array is dialog-bounded, never
+    corpus-bounded. Second level: the shape census (n_convs per
+    distinct flow, max 50 rows here) — the template report itself."""
+    tr = _derived_agent_transcripts(spark, sf_dir)
+    per_conv = (
+        tr.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "role"))
+                    ),
+                    lambda s: s["role"],
+                ),
+                ">",
+            ).alias("role_flow"),
+            F.count("*").alias("n_turns"),
+        )
+    )
+    return (
+        per_conv.groupBy("role_flow", "n_turns")
+        .agg(F.count("*").alias("n_convs"))
+        .orderBy(F.desc("n_convs"), "role_flow")
+    )
+
+
+_Q134_SQL = f"""
+WITH {_AGENT_TR_CTE},
+per AS (SELECT conv_id,
+               string_agg(role, '>' ORDER BY turn_idx) AS role_flow,
+               count(*) AS n_turns
+        FROM tr GROUP BY conv_id)
+SELECT role_flow, n_turns, count(*) AS n_convs
+FROM per GROUP BY role_flow, n_turns
+ORDER BY n_convs DESC, role_flow
+"""
+
+
+def q135_unpivot_activity(spark, sf_dir):
+    """UNPIVOT (melt): q127's wide per-user activity matrix back to
+    tidy long form — the reshape every exporter/BI handoff needs, and
+    the inverse proof that the pivot lost nothing (the long form
+    re-derives the per-(user, type) counts INCLUDING explicit zeros,
+    which a plain groupBy cannot produce). Spark's unpivot is a
+    map-side Expand — no shuffle beyond the pivot's own; the oracle
+    restates it as the users × types cross grid left-joined to direct
+    counts."""
+    wide = q127_event_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n_events",
+        )
+        .withColumn(
+            "event_type", F.expr("substring(event_type, 3)")
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_Q135_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT unnest(['click','error','purchase','signup','view'])
+        AS event_type),
+c AS (SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type)
+SELECT u.user_id, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+ORDER BY u.user_id, t.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -6062,6 +6251,10 @@ ORDER BY o_orderpriority
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q132_json_props": (q132_json_props, _Q132_SQL),
+    "q133_rolling_24h": (q133_rolling_24h, _Q133_SQL),
+    "q134_role_sequence": (q134_role_sequence, _Q134_SQL),
+    "q135_unpivot_activity": (q135_unpivot_activity, _Q135_SQL),
     "q129_gap_fill": (q129_gap_fill, _Q129_SQL),
     "q130_hopping_window": (q130_hopping_window, _Q130_SQL),
     "q131_priority_bag_diff": (q131_priority_bag_diff, _Q131_SQL),
@@ -6093,10 +6286,8 @@ QUERIES: dict[str, tuple] = {
     "q102_token_entropy": (q102_token_entropy, _Q102_SQL),
     "q103_centroid_diversity": (q103_centroid_diversity, _Q103_SQL),
     "q104_turn_integrity": (q104_turn_integrity, _Q104_SQL),
-    "q89_role_transitions": (q89_role_transitions, _Q89_SQL),
     "q92_mojibake_repair": (q92_mojibake_repair, _q92_sql()),
     "q93_dsir_select": (q93_dsir_select, _q93_sql()),
-    "q94_conv_packing": (q94_conv_packing, _Q94_SQL),
     "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
     "q96_context_budget": (q96_context_budget, _Q96_SQL),
     "q97_mixture_alpha": (q97_mixture_alpha, _Q97_SQL),
@@ -6108,11 +6299,21 @@ QUERIES: dict[str, tuple] = {
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
     "q84_lm_perplexity": (q84_lm_perplexity, _Q84_SQL),
     "q77_tfidf_topk": (q77_tfidf_topk, _Q77_SQL),
-    "q78_winnow_fingerprints": (q78_winnow_fingerprints, _q78_sql()),
-    "q79_dsir_weights": (q79_dsir_weights, _q79_sql()),
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # ------------- 50-row driver window ends here -------------
+    # q78/q79/q89/q94 rotated out for the q132-q135 debuts: q78's
+    # winnowed-span family keeps in-window presence via q82 (dup spans),
+    # q79's DSIR weights are composed verbatim by in-window q93 (the
+    # Gumbel top-k selection), q89's role-flow census by debuting q134
+    # (ordered role-sequence census) + q104/q111, and q94's
+    # conversation packing by in-window q96 (context budget) with q59's
+    # sharded running sum still oracle-pinned below. All four remain
+    # pinned per-query by tests/test_queries_oracle.py.
+    "q78_winnow_fingerprints": (q78_winnow_fingerprints, _q78_sql()),
+    "q79_dsir_weights": (q79_dsir_weights, _q79_sql()),
+    "q89_role_transitions": (q89_role_transitions, _Q89_SQL),
+    "q94_conv_packing": (q94_conv_packing, _Q94_SQL),
     # q28/q90/q91 rotated out for the q129/q130/q131 debuts: q28 has
     # been driver-green since r1 and its extraction kernels are golden-
     # fixture-pinned; q90's tool census keeps in-window presence via

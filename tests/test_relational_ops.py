@@ -143,3 +143,76 @@ def test_bag_set_ops_match_direct_counts(spark, sf_dir):
         c95, c96 = c.get((1995, p), 0), c.get((1996, p), 0)
         assert got[p]["n_surplus"] == max(c95 - c96, 0)
         assert got[p]["n_common"] == min(c95, c96)
+
+
+def test_json_props_poison_tolerated(spark, sf_dir):
+    from epstein_browser_spark.queries import q132_json_props
+
+    rows = q132_json_props(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_bad"] for r in rows) > 0          # poison planted
+    assert sum(r["n_parsed"] for r in rows) > 0       # bulk parses
+    for r in rows:
+        assert r["n_parsed"] + r["n_bad"] == r["n_events"]
+        assert r["k_min"] is not None and r["k_min"] <= r["k_max"]
+
+
+def test_rolling_24h_matches_bruteforce(spark, sf_dir):
+    from epstein_browser_spark.queries import q133_rolling_24h, _t
+    import pyspark.sql.functions as F
+
+    rows = q133_rolling_24h(spark, sf_dir).collect()
+    raw = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 29 == 0)
+        .select(
+            "user_id", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("mu"),
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("mv"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(r)
+    idx = {(r["user_id"], r["event_id"]): r for r in raw}
+    for out in rows[::17]:  # stride keeps the quadratic check fast
+        me = idx[(out["user_id"], out["event_id"])]
+        peers = [
+            r for r in by_user[out["user_id"]]
+            if me["mu"] - 86_400_000_000 <= r["mu"] <= me["mu"]
+        ]
+        assert out["n_24h"] == len(peers)
+        assert out["mv_sum_24h"] == sum(r["mv"] for r in peers)
+
+
+def test_role_sequence_flows_account_for_every_conv(spark, sf_dir):
+    from epstein_browser_spark.queries import q134_role_sequence
+
+    rows = q134_role_sequence(spark, sf_dir).collect()
+    assert sum(r["n_convs"] for r in rows) == 50  # one flow per conv
+    for r in rows:
+        flow = r["role_flow"].split(">")
+        assert len(flow) == r["n_turns"]
+        assert flow[0] == "system"  # turn 0 is always the system prompt
+
+
+def test_unpivot_roundtrips_pivot(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from epstein_browser_spark.queries import (
+        q127_event_pivot,
+        q135_unpivot_activity,
+        _t,
+    )
+
+    long = q135_unpivot_activity(spark, sf_dir)
+    wide = q127_event_pivot(spark, sf_dir)
+    # complete 5-type grid per user (this corpus has no zero cells —
+    # every user emits every type — but the unpivot emits the full grid
+    # by construction, which a plain groupBy could not)
+    assert long.count() == wide.count() * 5
+    per_user = long.groupBy("user_id").count().collect()
+    assert all(r["count"] == 5 for r in per_user)
+    # and the long form re-sums to the raw event count
+    total = long.agg(F.sum("n_events")).collect()[0][0]
+    assert total == _t(spark, sf_dir, "events").count()
