@@ -182,6 +182,30 @@ def hourly_event_counts_stream(events_stream: DataFrame,
     )
 
 
+def hopping_event_counts_stream(events_stream: DataFrame,
+                                watermark: str = "4 hours") -> DataFrame:
+    """q130's hopping (sliding) window as a real stream: 2-hour windows
+    advancing every hour, watermarked so append mode emits a window once
+    event time passes its close — the smoothing rate monitor that runs
+    forever on an unbounded stream. Same kernel as the batch q130 (the
+    parity test pins closed-window equality); each event feeds exactly
+    two window states, so the state store holds at most two open windows
+    per key-less aggregate plus the watermark lag."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events", "n_users_approx",
+        )
+    )
+
+
 def session_counts_stream(events_stream: DataFrame,
                           gap: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:

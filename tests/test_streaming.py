@@ -656,3 +656,63 @@ def test_stream_tool_census_equals_batch(spark, tmp_path):
     # the user-row 'error:' text is NOT a tool result and must not count
     g = got.set_index("tool")
     assert int(g.loc["grep", "n_errors"]) == 1  # ERROR: boom; NULL is clean
+
+
+def test_hopping_window_stream_matches_batch(spark, tmp_path):
+    """q130's 2h/1h hopping window as a stream: every CLOSED window's
+    count equals the batch expression on the same input (n_users is
+    approx_count_distinct in the stream — exact count-distinct is not
+    supported inside streaming aggregations)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark.streaming import hopping_event_counts_stream
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 2, 1, 3, 2, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:20",
+                 "2024-01-01 02:05", "2024-01-01 02:59", "2024-01-01 03:30",
+                 "2024-01-01 09:00", "2024-01-01 09:01"]
+            ),
+        }
+    )
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(in_dir)
+    stream = (
+        spark.readStream
+        .schema("event_id long, user_id long, ts timestamp")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "agg")
+    q = (
+        hopping_event_counts_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    stream_counts = dict(zip(got["w_start"].astype(str), got["n_events"]))
+    # watermark = 09:01 - 1h = 08:01 → every window ending <= 08:01 is
+    # closed; the two 09:00 events' windows (08:00, 09:00 starts) stay open
+    assert "2024-01-01 08:00:00" not in stream_counts
+    assert "2024-01-01 09:00:00" not in stream_counts
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n_events")
+        .collect()
+    )
+    for r in batch:
+        if r["w_start"] in stream_counts:
+            assert stream_counts[r["w_start"]] == r["n_events"]
+    # every closed batch window was emitted (ends before the watermark)
+    closed = [r["w_start"] for r in batch if r["w_start"] < "2024-01-01 07:00:00"]
+    assert closed and all(w in stream_counts for w in closed)
