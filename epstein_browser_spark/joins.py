@@ -18,6 +18,14 @@ equality key plans a cartesian/BroadcastNestedLoop scan. Here:
   high-cardinality, and a point lives in exactly one bin so no dedup pass
   is needed.
 
+* :func:`salted_join` spreads a skew-hot join key over ``n_salts``
+  shuffle partitions by salting the big side deterministically and
+  replicating the small side once per salt — the classic remedy when the
+  small side is too big to broadcast and AQE's skew-join split cannot
+  help (it only splits sort-merge partitions; a hot key inside a
+  shuffled hash join stage, or feeding stateful/streaming operators,
+  still lands on one task).
+
 Query-surface instances with DuckDB value oracles: q62 (as-of) and q63
 (range) in queries.py.
 """
@@ -159,3 +167,49 @@ def range_join_binned(
         )
         .drop("_bin")
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: ``skewed`` (the big, hot-keyed side)
+    joined to ``small`` with the key space widened by a salt.
+
+    The big side's salt is ``xxhash64(whole row) % n_salts`` —
+    deterministic (safe under task retry) and uniform over a hot key's
+    rows as long as the rows differ anywhere; the small side is
+    replicated once per salt value, so every (big row, small row) pair
+    meets on exactly one (key, salt) partition and join multiplicity is
+    EXACTLY that of the plain join (parity-tested, including duplicate
+    small-side keys). Cost: the small side shuffles n_salts× — the
+    explicit trade against the hot task's wall-clock.
+
+    Prefer, in order: ``F.broadcast(small)`` when it fits; AQE skew-join
+    for plain sort-merge stages; this when neither applies (small too
+    big to broadcast, or the downstream operator pins partitioning).
+    ``how`` supports inner and left (the skewed side is preserved —
+    right/full would need the salt on the other side)."""
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    overlap = set(skewed.columns) & set(small.columns) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns: {sorted(overlap)}")
+    big = skewed.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
+    rep = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    return big.join(rep, [*on, "_salt"], how).drop("_salt")
