@@ -195,6 +195,32 @@ SHOWCASE = {
         "join is a broadcast (both sides are per-doc-bounded) — no "
         "cartesian, no single-partition exchange."
     ),
+    "q123_domain_pagerank": (
+        "Iterative PageRank SERVING plan: the 5 training rounds run "
+        "before this plan exists (localCheckpoint per round, the "
+        "connected-components discipline); the returned frame is the "
+        "final |nodes|-sized rank table — a checkpoint scan plus "
+        "TakeOrdered-free full order on ~|domains| rows, never the edge "
+        "table."
+    ),
+    "q126_rollup_totals": (
+        "ROLLUP as ONE Expand + ONE partial-aggregable exchange over a "
+        "single parquet scan — three grouping sets, not three scans."
+    ),
+    "q128_big_spenders_semi": (
+        "EXISTS planned as LeftSemi with the o_totalprice filter in "
+        "PushedFilters on the orders scan; probe rows never duplicate."
+    ),
+    "q130_hopping_window": (
+        "Hopping windows via the map-side window Expand (each event -> "
+        "its two windows) feeding one partial-aggregable exchange — no "
+        "self-join of the log against shifted copies."
+    ),
+    "q133_rolling_24h": (
+        "RANGE frame over exact epoch-micros: one exchange on user_id, "
+        "partition-local sort, running window — the extraction-shuffle "
+        "shape with a time-span frame."
+    ),
     "q122_conv_safety_drop": (
         "Conversation-atomic safety: map-only per-turn gate, then ONE "
         "partial-aggregable groupBy on the conversation key — the same "
