@@ -43,8 +43,11 @@ def pagerank(
     with d = ``damping_permille``. Integer division at BOTH steps makes
     every round engine-exact. Dangling nodes (no out-edges) simply drop
     their damped mass — the standard "removed dangling mass" variant;
-    deterministic, and restated identically in the SQL oracle. Rank sums
-    stay bounded by n_nodes * unit, so a 64-bit sum survives ~9e12 nodes.
+    deterministic, and restated identically in the SQL oracle. Overflow
+    headroom: the widest intermediate is damping_permille * m with
+    m <= n_nodes * unit, so int64 holds up to ~1.08e10 nodes at the
+    defaults (850 * 1e6) — an order of magnitude above any real
+    domain graph; shrink ``unit`` for larger node counts.
 
     Scale shape (a 10^8-node domain graph, 10^10 edges): the edge table is
     hash-partitioned on ``src`` ONCE and localCheckpoint'd; every round's

@@ -201,6 +201,10 @@ def salted_join(
     overlap = set(skewed.columns) & set(small.columns) - set(on)
     if overlap:
         raise ValueError(f"ambiguous non-key columns: {sorted(overlap)}")
+    if "_salt" in skewed.columns or "_salt" in small.columns:
+        # withColumn would silently clobber it and the final drop would
+        # delete the user's data — refuse instead
+        raise ValueError("inputs must not carry a '_salt' column")
     big = skewed.withColumn(
         "_salt",
         F.pmod(

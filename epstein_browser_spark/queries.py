@@ -6015,8 +6015,13 @@ def q131_priority_bag_diff(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_common"))
     )
+    # anchor on every priority present in EITHER year: a 1996-only
+    # priority has zero surplus AND zero common, and a full join of the
+    # two empty aggregates would silently drop its row from the report
+    prios = y95.unionByName(y96).distinct()
     return (
-        diff.join(inter, "o_orderpriority", "full")
+        prios.join(diff, "o_orderpriority", "left")
+        .join(inter, "o_orderpriority", "left")
         .select(
             "o_orderpriority",
             F.coalesce("n_surplus", F.lit(0)).cast("long")
@@ -6037,12 +6042,15 @@ d AS (SELECT o_orderpriority, count(*) AS n_surplus
       GROUP BY o_orderpriority),
 i AS (SELECT o_orderpriority, count(*) AS n_common
       FROM (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96)
-      GROUP BY o_orderpriority)
-SELECT COALESCE(d.o_orderpriority, i.o_orderpriority) AS o_orderpriority,
+      GROUP BY o_orderpriority),
+p AS (SELECT DISTINCT o_orderpriority FROM
+      (SELECT * FROM y95 UNION ALL SELECT * FROM y96))
+SELECT p.o_orderpriority,
        CAST(COALESCE(n_surplus, 0) AS BIGINT) AS n_surplus,
        CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common
-FROM d FULL JOIN i ON d.o_orderpriority = i.o_orderpriority
-ORDER BY o_orderpriority
+FROM p LEFT JOIN d ON p.o_orderpriority = d.o_orderpriority
+       LEFT JOIN i ON p.o_orderpriority = i.o_orderpriority
+ORDER BY p.o_orderpriority
 """
 
 
@@ -6056,8 +6064,10 @@ def q132_json_props(spark, sf_dir):
     lenient by design; DuckDB's json_extract throws, so the oracle
     restates the same tolerance with a json_valid guard. get_json_object
     stays inside whole-stage codegen (no UDF, no from_json schema
-    inference pass). n_bad counts the poison rows (non-vacuous both
-    ways), k sums exact BIGINT."""
+    inference pass). n_bad counts every row whose $.k is unextractable
+    — malformed JSON, NULL props, or a missing/non-integer k (on this
+    corpus exactly the planted poison, which keeps it non-vacuous);
+    k sums exact BIGINT."""
     e = _t(spark, sf_dir, "events")
     props = F.when(
         F.pmod("event_id", F.lit(97)) == 0,

@@ -105,11 +105,12 @@ def test_q125_funnel_stage_order(spark, sf_dir):
     assert row["n_reached_purchase"] > 0
 
 
-def test_q125_purchase_before_view_never_counts(spark):
+def test_q125_purchase_before_view_never_counts(spark, tmp_path):
     """Hand corpus: u1 purchases BEFORE viewing (doesn't count), u2 runs
     the full ordered funnel, u3 clicks with no view (doesn't count)."""
+    import os
+
     from epstein_browser_spark.queries import q125_session_funnel
-    import tempfile, os
 
     rows = [
         (1, "2024-01-01 10:00:00", 10, "purchase", 1.0, ""),
@@ -122,7 +123,7 @@ def test_q125_purchase_before_view_never_counts(spark):
     df = spark.createDataFrame(
         rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    d = tempfile.mkdtemp(prefix="funnel_hand_")
+    d = str(tmp_path)
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     row = q125_session_funnel(spark, d).collect()[0]
     assert row["n_sessions"] == 3

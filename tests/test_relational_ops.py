@@ -216,3 +216,35 @@ def test_unpivot_roundtrips_pivot(spark, sf_dir):
     # and the long form re-sums to the raw event count
     total = long.agg(F.sum("n_events")).collect()[0][0]
     assert total == _t(spark, sf_dir, "events").count()
+
+
+def test_bag_set_ops_keep_one_sided_values(spark, tmp_path):
+    """A priority present ONLY in 1996 must still report (p, 0, 0) — the
+    full-join-of-aggregates form silently dropped it (review finding)."""
+    import os
+
+    import pandas as pd
+    from epstein_browser_spark.queries import q131_priority_bag_diff
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(5),
+            "o_custkey": [1] * 5,
+            "o_orderstatus": ["O"] * 5,
+            "o_totalprice": [10.0] * 5,
+            "o_orderdate": pd.to_datetime(
+                ["1995-06-01", "1995-06-02", "1996-06-01", "1996-06-02",
+                 "1996-06-03"]
+            ),
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "1-URGENT",
+                                "5-LOW", "5-LOW"],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(os.path.join(d, "orders.parquet"))
+    got = {r["o_orderpriority"]: r for r in
+           q131_priority_bag_diff(spark, d).collect()}
+    assert got["1-URGENT"]["n_surplus"] == 1   # 2 in '95 vs 1 in '96
+    assert got["1-URGENT"]["n_common"] == 1
+    assert got["5-LOW"]["n_surplus"] == 0      # 1996-only: kept, zeroed
+    assert got["5-LOW"]["n_common"] == 0

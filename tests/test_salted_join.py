@@ -54,3 +54,8 @@ def test_salted_join_validates(spark, skewed, dim):
     with pytest.raises(ValueError):
         # non-key column collision must be rejected, not silently aliased
         salted_join(skewed, skewed, "k")
+    with pytest.raises(ValueError):
+        # a real _salt column would be clobbered then dropped — refuse
+        salted_join(skewed.withColumnRenamed("v", "_salt"), dim, "k")
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim.withColumnRenamed("name", "_salt"), "k")
