@@ -6245,6 +6245,124 @@ ORDER BY u.user_id, t.event_type
 """
 
 
+def q136_source_datacard(spark, sf_dir):
+    """Per-source data card — the one-page report a curation run
+    publishes per provenance (the Datasheets/Dolma-style summary a
+    mixture owner reads before weighting): docs, whitespace tokens,
+    distinct languages, and the three gate drop-rates (C4/Gopher
+    quality, q119 word blocklist, exact content dup) with exact
+    integer permilles — composing three operator families in ONE pass
+    over the corpus. Defects are PLANTED deterministically (the
+    q92/q104 pattern, restated verbatim in the oracle): doc_id %13==2
+    becomes a too-short low-mean-word-length doc and %17==5 a
+    corpus-constant payload, so the quality and dup branches are real
+    at every sf (raw corpus: both zero). Scale shape: the gates are
+    map-only column expressions over one scan (quality_rule_flags
+    carries source/lang/text through), the dup flag is one window on
+    md5(text), and the card is a |sources|-bounded partial-agg
+    groupBy — two shuffles at 10^12 docs, both partial-aggregable."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", "source", "lang",
+        F.when(F.pmod("doc_id", F.lit(13)) == 2, F.lit("aa aa aa"))
+        .when(
+            F.pmod("doc_id", F.lit(17)) == 5,
+            F.lit("duplicate payload block shared across sources"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    flags = redaction.quality_rule_flags(
+        planted, extra_cols=("source", "lang", "text")
+    )
+    unsafe = (
+        F.size(
+            F.filter(
+                textstats.tokens(F.lower(F.col("text"))),
+                lambda t: t.isin(*BLOCKWORDS),
+            )
+        )
+        > 0
+    )
+    wdup = Window.partitionBy(F.md5("text"))
+    f = flags.select(
+        "source", "lang", "n_words", "keep",
+        unsafe.alias("unsafe"),
+        (F.count("*").over(wdup) > 1).alias("is_dup"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count_if(~F.col("keep")).alias("n_quality_drop"),
+            F.count_if(F.col("unsafe")).alias("n_safety_drop"),
+            F.count_if(F.col("is_dup")).alias("n_exact_dup"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "n_langs",
+            "n_quality_drop", "n_safety_drop", "n_exact_dup",
+            F.expr("(1000 * n_quality_drop) div n_docs")
+            .alias("quality_drop_permille"),
+            F.expr("(1000 * n_safety_drop) div n_docs")
+            .alias("safety_drop_permille"),
+            F.expr("(1000 * n_exact_dup) div n_docs").alias("dup_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q136_SQL = """
+WITH planted AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 13 = 2 THEN 'aa aa aa'
+              WHEN doc_id % 17 = 5
+              THEN 'duplicate payload block shared across sources'
+              ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT source, lang, text,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '')) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS total_wc,
+         length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+           AS n_symbols,
+         list_filter(list_transform(string_split_regex(text, '\r?\n'),
+                                    s -> trim(s)), s -> s <> '') AS lines
+  FROM planted),
+f AS (
+  SELECT source, lang, n_words,
+         (n_words BETWEEN 5 AND 100000
+          AND round(CASE WHEN n_words > 0
+                         THEN CAST(total_wc AS DOUBLE) / n_words
+                         ELSE 0 END, 6) BETWEEN 3.0 AND 10.0
+          AND round(CASE WHEN len(lines) > 0
+                         THEN CAST(len(lines) - len(list_distinct(lines))
+                                   AS DOUBLE) / len(lines)
+                         ELSE 0 END, 6) <= 0.3
+          AND round(CASE WHEN n_words > 0
+                         THEN CAST(n_symbols AS DOUBLE) / n_words
+                         ELSE 0 END, 6) <= 0.1) AS keep,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ('dup', 'slow'))) > 0 AS unsafe,
+         count(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+  FROM m)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       count(DISTINCT lang) AS n_langs,
+       count(*) FILTER (NOT keep) AS n_quality_drop,
+       count(*) FILTER (unsafe) AS n_safety_drop,
+       count(*) FILTER (is_dup) AS n_exact_dup,
+       (1000 * count(*) FILTER (NOT keep)) // count(*)
+         AS quality_drop_permille,
+       (1000 * count(*) FILTER (unsafe)) // count(*)
+         AS safety_drop_permille,
+       (1000 * count(*) FILTER (is_dup)) // count(*) AS dup_permille
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -6261,6 +6379,7 @@ ORDER BY u.user_id, t.event_type
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q136_source_datacard": (q136_source_datacard, _Q136_SQL),
     "q132_json_props": (q132_json_props, _Q132_SQL),
     "q133_rolling_24h": (q133_rolling_24h, _Q133_SQL),
     "q134_role_sequence": (q134_role_sequence, _Q134_SQL),
@@ -6296,7 +6415,6 @@ QUERIES: dict[str, tuple] = {
     "q102_token_entropy": (q102_token_entropy, _Q102_SQL),
     "q103_centroid_diversity": (q103_centroid_diversity, _Q103_SQL),
     "q104_turn_integrity": (q104_turn_integrity, _Q104_SQL),
-    "q92_mojibake_repair": (q92_mojibake_repair, _q92_sql()),
     "q93_dsir_select": (q93_dsir_select, _q93_sql()),
     "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
     "q96_context_budget": (q96_context_budget, _Q96_SQL),
@@ -6312,6 +6430,12 @@ QUERIES: dict[str, tuple] = {
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # ------------- 50-row driver window ends here -------------
+    # q92 rotated out for the q136 debut: its encoding-repair rewrite
+    # family keeps in-window presence via q101 (boilerplate-strip
+    # rewrite) and q120 (URL normalization), and q92 itself stays
+    # pinned by its planted-corruption oracle + round-trip tests in
+    # tests/test_queries_oracle.py and tests/test_textstats.py.
+    "q92_mojibake_repair": (q92_mojibake_repair, _q92_sql()),
     # q78/q79/q89/q94 rotated out for the q132-q135 debuts: q78's
     # winnowed-span family keeps in-window presence via q82 (dup spans),
     # q79's DSIR weights are composed verbatim by in-window q93 (the

@@ -120,7 +120,8 @@ def quality_rule_flags(df: DataFrame, text_col: str = "text",
                        min_mean_word_len: float = 3.0,
                        max_mean_word_len: float = 10.0,
                        max_dup_line_frac: float = 0.3,
-                       max_symbol_word_ratio: float = 0.1) -> DataFrame:
+                       max_symbol_word_ratio: float = 0.1,
+                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc C4/Gopher rule metrics + keep flag:
 
     * ``n_words`` in [min_words, max_words]           (Gopher word count)
@@ -174,6 +175,7 @@ def quality_rule_flags(df: DataFrame, text_col: str = "text",
     ).otherwise(F.lit(0.0))
     out = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],  # carried through for composers
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(dup_frac, 6).alias("dup_line_frac"),

@@ -248,3 +248,20 @@ def test_bag_set_ops_keep_one_sided_values(spark, tmp_path):
     assert got["1-URGENT"]["n_common"] == 1
     assert got["5-LOW"]["n_surplus"] == 0      # 1996-only: kept, zeroed
     assert got["5-LOW"]["n_common"] == 0
+
+
+def test_datacard_branches_real_and_conserved(spark, sf_dir):
+    from epstein_browser_spark.queries import q136_source_datacard
+
+    rows = q136_source_datacard(spark, sf_dir).collect()
+    assert rows
+    # every gate fires somewhere (the plants guarantee it at every sf)
+    assert sum(r["n_quality_drop"] for r in rows) > 0
+    assert sum(r["n_safety_drop"] for r in rows) > 0
+    assert sum(r["n_exact_dup"] for r in rows) > 0
+    for r in rows:
+        for c in ("n_quality_drop", "n_safety_drop", "n_exact_dup"):
+            assert 0 <= r[c] <= r["n_docs"]
+        assert r["quality_drop_permille"] == (1000 * r["n_quality_drop"]) // r["n_docs"]
+        assert r["n_langs"] >= 1
+        assert r["n_tokens"] > 0
