@@ -6363,6 +6363,54 @@ FROM f GROUP BY source ORDER BY source
 """
 
 
+def q137_length_quartiles(spark, sf_dir):
+    """NTILE + CUME_DIST: per-source document-length quartile
+    assignment and cumulative distribution — the distribution
+    diagnostics completing the window-function family (W1-W4 cover
+    row_number/lag/first/percent_rank; this adds the equal-height
+    bucketer every length-stratified sampler uses and the empirical
+    CDF). The order key is (n_chars, doc_id) so ties break
+    deterministically and NTILE is engine-exact; CUME_DIST's ratio is
+    a single IEEE division of exact integers — identical on both
+    engines. Rolled up to the quartile census (bounds + counts + the
+    CDF at the quartile's top edge) so the output is |source|×4
+    bounded, not corpus-sized. ONE source-keyed exchange serves both
+    window functions and the census groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    q = d.select(
+        "source", "n_chars",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        q.groupBy("source", "quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("len_min"),
+            F.max("n_chars").alias("len_max"),
+            F.round(F.max("cd"), 6).alias("cume_dist_top"),
+        )
+        .orderBy("source", "quartile")
+    )
+
+
+_Q137_SQL = """
+WITH q AS (
+  SELECT source, n_chars,
+         ntile(4) OVER w AS quartile,
+         cume_dist() OVER w AS cd
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id))
+SELECT source, CAST(quartile AS INT) AS quartile,
+       count(*) AS n_docs,
+       min(n_chars) AS len_min,
+       max(n_chars) AS len_max,
+       round(max(cd), 6) AS cume_dist_top
+FROM q GROUP BY source, quartile ORDER BY source, quartile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -6379,6 +6427,7 @@ FROM f GROUP BY source ORDER BY source
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q137_length_quartiles": (q137_length_quartiles, _Q137_SQL),
     "q136_source_datacard": (q136_source_datacard, _Q136_SQL),
     "q132_json_props": (q132_json_props, _Q132_SQL),
     "q133_rolling_24h": (q133_rolling_24h, _Q133_SQL),
@@ -6426,10 +6475,14 @@ QUERIES: dict[str, tuple] = {
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
     "q84_lm_perplexity": (q84_lm_perplexity, _Q84_SQL),
-    "q77_tfidf_topk": (q77_tfidf_topk, _Q77_SQL),
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # ------------- 50-row driver window ends here -------------
+    # q77 rotated out for the q137 debut: the term-weight ranking
+    # family keeps in-window presence via q87 (NB token-likelihood
+    # selection), with q60's BM25 oracle-pinned below; q77 itself stays
+    # pinned by tests/test_queries_oracle.py.
+    "q77_tfidf_topk": (q77_tfidf_topk, _Q77_SQL),
     # q92 rotated out for the q136 debut: its encoding-repair rewrite
     # family keeps in-window presence via q101 (boilerplate-strip
     # rewrite) and q120 (URL normalization), and q92 itself stays

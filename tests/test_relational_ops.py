@@ -265,3 +265,23 @@ def test_datacard_branches_real_and_conserved(spark, sf_dir):
         assert r["quality_drop_permille"] == (1000 * r["n_quality_drop"]) // r["n_docs"]
         assert r["n_langs"] >= 1
         assert r["n_tokens"] > 0
+
+
+def test_length_quartiles_equal_height_and_cdf(spark, sf_dir):
+    from epstein_browser_spark.queries import q137_length_quartiles
+
+    rows = q137_length_quartiles(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r["quartile"])
+        assert [r["quartile"] for r in rs] == [1, 2, 3, 4]
+        # equal-height: bucket sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        # quartile length ranges are non-decreasing across buckets
+        for a, b in zip(rs, rs[1:]):
+            assert a["len_max"] <= b["len_min"]
+        # CDF tops the group at exactly 1.0
+        assert rs[-1]["cume_dist_top"] == 1.0
