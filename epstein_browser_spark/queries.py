@@ -6252,15 +6252,22 @@ def q136_source_datacard(spark, sf_dir):
     distinct languages, and the three gate drop-rates (C4/Gopher
     quality, q119 word blocklist, exact content dup) with exact
     integer permilles — composing three operator families in ONE pass
-    over the corpus. Defects are PLANTED deterministically (the
-    q92/q104 pattern, restated verbatim in the oracle): doc_id %13==2
-    becomes a too-short low-mean-word-length doc and %17==5 a
-    corpus-constant payload, so the quality and dup branches are real
-    at every sf (raw corpus: both zero). Scale shape: the gates are
-    map-only column expressions over one scan (quality_rule_flags
-    carries source/lang/text through), the dup flag is one window on
-    md5(text), and the card is a |sources|-bounded partial-agg
-    groupBy — two shuffles at 10^12 docs, both partial-aggregable."""
+    over the corpus. Every gate defect is PLANTED deterministically
+    (the q92/q104 pattern, restated verbatim in the oracle): doc_id
+    %13==2 becomes a too-short doc (quality drop), %17==5 a
+    corpus-constant payload (exact dup), %19==7 a constant sentence
+    containing a blocklisted token (safety drop) — so all three
+    branches are real at every sf regardless of the raw corpus (which
+    has zero quality/dup defects). The constant plants ALSO count as
+    dups of each other — flags are independent censuses, not exclusive
+    buckets. Scale shape: the gates are map-only column expressions
+    over one scan (quality_rule_flags carries source/lang/text through;
+    the blocklist hit is redaction.blocklist_hits — the ONE kernel
+    q119 uses); the dup flag is a partial-aggregable
+    groupBy(md5(text)).count joined back on the hash — an AQE-skew-
+    splittable equi-join, NOT a window (a corpus-constant text would
+    put all its copies in a single unsplittable window partition);
+    the card is a |sources|-bounded partial agg."""
     d = _t(spark, sf_dir, "documents")
     planted = d.select(
         "doc_id", "source", "lang",
@@ -6269,26 +6276,28 @@ def q136_source_datacard(spark, sf_dir):
             F.pmod("doc_id", F.lit(17)) == 5,
             F.lit("duplicate payload block shared across sources"),
         )
+        .when(
+            F.pmod("doc_id", F.lit(19)) == 7,
+            F.lit("please keep this slow record entry intact"),
+        )
         .otherwise(F.col("text"))
         .alias("text"),
     )
     flags = redaction.quality_rule_flags(
         planted, extra_cols=("source", "lang", "text")
     )
-    unsafe = (
-        F.size(
-            F.filter(
-                textstats.tokens(F.lower(F.col("text"))),
-                lambda t: t.isin(*BLOCKWORDS),
-            )
-        )
-        > 0
+    unsafe = redaction.blocklist_hits(F.col("text"), BLOCKWORDS) > 0
+    counts = planted.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("cnt")
     )
-    wdup = Window.partitionBy(F.md5("text"))
-    f = flags.select(
-        "source", "lang", "n_words", "keep",
-        unsafe.alias("unsafe"),
-        (F.count("*").over(wdup) > 1).alias("is_dup"),
+    f = (
+        flags.withColumn("h", F.md5("text"))
+        .join(counts, "h")
+        .select(
+            "source", "lang", "n_words", "keep",
+            unsafe.alias("unsafe"),
+            (F.col("cnt") > 1).alias("is_dup"),
+        )
     )
     return (
         f.groupBy("source")
@@ -6319,6 +6328,8 @@ WITH planted AS (
          CASE WHEN doc_id % 13 = 2 THEN 'aa aa aa'
               WHEN doc_id % 17 = 5
               THEN 'duplicate payload block shared across sources'
+              WHEN doc_id % 19 = 7
+              THEN 'please keep this slow record entry intact'
               ELSE text END AS text
   FROM documents),
 m AS (
@@ -6487,7 +6498,7 @@ QUERIES: dict[str, tuple] = {
     # family keeps in-window presence via q101 (boilerplate-strip
     # rewrite) and q120 (URL normalization), and q92 itself stays
     # pinned by its planted-corruption oracle + round-trip tests in
-    # tests/test_queries_oracle.py and tests/test_textstats.py.
+    # tests/test_queries_oracle.py and tests/test_convstats.py.
     "q92_mojibake_repair": (q92_mojibake_repair, _q92_sql()),
     # q78/q79/q89/q94 rotated out for the q132-q135 debuts: q78's
     # winnowed-span family keeps in-window presence via q82 (dup spans),

@@ -199,6 +199,20 @@ def quality_rule_flags(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def blocklist_hits(text: Column, blockwords) -> Column:
+    """Whole-token case-insensitive blocklist hit COUNT over ``text`` —
+    the column-level kernel shared by blocklist_gate and composers
+    (q136's data card), so there is exactly ONE normalized blocklist
+    definition: a mixed-case entry can never match in the gate but not
+    in a composer's inline copy."""
+    from epstein_browser_spark.textstats import tokens
+
+    bw = sorted({w.lower() for w in blockwords})
+    if not bw:
+        raise ValueError("blocklist needs at least one word")
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*bw)))
+
+
 def blocklist_gate(df: DataFrame, blockwords: list[str],
                    text_col: str = "text", id_col: str = "doc_id",
                    max_hits_permille: int = 25) -> DataFrame:
@@ -226,7 +240,7 @@ def blocklist_gate(df: DataFrame, blockwords: list[str],
         raise ValueError("blocklist_gate needs a non-empty blocklist")
     words = tokens(F.lower(F.col(text_col)))
     n_words = F.size(words)
-    hits = F.size(F.filter(words, lambda t: t.isin(*bw)))
+    hits = blocklist_hits(F.col(text_col), bw)
     kinds = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in bw])))
     return df.select(
         F.col(id_col).alias("id"),

@@ -255,7 +255,8 @@ def test_datacard_branches_real_and_conserved(spark, sf_dir):
 
     rows = q136_source_datacard(spark, sf_dir).collect()
     assert rows
-    # every gate fires somewhere (the plants guarantee it at every sf)
+    # every gate fires somewhere — each has its own plant (%13 quality,
+    # %17 dup, %19 safety), so this holds on ANY regenerated corpus
     assert sum(r["n_quality_drop"] for r in rows) > 0
     assert sum(r["n_safety_drop"] for r in rows) > 0
     assert sum(r["n_exact_dup"] for r in rows) > 0
