@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_stats"]
 
 
 def pagerank(
@@ -103,3 +103,84 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient over
+    an (src, dst) edge table, treated as an UNDIRECTED simple graph
+    (self-loops dropped, duplicate/reverse edges collapsed).
+
+    Returns ``(node, degree, n_triangles, clustering_permille)`` where
+    ``clustering_permille = (2000 * n_triangles) div (degree * (degree-1))``
+    for degree >= 2, else 0 — all-integer, so engine-exact.
+
+    Algorithm is node-iterator++ (the MapReduce-classic degree
+    orientation, Suri & Vassilvitskii WWW'11 / Cohen's "Graph Twiddling"):
+    every undirected edge is oriented from its LOWER-rank endpoint to its
+    higher, rank = (degree, node) lexicographic. Each triangle then has
+    exactly one "apex" (its minimum-rank vertex) and is found once, by
+    joining the apex's two out-edges (a wedge) against the oriented edge
+    closing it. Orientation is what makes this web-scale: wedge count per
+    node is bounded by its OUT-degree squared, and out-degree under degree
+    orientation is O(sqrt(m)) — a celebrity domain with 10^7 undirected
+    neighbours contributes only wedges among its few HIGHER-degree peers,
+    instead of 10^14 raw wedges. Both wedge-build and closure are plain
+    equi-join shuffles (AQE-skew-splittable; a lexicographic orientation
+    would have the same plan but unbounded hub wedges).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    withdeg = und.join(da, "a").join(db, "b")
+    lower_is_a = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_is_a, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, "u").filter(
+        (F.col("o1.dv") < F.col("o2.dv"))
+        | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+    ).select(
+        F.col("u").alias("x"),
+        F.col("o1.v").alias("y"),
+        F.col("o2.v").alias("z"),
+    )
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tris = wedges.join(closing, ["y", "z"])
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN (2000 * coalesce(n_triangles,"
+                " CAST(0 AS BIGINT))) div (degree * (degree - 1))"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("clustering_permille"),
+        )
+    )

@@ -6422,6 +6422,472 @@ FROM q GROUP BY source, quartile ORDER BY source, quartile
 """
 
 
+def q138_link_triangles(spark, sf_dir):
+    """Triangle census + local clustering coefficient on the q123 link
+    graph (graph.triangle_stats) — the graph-motif statistic web curation
+    uses to separate organically interlinked communities from star-shaped
+    link farms (a spam hub has thousands of neighbours that never link
+    each other: degree high, clustering ~0). Edges are exactly q123's
+    crawl-frontier graph (referrer domain → cited domains, planted
+    deterministically), made undirected and simple. The kernel is
+    node-iterator++ (degree orientation): each triangle is found ONCE at
+    its minimum-(degree,node)-rank apex, so per-node wedge work is bounded
+    by out-degree² = O(m) total instead of Σ deg² — the difference between
+    feasible and not on a 10^8-domain graph with celebrity hubs.
+    clustering_permille is all-integer ((2000·tri) div (deg·(deg-1))), so
+    the whole motif count is value-oracled. Scale shape: two equi-join
+    shuffles (wedge build + closure) and one partial-agg explode —
+    AQE-skew-splittable joins, zero windows, output |nodes|-bounded."""
+    from epstein_browser_spark import graph
+
+    d = _t(spark, sf_dir, "documents")
+    linked = (
+        redaction.url_domains(_url_augmented(d))
+        .select("id", "domain").distinct()
+    )
+    referrer = F.concat(
+        F.lit("w"), ((F.col("id") * 3) % 20).cast("string"),
+        F.lit(".example.org"),
+    )
+    edges = (
+        linked.select(referrer.alias("src"), F.col("domain").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return graph.triangle_stats(edges).orderBy(
+        F.desc("n_triangles"), F.asc("node")
+    )
+
+
+def _q138_sql() -> str:
+    from epstein_browser_spark.redaction import DOMAIN_RE, URL_RE
+
+    url_re = URL_RE.replace("'", "''")
+    ref = "'w' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example.org'"
+    return f"""
+WITH aug AS ({_URL_AUG_SQL}),
+u AS (SELECT DISTINCT doc_id,
+             lower(regexp_extract(url, '{DOMAIN_RE}', 1)) AS domain
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{url_re}')) AS url
+            FROM aug)),
+e0 AS (SELECT DISTINCT {ref} AS src, domain AS dst
+       FROM u WHERE domain <> {ref}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+wd AS (SELECT und.a, und.b, da.degree AS dega, db.degree AS degb
+       FROM und JOIN deg da ON da.node = und.a
+                JOIN deg db ON db.node = und.b),
+o AS (SELECT CASE WHEN (dega, a) < (degb, b) THEN a ELSE b END AS ux,
+             CASE WHEN (dega, a) < (degb, b) THEN b ELSE a END AS v,
+             CASE WHEN (dega, a) < (degb, b) THEN degb ELSE dega END AS dv
+      FROM wd),
+w AS (SELECT o1.ux AS x, o1.v AS y, o2.v AS z
+      FROM o o1 JOIN o o2 ON o1.ux = o2.ux
+      WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+t AS (SELECT x, y, z FROM w JOIN o ON o.ux = w.y AND o.v = w.z),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+             UNION ALL SELECT z FROM t)
+       GROUP BY node)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN (2000 * COALESCE(pn.n_triangles, 0))
+                      // (deg.degree * (deg.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_permille
+FROM deg LEFT JOIN pn USING (node)
+ORDER BY n_triangles DESC, node
+"""
+
+
+def q139_edit_near_dups(spark, sf_dir):
+    """Edit-distance near-duplicate pairs — the character-level dedup
+    family MinHash/SimHash cannot see (one-typo reposts, trailing-byte
+    variants: shingle sets barely move but so do thousands of unrelated
+    docs; Levenshtein ≤ 3 is the precise test). Candidate generation is
+    LENGTH-BAND blocking: |len(a) − len(b)| is a lower bound on edit
+    distance, so pairs are only formed inside a 64-char band or across
+    adjacent bands, then pruned to |Δlen| ≤ 3 before the O(n·m) distance
+    runs — the standard Ed-Join-style length filter. Spark computes
+    levenshtein WITH the threshold argument (early-exit row-kernel:
+    abandons a pair the moment the running minimum exceeds 3). A
+    deterministic plant (doc_id % 37 == 4 → a ' x'-suffixed variant at
+    doc_id + 1,000,000) guarantees true positives on ANY regenerated
+    corpus; the corpus also contributes natural pairs. Scale shape: the
+    band self-join is a plain equi-join shuffle on the band key
+    (AQE-skew-splittable if one length band is hot); candidates per doc
+    are bounded by band occupancy × the Δlen prune, never corpus-sized.
+    Exact-dup pairs (dist 0) are excluded — that family is q18's."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    var = d.filter(F.col("doc_id") % 37 == 4).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" x")).alias("text"),
+        (F.col("n_chars") + 2).alias("n_chars"),
+    )
+    b = d.unionByName(var).select(
+        "doc_id", "text", "n_chars", F.expr("n_chars div 64").alias("band")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    same = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .filter(F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= 3)
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.text").alias("ta"), F.col("y.text").alias("tb"))
+    )
+    adj = (
+        x.join(y, F.col("x.band") + 1 == F.col("y.band"))
+        .filter(F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= 3)
+        .select(F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+                F.col("x.text").alias("ta"), F.col("y.text").alias("tb"))
+    )
+    return (
+        same.unionByName(adj)
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("ta", "tb", 3).cast("long").alias("dist"),
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= 3))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_Q139_SQL = """
+WITH base AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' x', n_chars + 2
+  FROM documents WHERE doc_id % 37 = 4),
+b AS (SELECT doc_id, text, n_chars, n_chars // 64 AS band FROM base),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.text AS ta, y.text AS tb
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  WHERE abs(x.n_chars - y.n_chars) <= 3
+  UNION ALL
+  SELECT least(x.doc_id, y.doc_id), greatest(x.doc_id, y.doc_id),
+         x.text, y.text
+  FROM b x JOIN b y ON x.band + 1 = y.band
+  WHERE abs(x.n_chars - y.n_chars) <= 3)
+SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(ta, tb) BETWEEN 1 AND 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def q140_scd2_state(spark, sf_dir):
+    """SCD-2 state-interval build over the event log: each user's
+    event_type stream run-length-encodes into validity intervals
+    (valid_from_us, valid_to_us, n_events, is_current) — the
+    slowly-changing-dimension type-2 table every warehouse derives from a
+    mutation log, and for a training pipeline the "which state was active
+    at time t" table that as-of joins (q62) consume. Islands are the
+    change-flag + running-sum idiom in exact epoch-micros; valid_to is the
+    NEXT interval's valid_from (half-open [from, to) contract, pinned by
+    test), with the open interval carrying the int64-max sentinel rather
+    than NULL so every column stays exact BIGINT on both engines.
+    Scale shape: ONE user-keyed exchange serves the change-flag window,
+    the island sum, the interval collapse, AND the valid_to lead (all
+    partition on user_id); at 10^12 events nothing re-shuffles, and
+    output is bounded by the number of state CHANGES, not events."""
+    e = _t(spark, sf_dir, "events")
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(wu).isNull()
+        | (F.lag("event_type").over(wu) != F.col("event_type")), 1
+    ).otherwise(0)
+    s = e.select(
+        "user_id", "event_id", "event_type", mu.alias("mu"),
+        F.sum(chg).over(wu).cast("long").alias("island"),
+    )
+    per = s.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("mu").cast("long").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    sentinel = F.lit(9_223_372_036_854_775_807).cast("long")
+    return (
+        per.select(
+            "user_id", "state", "valid_from_us", "n_events",
+            F.coalesce(F.lead("valid_from_us").over(wi), sentinel)
+            .alias("valid_to_us"),
+        )
+        .select(
+            "user_id", "state", "valid_from_us", "valid_to_us", "n_events",
+            (F.col("valid_to_us") == sentinel).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+_Q140_SQL = """
+WITH m AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS mu
+           FROM events),
+g AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM g),
+per AS (SELECT user_id, island, min(event_type) AS state,
+               CAST(min(mu) AS BIGINT) AS valid_from_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, island),
+fin AS (SELECT user_id, state, valid_from_us, n_events,
+               CAST(coalesce(
+                 lead(valid_from_us)
+                   OVER (PARTITION BY user_id ORDER BY island),
+                 9223372036854775807) AS BIGINT) AS valid_to_us
+        FROM per)
+SELECT user_id, state, valid_from_us, valid_to_us, n_events,
+       valid_to_us = 9223372036854775807 AS is_current
+FROM fin ORDER BY user_id, valid_from_us
+"""
+
+
+def q141_basket_rules(spark, sf_dir):
+    """Market-basket association rules over user-day baskets: which event
+    types co-occur within one user's day, with exact integer support,
+    both directional confidences, and lift — the co-occurrence mining a
+    curation pipeline runs on (source, defect-flag) or (tool, error)
+    pairs to find systematically coupled behaviours. Baskets are distinct
+    (user, day, event_type) triples; pairs form per basket with
+    item_a < item_b. All ratios are integer: support/conf in permille,
+    lift in milli via the overflow-safe two-step
+    ((1e6·n_ab div n_a) · n_baskets) div (1000·n_b) — every intermediate
+    ≤ 1e18 even at 10^12 baskets, restated verbatim in the oracle (the
+    inner floor can sit lift one milli under the rational value — the
+    deliberate, deterministic quantization of the micro-unit discipline,
+    pinned by test).
+    Scale shape: one (user, day)-keyed exchange dedups baskets AND feeds
+    the pair self-join on the same key (no second shuffle of the big
+    side); pair output is |item-vocabulary|²-bounded, so the global
+    basket count joins in as a broadcast one-rower."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    n_baskets = (
+        b.select("user_id", "day").distinct()
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
+    ni = b.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(y, ["user_id", "day"])
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("item_a"),
+            F.col("y.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    na = ni.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))
+    nb = ni.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "n_a", "n_b", "n_ab", "n_baskets",
+            F.expr("(1000 * n_ab) div n_baskets").alias("support_permille"),
+            F.expr("(1000 * n_ab) div n_a").alias("conf_a_to_b_permille"),
+            F.expr("(1000 * n_ab) div n_b").alias("conf_b_to_a_permille"),
+            F.expr(
+                "((1000000 * n_ab div n_a) * n_baskets) div (1000 * n_b)"
+            ).alias("lift_milli"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+_Q141_SQL = """
+WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+nbk AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        FROM (SELECT DISTINCT user_id, day FROM b)),
+ni AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM b GROUP BY event_type),
+pairs AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM b x JOIN b y
+            ON x.user_id = y.user_id AND x.day = y.day
+               AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+SELECT item_a, item_b, na.n AS n_a, nb.n AS n_b, n_ab, nbk.n_baskets,
+       CAST((1000 * n_ab) // nbk.n_baskets AS BIGINT) AS support_permille,
+       CAST((1000 * n_ab) // na.n AS BIGINT) AS conf_a_to_b_permille,
+       CAST((1000 * n_ab) // nb.n AS BIGINT) AS conf_b_to_a_permille,
+       CAST(((1000000 * n_ab // na.n) * nbk.n_baskets)
+            // (1000 * nb.n) AS BIGINT) AS lift_milli
+FROM pairs
+JOIN ni na ON na.event_type = item_a
+JOIN ni nb ON nb.event_type = item_b
+CROSS JOIN nbk
+ORDER BY item_a, item_b
+"""
+
+
+def q142_chi2_contingency(spark, sf_dir):
+    """Chi-squared contingency audit of the lang × source grid — the
+    independence check a mixture owner runs to catch provenance/language
+    coupling (one crawl source quietly all-German ⇒ language balancing
+    silently reweights sources). Observed counts, expected counts, and
+    deviations are EXACT integers in micro-units via the overflow-safe
+    two-step expected ((1e6·row_tot div total) · col_tot div 1) — every
+    intermediate ≤ 1e18 at 10^12 docs; the float χ² contribution is ONE
+    multiply and two divides over those integers (identical IEEE ops on
+    both engines, round 6 — the q137 cume_dist discipline). Scale shape:
+    three partial aggs over one scan (cell, row, col) + broadcast joins of
+    the tiny marginals; output is |langs|×|sources|-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    row = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    col = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_source")
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        cell.join(F.broadcast(row), "lang")
+        .join(F.broadcast(col), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_obs",
+            F.expr(
+                "(1000000 * n_lang div n_total) * n_source"
+            ).alias("expected_micro"),
+        )
+        .select(
+            "lang", "source", "n_obs", "expected_micro",
+            F.expr("1000000 * n_obs - expected_micro").alias("dev_micro"),
+            F.round(
+                F.expr(
+                    "CAST(dev_micro AS DOUBLE) * CAST(dev_micro AS DOUBLE)"
+                    " / CAST(expected_micro AS DOUBLE) / 1000000.0"
+                ),
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_Q142_SQL = """
+WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+              FROM documents GROUP BY lang, source),
+r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+      FROM documents GROUP BY lang),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY source),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+e AS (SELECT cell.lang, cell.source, cell.n_obs,
+             CAST((1000000 * r.n_lang // t.n_total) * c.n_source AS BIGINT)
+               AS expected_micro
+      FROM cell JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t)
+SELECT lang, source, n_obs, expected_micro,
+       CAST(1000000 * n_obs - expected_micro AS BIGINT) AS dev_micro,
+       round(CAST(1000000 * n_obs - expected_micro AS DOUBLE)
+             * CAST(1000000 * n_obs - expected_micro AS DOUBLE)
+             / CAST(expected_micro AS DOUBLE) / 1000000.0, 6)
+         AS chi2_contrib
+FROM e ORDER BY lang, source
+"""
+
+
+def q143_interval_coalesce(spark, sf_dir):
+    """Interval coalescing (overlapping-range union): each event opens an
+    activity lease (15 minutes; 2 hours for an ``error`` — the incident
+    window); per user, overlapping leases merge into maximal covered
+    intervals, reported as the per-user census (events, merged intervals,
+    exact covered micros) — the time-range dedup behind rate-limit
+    accounting, crawl-politeness windows, and GPU-hour attribution, and a
+    DIFFERENT islands operator from q44/q100: because lease lengths VARY,
+    interval ends are not monotone in starts, so the island break needs
+    the running MAX of interval ENDS — an early 2h incident lease
+    swallows several later 15-minute leases that a lag-gap check would
+    wrongly split on (pinned by test). The running max uses the
+    [unbounded, 1 preceding) frame in exact epoch-micros with an event_id
+    tiebreak, so island ids are engine-exact. Scale shape: ONE user-keyed
+    exchange serves the running-max window, the island collapse, and the
+    per-user census (same partition key throughout); output is
+    |users|-bounded."""
+    e = _t(spark, sf_dir, "events")
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
+    lease = F.when(
+        F.col("event_type") == "error", F.lit(7_200_000_000)
+    ).otherwise(F.lit(900_000_000))
+    iv = e.select(
+        "user_id", "event_id", mu.alias("s"), (mu + lease).alias("en"),
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    flagged = iv.select(
+        "user_id", "event_id", "s", "en",
+        F.when(
+            F.max("en").over(wu).isNull()
+            | (F.col("s") > F.max("en").over(wu)), 1
+        ).otherwise(0).alias("new_island"),
+    ).select(
+        "user_id", "s", "en",
+        F.sum("new_island").over(wo).cast("long").alias("island"),
+    )
+    merged = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("en").alias("me"),
+        F.count("*").cast("long").alias("n_ev"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum(F.col("me") - F.col("ms")).cast("long")
+            .alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q143_SQL = """
+WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + CASE WHEN event_type = 'error' THEN 7200000000
+                          ELSE 900000000 END AS en
+            FROM events),
+g AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM iv),
+f AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                     THEN 1 ELSE 0 END AS new_island
+      FROM g),
+s2 AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id
+                                       ORDER BY s, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS island
+       FROM f),
+m AS (SELECT user_id, island, min(s) AS ms, max(en) AS me,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM s2 GROUP BY user_id, island)
+SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(me - ms) AS BIGINT) AS covered_us
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -6438,6 +6904,12 @@ FROM q GROUP BY source, quartile ORDER BY source, quartile
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q138_link_triangles": (q138_link_triangles, _q138_sql()),
+    "q139_edit_near_dups": (q139_edit_near_dups, _Q139_SQL),
+    "q140_scd2_state": (q140_scd2_state, _Q140_SQL),
+    "q141_basket_rules": (q141_basket_rules, _Q141_SQL),
+    "q142_chi2_contingency": (q142_chi2_contingency, _Q142_SQL),
+    "q143_interval_coalesce": (q143_interval_coalesce, _Q143_SQL),
     "q137_length_quartiles": (q137_length_quartiles, _Q137_SQL),
     "q136_source_datacard": (q136_source_datacard, _Q136_SQL),
     "q132_json_props": (q132_json_props, _Q132_SQL),
@@ -6468,20 +6940,14 @@ QUERIES: dict[str, tuple] = {
     "q109_keep_best": (q109_keep_best, _Q109_SQL),
     "q110_source_overlap": (q110_source_overlap, _Q110_SQL),
     "q105_robust_length_gate": (q105_robust_length_gate, _Q105_SQL),
-    "q106_vocab_growth": (q106_vocab_growth, _Q106_SQL),
-    "q107_unigram_kl": (q107_unigram_kl, _Q107_SQL),
     "q108_chunk_langid": (q108_chunk_langid, _q108_sql()),
     "q101_boilerplate_strip": (q101_boilerplate_strip, _Q101_SQL),
     "q102_token_entropy": (q102_token_entropy, _Q102_SQL),
     "q103_centroid_diversity": (q103_centroid_diversity, _Q103_SQL),
     "q104_turn_integrity": (q104_turn_integrity, _Q104_SQL),
     "q93_dsir_select": (q93_dsir_select, _q93_sql()),
-    "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
     "q96_context_budget": (q96_context_budget, _Q96_SQL),
-    "q97_mixture_alpha": (q97_mixture_alpha, _Q97_SQL),
-    "q98_self_repetition": (q98_self_repetition, _Q98_SQL),
     "q99_tool_grounding": (q99_tool_grounding, _Q99_SQL),
-    "q100_episode_segments": (q100_episode_segments, _Q100_SQL),
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
     "q82_dup_spans": (q82_dup_spans, _q82_sql()),
@@ -6489,6 +6955,24 @@ QUERIES: dict[str, tuple] = {
     "q80_semdedup": (q80_semdedup, _q80_sql()),
     "q81_media_decode": (q81_media_decode, _q81_sql()),
     # ------------- 50-row driver window ends here -------------
+    # q95/q97/q98/q100/q106/q107 rotated out for the q138-q143 debuts:
+    # q95's SFT-pair family keeps in-window presence via q96 (context
+    # budget), q104, and q111 (the conversation-transform census trio);
+    # q97's mixture-α reweighting via q110 (provenance overlap) and q114
+    # (budgeted selection); q98's repetition family via q102 (token
+    # entropy); q100's islands family is SUPERSEDED in-window by the
+    # debuting q140 (SCD2 run-length islands) and q143 (interval
+    # coalescing — the running-max islands variant); q106's vocab census
+    # via q115 (BPE fertility) with q58 oracle-pinned below; q107's
+    # distribution-divergence family via q93 (DSIR log-likelihood
+    # ratios). All six remain pinned per-query by
+    # tests/test_queries_oracle.py.
+    "q95_sft_pairs": (q95_sft_pairs, _Q95_SQL),
+    "q97_mixture_alpha": (q97_mixture_alpha, _Q97_SQL),
+    "q98_self_repetition": (q98_self_repetition, _Q98_SQL),
+    "q100_episode_segments": (q100_episode_segments, _Q100_SQL),
+    "q106_vocab_growth": (q106_vocab_growth, _Q106_SQL),
+    "q107_unigram_kl": (q107_unigram_kl, _Q107_SQL),
     # q77 rotated out for the q137 debut: the term-weight ranking
     # family keeps in-window presence via q87 (NB token-likelihood
     # selection), with q60's BM25 oracle-pinned below; q77 itself stays
