@@ -5545,6 +5545,21 @@ def q123_domain_pagerank(spark, sf_dir):
     never re-shuffles."""
     from epstein_browser_spark import graph
 
+    return (
+        graph.pagerank(
+            _link_graph_edges(spark, sf_dir), iters=5, damping_permille=850
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+    )
+
+
+def _link_graph_edges(spark, sf_dir):
+    """The planted crawl-frontier link graph shared by q123 (PageRank)
+    and q138 (triangles): each doc's referrer domain (w{(3·doc_id)%20} —
+    a permutation of the even w-domains, so real cycles exist) links to
+    every domain the doc's text cites (q56's URL plants); self-loops
+    dropped, edges deduped. ONE definition — the q138 contract is
+    'exactly q123's graph', so any plant change stays in lockstep."""
     d = _t(spark, sf_dir, "documents")
     linked = (
         redaction.url_domains(_url_augmented(d))
@@ -5554,14 +5569,10 @@ def q123_domain_pagerank(spark, sf_dir):
         F.lit("w"), ((F.col("id") * 3) % 20).cast("string"),
         F.lit(".example.org"),
     )
-    edges = (
+    return (
         linked.select(referrer.alias("src"), F.col("domain").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-    )
-    return (
-        graph.pagerank(edges, iters=5, damping_permille=850)
-        .orderBy(F.desc("rank_micro"), F.asc("node"))
     )
 
 
@@ -6440,21 +6451,7 @@ def q138_link_triangles(spark, sf_dir):
     AQE-skew-splittable joins, zero windows, output |nodes|-bounded."""
     from epstein_browser_spark import graph
 
-    d = _t(spark, sf_dir, "documents")
-    linked = (
-        redaction.url_domains(_url_augmented(d))
-        .select("id", "domain").distinct()
-    )
-    referrer = F.concat(
-        F.lit("w"), ((F.col("id") * 3) % 20).cast("string"),
-        F.lit(".example.org"),
-    )
-    edges = (
-        linked.select(referrer.alias("src"), F.col("domain").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return graph.triangle_stats(edges).orderBy(
+    return graph.triangle_stats(_link_graph_edges(spark, sf_dir)).orderBy(
         F.desc("n_triangles"), F.asc("node")
     )
 
@@ -6516,15 +6513,26 @@ def q139_edit_near_dups(spark, sf_dir):
     levenshtein WITH the threshold argument (early-exit row-kernel:
     abandons a pair the moment the running minimum exceeds 3). A
     deterministic plant (doc_id % 37 == 4 → a ' x'-suffixed variant at
-    doc_id + 1,000,000) guarantees true positives on ANY regenerated
-    corpus; the corpus also contributes natural pairs. Scale shape: the
-    band self-join is a plain equi-join shuffle on the band key
-    (AQE-skew-splittable if one length band is hot); candidates per doc
-    are bounded by band occupancy × the Δlen prune, never corpus-sized.
-    Exact-dup pairs (dist 0) are excluded — that family is q18's."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    −doc_id − 1, a key space no real non-negative id can ever collide
+    with at ANY corpus size) guarantees true positives on any
+    regenerated corpus; the corpus also contributes natural pairs. The
+    operator's domain is ASCII-only text (guard pushed into the scan):
+    Spark's levenshtein counts CODEPOINTS while DuckDB's counts BYTES,
+    so the two agree exactly on ASCII and diverge on multi-byte chars —
+    on a real multilingual corpus the distance kernel itself is the
+    cross-engine contract to pin, not this query's blocking. Scale
+    shape: the band self-join is a plain equi-join shuffle on the band
+    key (AQE-skew-splittable if one length band is hot); candidates per
+    doc are bounded by band occupancy × the Δlen prune, never
+    corpus-sized. Exact-dup pairs (dist 0) are excluded — that family
+    is q18's."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+    )
     var = d.filter(F.col("doc_id") % 37 == 4).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat("text", F.lit(" x")).alias("text"),
         (F.col("n_chars") + 2).alias("n_chars"),
     )
@@ -6558,12 +6566,15 @@ def q139_edit_near_dups(spark, sf_dir):
     )
 
 
-_Q139_SQL = """
-WITH base AS (
+_Q139_SQL = r"""
+WITH ascii_docs AS (
   SELECT doc_id, text, n_chars FROM documents
+  WHERE regexp_matches(text, '^[\x00-\x7F]*$')),
+base AS (
+  SELECT doc_id, text, n_chars FROM ascii_docs
   UNION ALL
-  SELECT doc_id + 1000000, text || ' x', n_chars + 2
-  FROM documents WHERE doc_id % 37 = 4),
+  SELECT -doc_id - 1, text || ' x', n_chars + 2
+  FROM ascii_docs WHERE doc_id % 37 = 4),
 b AS (SELECT doc_id, text, n_chars, n_chars // 64 AS band FROM base),
 cand AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.text AS ta, y.text AS tb
@@ -6573,9 +6584,12 @@ cand AS (
   SELECT least(x.doc_id, y.doc_id), greatest(x.doc_id, y.doc_id),
          x.text, y.text
   FROM b x JOIN b y ON x.band + 1 = y.band
-  WHERE abs(x.n_chars - y.n_chars) <= 3)
-SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
-FROM cand WHERE levenshtein(ta, tb) BETWEEN 1 AND 3
+  WHERE abs(x.n_chars - y.n_chars) <= 3),
+scored AS (
+  SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+  FROM cand)
+SELECT doc_a, doc_b, dist FROM scored
+WHERE dist BETWEEN 1 AND 3
 ORDER BY doc_a, doc_b
 """
 
@@ -6583,14 +6597,19 @@ ORDER BY doc_a, doc_b
 def q140_scd2_state(spark, sf_dir):
     """SCD-2 state-interval build over the event log: each user's
     event_type stream run-length-encodes into validity intervals
-    (valid_from_us, valid_to_us, n_events, is_current) — the
+    (version, valid_from_us, valid_to_us, n_events, is_current) — the
     slowly-changing-dimension type-2 table every warehouse derives from a
     mutation log, and for a training pipeline the "which state was active
     at time t" table that as-of joins (q62) consume. Islands are the
-    change-flag + running-sum idiom in exact epoch-micros; valid_to is the
-    NEXT interval's valid_from (half-open [from, to) contract, pinned by
-    test), with the open interval carrying the int64-max sentinel rather
-    than NULL so every column stays exact BIGINT on both engines.
+    change-flag + running-sum idiom in exact epoch-micros; the island
+    ordinal ships as the SCD2 ``version``, so (user_id, version) is a
+    deterministic TOTAL order even when two same-timestamp events open
+    two intervals (event_id breaks the window tie identically on both
+    engines; the degenerate [t, t) row is then well-ordered too);
+    valid_to is the NEXT version's valid_from (half-open [from, to)
+    contract, pinned by test), with the open interval carrying the
+    int64-max sentinel rather than NULL so every column stays exact
+    BIGINT on both engines.
     Scale shape: ONE user-keyed exchange serves the change-flag window,
     the island sum, the interval collapse, AND the valid_to lead (all
     partition on user_id); at 10^12 events nothing re-shuffles, and
@@ -6615,15 +6634,17 @@ def q140_scd2_state(spark, sf_dir):
     sentinel = F.lit(9_223_372_036_854_775_807).cast("long")
     return (
         per.select(
-            "user_id", "state", "valid_from_us", "n_events",
+            "user_id", F.col("island").alias("version"), "state",
+            "valid_from_us", "n_events",
             F.coalesce(F.lead("valid_from_us").over(wi), sentinel)
             .alias("valid_to_us"),
         )
         .select(
-            "user_id", "state", "valid_from_us", "valid_to_us", "n_events",
+            "user_id", "version", "state", "valid_from_us", "valid_to_us",
+            "n_events",
             (F.col("valid_to_us") == sentinel).alias("is_current"),
         )
-        .orderBy("user_id", "valid_from_us")
+        .orderBy("user_id", "version")
     )
 
 
@@ -6641,15 +6662,16 @@ per AS (SELECT user_id, island, min(event_type) AS state,
                CAST(min(mu) AS BIGINT) AS valid_from_us,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, island),
-fin AS (SELECT user_id, state, valid_from_us, n_events,
+fin AS (SELECT user_id, CAST(island AS BIGINT) AS version, state,
+               valid_from_us, n_events,
                CAST(coalesce(
                  lead(valid_from_us)
                    OVER (PARTITION BY user_id ORDER BY island),
                  9223372036854775807) AS BIGINT) AS valid_to_us
         FROM per)
-SELECT user_id, state, valid_from_us, valid_to_us, n_events,
+SELECT user_id, version, state, valid_from_us, valid_to_us, n_events,
        valid_to_us = 9223372036854775807 AS is_current
-FROM fin ORDER BY user_id, valid_from_us
+FROM fin ORDER BY user_id, version
 """
 
 
@@ -6741,22 +6763,27 @@ def q142_chi2_contingency(spark, sf_dir):
     independence check a mixture owner runs to catch provenance/language
     coupling (one crawl source quietly all-German ⇒ language balancing
     silently reweights sources). Observed counts, expected counts, and
-    deviations are EXACT integers in micro-units via the overflow-safe
-    two-step expected ((1e6·row_tot div total) · col_tot div 1) — every
-    intermediate ≤ 1e18 at 10^12 docs; the float χ² contribution is ONE
-    multiply and two divides over those integers (identical IEEE ops on
-    both engines, round 6 — the q137 cume_dist discipline). Scale shape:
-    three partial aggs over one scan (cell, row, col) + broadcast joins of
-    the tiny marginals; output is |langs|×|sources|-bounded."""
+    deviations are integers in micro-units via the overflow-safe two-step
+    expected: the LARGER marginal is scaled-and-floored first, then
+    multiplied by the smaller — every intermediate ≤ 1e18 at 10^12 docs,
+    and the floor's quantization is bounded by min(row, col) micro-units
+    (= min(row, col)/1e6 counts; the q141 documented-quantization
+    discipline — a truly exact product needs int128). The float χ²
+    contribution is ONE multiply and two divides over those integers
+    (identical IEEE ops on both engines, round 6 — the q137 cume_dist
+    discipline); cells whose expected floors to 0 (a marginal below
+    total/1e6) report χ² 0.0 rather than a cross-engine Inf/NULL
+    disagreement — dev_micro still exposes them. Scale shape: ONE scan
+    builds the |langs|×|sources| cell table; marginals and the total
+    derive from the CELLS (partial re-aggs of a tiny frame, guaranteed
+    consistent by construction) and broadcast back."""
     d = _t(spark, sf_dir, "documents")
     cell = d.groupBy("lang", "source").agg(
         F.count("*").cast("long").alias("n_obs")
     )
-    row = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
-    col = d.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_source")
-    )
-    tot = d.agg(F.count("*").cast("long").alias("n_total"))
+    row = cell.groupBy("lang").agg(F.sum("n_obs").alias("n_lang"))
+    col = cell.groupBy("source").agg(F.sum("n_obs").alias("n_source"))
+    tot = row.agg(F.sum("n_lang").alias("n_total"))
     return (
         cell.join(F.broadcast(row), "lang")
         .join(F.broadcast(col), "source")
@@ -6764,7 +6791,9 @@ def q142_chi2_contingency(spark, sf_dir):
         .select(
             "lang", "source", "n_obs",
             F.expr(
-                "(1000000 * n_lang div n_total) * n_source"
+                "CASE WHEN n_lang >= n_source"
+                " THEN (1000000 * n_lang div n_total) * n_source"
+                " ELSE (1000000 * n_source div n_total) * n_lang END"
             ).alias("expected_micro"),
         )
         .select(
@@ -6772,8 +6801,10 @@ def q142_chi2_contingency(spark, sf_dir):
             F.expr("1000000 * n_obs - expected_micro").alias("dev_micro"),
             F.round(
                 F.expr(
-                    "CAST(dev_micro AS DOUBLE) * CAST(dev_micro AS DOUBLE)"
-                    " / CAST(expected_micro AS DOUBLE) / 1000000.0"
+                    "CASE WHEN expected_micro = 0 THEN CAST(0 AS DOUBLE)"
+                    " ELSE CAST(dev_micro AS DOUBLE)"
+                    " * CAST(dev_micro AS DOUBLE)"
+                    " / CAST(expected_micro AS DOUBLE) / 1000000.0 END"
                 ),
                 6,
             ).alias("chi2_contrib"),
@@ -6785,20 +6816,23 @@ def q142_chi2_contingency(spark, sf_dir):
 _Q142_SQL = """
 WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
               FROM documents GROUP BY lang, source),
-r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
-      FROM documents GROUP BY lang),
-c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
-      FROM documents GROUP BY source),
-t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+r AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS n_lang
+      FROM cell GROUP BY lang),
+c AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS n_source
+      FROM cell GROUP BY source),
+t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total FROM r),
 e AS (SELECT cell.lang, cell.source, cell.n_obs,
-             CAST((1000000 * r.n_lang // t.n_total) * c.n_source AS BIGINT)
-               AS expected_micro
+             CAST(CASE WHEN r.n_lang >= c.n_source
+                       THEN (1000000 * r.n_lang // t.n_total) * c.n_source
+                       ELSE (1000000 * c.n_source // t.n_total) * r.n_lang
+                  END AS BIGINT) AS expected_micro
       FROM cell JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t)
 SELECT lang, source, n_obs, expected_micro,
        CAST(1000000 * n_obs - expected_micro AS BIGINT) AS dev_micro,
-       round(CAST(1000000 * n_obs - expected_micro AS DOUBLE)
-             * CAST(1000000 * n_obs - expected_micro AS DOUBLE)
-             / CAST(expected_micro AS DOUBLE) / 1000000.0, 6)
+       round(CASE WHEN expected_micro = 0 THEN 0.0
+             ELSE CAST(1000000 * n_obs - expected_micro AS DOUBLE)
+                  * CAST(1000000 * n_obs - expected_micro AS DOUBLE)
+                  / CAST(expected_micro AS DOUBLE) / 1000000.0 END, 6)
          AS chi2_contrib
 FROM e ORDER BY lang, source
 """
