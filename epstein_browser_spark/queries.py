@@ -7022,6 +7022,10 @@ def q145_cms_heavyhitters(spark, sf_dir):
         .agg(F.count("*").alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), F.asc("k"))
         .limit(20)
+        # 20 rows feeding BOTH the probe set and the final join — pin
+        # once instead of re-running the fact aggregation (q43/q97
+        # localCheckpoint precedent)
+        .localCheckpoint()
     )
     sketch = sketches.cms_sketch(keys, "k", depth=4, width=256,
                                  seed="cms0")
@@ -7116,6 +7120,14 @@ ORDER BY a.n_chars, a.doc_id
 """
 
 
+# ONE definition of the q147 filter geometry: the pass threshold IS k,
+# shared by both bloom_positions calls, the all-k match filter, and the
+# DuckDB oracle — editing k in one place cannot desynchronize the rest
+# (a missed threshold would turn Bloom false-negative-free into lossy).
+_Q147_K = 2
+_Q147_M = 512
+
+
 def q147_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join audit (sketches.bloom_positions): gate the
     orders fact table by membership of o_custkey in the high-balance
@@ -7139,20 +7151,24 @@ def q147_bloom_semijoin(spark, sf_dir):
     dim = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     dim_pos = dim.select(
         F.explode(
-            sketches.bloom_positions(F.col("c_custkey"), k=2, m=512)
+            sketches.bloom_positions(
+                F.col("c_custkey"), k=_Q147_K, m=_Q147_M
+            )
         ).alias("pos")
     ).distinct()
     probe = orders.select(
         "o_orderkey",
         F.explode(
-            sketches.bloom_positions(F.col("o_custkey"), k=2, m=512)
+            sketches.bloom_positions(
+                F.col("o_custkey"), k=_Q147_K, m=_Q147_M
+            )
         ).alias("pos"),
     )
     passes = (
         probe.join(F.broadcast(dim_pos), "pos")
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("_nm"))
-        .filter(F.col("_nm") == 2)
+        .filter(F.col("_nm") == _Q147_K)
         .select("o_orderkey", F.lit(True).alias("bloom_pass"))
     )
     flagged = (
@@ -7186,7 +7202,7 @@ def q147_bloom_semijoin(spark, sf_dir):
     ).orderBy("o_orderstatus")
 
 
-def _q147_sql(k: int = 2, m: int = 512) -> str:
+def _q147_sql(k: int = _Q147_K, m: int = _Q147_M) -> str:
     hd = _md5_int_sql(
         "'bl0:' || CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)", 6
     )

@@ -97,6 +97,11 @@ def hll_distinct(
     is partial-aggregable (registers merge by max) — the point of the
     sketch.
     """
+    # NULLs drop before hashing, matching count_distinct's NULL
+    # semantics (concat_ws would otherwise hash every NULL as the bare
+    # seed — a phantom distinct value); a group whose values are all
+    # NULL is absent from the output on both sides, consistently.
+    df = df.filter(F.col(value_col).isNotNull())
     h = _md5_int(
         F.concat_ws(":", F.lit(seed), F.col(value_col).cast("string")), 10
     )
@@ -201,7 +206,12 @@ def cms_estimate(
     estimate is ``min`` over the depth rows of the candidate's bucket
     counters — ≥ the true count always, with overshoot bounded by the
     collision mass. The grid (≤ depth·width rows) broadcasts; the probe
-    is a broadcast equi-join, never a shuffle of the candidate set."""
+    is a broadcast equi-join, never a shuffle of the candidate set.
+    A bucket with no occupants has no grid row and counts as 0 (LEFT
+    join + coalesce), so an item that never appeared in the stream —
+    and whose buckets happen to be empty — correctly estimates 0
+    instead of inheriting only its non-empty buckets' collision mass or
+    vanishing from the output."""
     probes = candidates.select(
         F.col(item_col),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
@@ -222,9 +232,13 @@ def cms_estimate(
         ).alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
     )
 
 
@@ -294,11 +308,27 @@ def skyline_2d(
     Worst case (all points in one bin, e.g. constant x) degrades to the
     per-bin pair check — the irreducible cost when the frontier itself
     is O(n). Output is frontier-sized."""
+    integral = ("byte", "short", "int", "long", "integer", "bigint",
+                "smallint", "tinyint")
+    for c in (x_col, y_col):
+        dt = dict(df.select(x_col, y_col).dtypes)[c]
+        if dt not in integral:
+            raise TypeError(
+                f"skyline_2d requires integral coordinates; {c!r} is "
+                f"{dt} — cast('long') would TRUNCATE and silently "
+                f"reorder the dominance relation (scale fractional "
+                f"scores to integers upstream)"
+            )
     pts = df.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     )
+    # the projected points feed FOUR evaluations (bounds agg, bin-max
+    # collect, both sides of the survivor anti-join) — pin them once so
+    # an expensive upstream (q146 tokenizes the corpus) scans once
+    # (the q97/q43 localCheckpoint precedent)
+    pts = pts.localCheckpoint()
     lo, hi = pts.agg(F.min("x"), F.max("x")).first()
     if lo is None:
         return pts.select("id", "x", "y")

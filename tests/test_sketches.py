@@ -208,3 +208,53 @@ def test_skyline_bin_count_does_not_change_answer(spark):
         == _sky_run(spark, pts, n_bins=1024)
         == _sky_brute(pts)
     )
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_cms_absent_item_estimates_zero_not_dropped(spark):
+    """An item that never appeared in the stream must come back (not be
+    inner-joined away) and must estimate 0 when its buckets are empty —
+    empty grid cells count as 0 via the LEFT join."""
+    df = spark.createDataFrame([("only",)], "item string")
+    sketch = sketches.cms_sketch(df, "item", depth=4, width=64)
+    cand = spark.createDataFrame(
+        [("only",), ("never-seen-key",)], "item string"
+    )
+    est = {
+        r["item"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            sketch, cand, "item", depth=4, width=64
+        ).collect()
+    }
+    _, query = _cms_brute(["only"], depth=4, width=64)
+    assert set(est) == {"only", "never-seen-key"}
+    assert est["only"] == query("only") == 1
+    assert est["never-seen-key"] == query("never-seen-key")
+
+
+def test_hll_nulls_match_count_distinct_semantics(spark):
+    """NULL values drop before hashing (count_distinct ignores them);
+    an all-NULL group is absent from the output entirely."""
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", None), ("g1", "b"), ("g2", None)],
+        "g string, v string",
+    )
+    rows = {r["g"]: r for r in
+            sketches.hll_distinct(df, ["g"], "v").collect()}
+    assert set(rows) == {"g1"}
+    assert rows["g1"]["n_exact"] == 2
+    n_hit, sum_scaled, est = _hll_brute(["a", "b"])
+    assert rows["g1"]["sum_scaled"] == sum_scaled
+    assert rows["g1"]["hll_est"] == est
+
+
+def test_skyline_rejects_fractional_coordinates(spark):
+    df = spark.createDataFrame(
+        [(1, 1.9, 2.0)], "id bigint, x double, y double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        sketches.skyline_2d(df, "id", "x", "y")
