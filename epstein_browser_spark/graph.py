@@ -21,7 +21,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_stats"]
+__all__ = ["pagerank", "triangle_stats", "tree_closure"]
+
+
+def tree_closure(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Transitive closure of a forest — (node, root, depth) for every
+    node, given one row per node with its parent (NULL for roots). The
+    Spark-native equivalent of SQL's ``WITH RECURSIVE`` ancestor walk
+    (which Spark lacks), built by POINTER DOUBLING rather than
+    depth-at-a-time iteration: the state (v, anc, d) means "anc is an
+    ancestor of v at distance d"; each round substitutes anc's own
+    pointer — (v, anc, d) ⋈ (anc, anc', d') → (v, anc', d+d') — so the
+    known-ancestor distance DOUBLES per round and a depth-D hierarchy
+    settles in ceil(log2 D) joins, not D (the difference between 7
+    rounds and 100 on a 100-level BOM). Roots self-map with distance 0,
+    making settled rows fixpoints of the same join — no special-casing
+    in the loop body.
+
+    Execution discipline matches the repo's other iterative kernels
+    (connected_components, pagerank): one equi-join shuffle per round,
+    localCheckpoint to truncate lineage, scalar-only driver traffic
+    (the unsettled count), loud failure after ``max_rounds`` (a cycle —
+    a parent chain that never reaches a root — would otherwise spin
+    forever; 40 rounds covers depth 2^40).
+
+    Multi-parent rows (a DAG, not a forest) would fan out the join;
+    callers own pre-deduping to one parent per node.
+    """
+    state = nodes.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col))
+        .cast("long")
+        .alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint()
+    roots = state.filter(F.col("node") == F.col("anc")).select(
+        F.col("node").alias("root_node")
+    )
+    for _ in range(max_rounds):
+        unsettled = state.join(
+            roots, state.anc == F.col("root_node"), "left_anti"
+        ).count()
+        if unsettled == 0:
+            return state.select(
+                "node", F.col("anc").alias("root"), "depth"
+            )
+        a = state.alias("a")
+        b = state.select(
+            F.col("node").alias("b_node"),
+            F.col("anc").alias("b_anc"),
+            F.col("depth").alias("b_depth"),
+        ).alias("b")
+        state = (
+            a.join(b, F.col("a.anc") == F.col("b.b_node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.b_anc").alias("anc"),
+                (F.col("a.depth") + F.col("b.b_depth")).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"tree_closure did not settle in {max_rounds} rounds — the "
+        f"parent relation likely contains a cycle (not a forest)"
+    )
 
 
 def pagerank(

@@ -7120,6 +7120,143 @@ ORDER BY a.n_chars, a.doc_id
 """
 
 
+def q148_org_hierarchy(spark, sf_dir):
+    """Recursive hierarchy closure (graph.tree_closure) — Spark's answer
+    to ``WITH RECURSIVE``: every customer's root and depth in a
+    deterministic org forest (parent = custkey div 3; custkeys 1 and 2
+    are the roots), rolled up to the (root, depth) census. The kernel is
+    POINTER DOUBLING — the known-ancestor distance doubles per
+    equi-join round, so the ~7-level sf0.01 hierarchy (and a 100-level
+    BOM at 10^12 rows) settles in ceil(log2 D) shuffles instead of D —
+    with the repo's iterative discipline: per-round localCheckpoint,
+    scalar-only driver traffic, loud cycle failure. The DuckDB oracle
+    IS the recursive CTE this kernel replaces, walking depth-at-a-time
+    from the roots — two entirely different evaluation strategies, one
+    value-matched answer. Census output is |roots|×depth bounded."""
+    from epstein_browser_spark import graph
+
+    c = _t(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.expr("c_custkey div 3") >= 1, F.expr("c_custkey div 3")
+        ).alias("parent"),
+    )
+    closure = graph.tree_closure(nodes, "node", "parent")
+    return (
+        closure.groupBy("root", "depth")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("root", "depth")
+    )
+
+
+_Q148_SQL = """
+WITH RECURSIVE r AS (
+  SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT) AS depth
+  FROM customer WHERE c_custkey // 3 < 1
+  UNION ALL
+  SELECT c.c_custkey, r.root, r.depth + 1
+  FROM customer c JOIN r ON (c.c_custkey // 3) = r.node
+  WHERE c.c_custkey // 3 >= 1)
+SELECT root, depth, CAST(count(*) AS BIGINT) AS n_nodes
+FROM r GROUP BY root, depth ORDER BY root, depth
+"""
+
+
+def q149_cube_census(spark, sf_dir):
+    """CUBE grouping sets: document volume by (lang, source) at ALL four
+    granularities — per cell, per lang, per source, grand total — in ONE
+    partial-aggregable pass (each input row feeds 4 grouping sets
+    map-side, one shuffle total). Completes the grouping-sets family:
+    q126's ROLLUP cannot produce the source-only marginal. grouping_id
+    disambiguates real NULL keys from subtotal rows (same MSB-first bit
+    convention on both engines, pinned by the q126 oracle already —
+    this one pins the full CUBE lattice)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("gid", "lang", "source")
+    )
+
+
+_Q149_SQL = """
+SELECT lang, source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY gid, lang, source
+"""
+
+
+def q150_table_fingerprint(spark, sf_dir):
+    """Order-independent replica fingerprint: one BIGINT per order
+    status that two clusters (or a table and its migrated copy) can
+    compare WITHOUT sorting, shipping, or diffing rows — the
+    anti-entropy check every cross-datacenter replication and
+    engine-migration runbook needs. fingerprint = Σ md5(row-key
+    material) over the group, accumulated in DECIMAL(38,0) (exact at
+    any row count — BIGINT sums overflow at ~2^23 rows of 40-bit
+    hashes; the q84 corpus-sum discipline) and reduced mod 2^61 at the
+    end. Addition is commutative, so the result is independent of row
+    order, partitioning, and engine — a single flipped byte anywhere in
+    the keyed columns changes it. Map-only hash + ONE partial-agg
+    shuffle with |statuses| groups; only integer-typed columns (keys,
+    epoch micros) and the status string feed the hash — float columns
+    are excluded by design (their text rendering is not
+    engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.unix_micros(
+                        F.col("o_orderdate").cast("timestamp")
+                    ).cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.pmod(F.sum(h), F.lit(1 << 61).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("fingerprint"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q150_sql() -> str:
+    h = _md5_int_sql(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        " || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate)"
+        " AS VARCHAR)",
+        10,
+    )
+    return f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({h}) % {1 << 61} AS BIGINT) AS fingerprint
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ONE definition of the q147 filter geometry: the pass threshold IS k,
 # shared by both bloom_positions calls, the all-k match filter, and the
 # DuckDB oracle — editing k in one place cannot desynchronize the rest
@@ -7256,6 +7393,8 @@ FROM flagged GROUP BY o_orderstatus ORDER BY o_orderstatus
 QUERIES: dict[str, tuple] = {
     # --- round-5 debuts (every NEW query gets a driver row in its debut
     # round — VERDICT r4 item 7) ---
+    "q148_org_hierarchy": (q148_org_hierarchy, _Q148_SQL),
+    "q150_table_fingerprint": (q150_table_fingerprint, _q150_sql()),
     "q144_hll_customers": (q144_hll_customers, _q144_sql()),
     "q145_cms_heavyhitters": (q145_cms_heavyhitters, _q145_sql()),
     "q146_doc_skyline": (q146_doc_skyline, _Q146_SQL),
@@ -7304,9 +7443,24 @@ QUERIES: dict[str, tuple] = {
     "q93_dsir_select": (q93_dsir_select, _q93_sql()),
     "q96_context_budget": (q96_context_budget, _Q96_SQL),
     "q99_tool_grounding": (q99_tool_grounding, _Q99_SQL),
+    # ------------- 50-row driver window ends here -------------
+    # q87/q88 rotated out for the q148/q150 debuts: q87's
+    # token-likelihood selection family keeps in-window presence via
+    # q93 (DSIR log-ratio selection, the same hashed-unigram machinery)
+    # and q114 (budgeted selection); q88's LSH-recall telemetry audits
+    # the ANN family that has been driver-green since r3/r4
+    # (q23/q49/q53/q66/q74, all below, all still oracle-pinned) with
+    # q103's k-means assignment in-window. Both stay value-pinned by
+    # tests/test_queries_oracle.py and the sf0.01 mirror.
     "q87_nb_select": (q87_nb_select, _q87_sql()),
     "q88_lsh_recall": (q88_lsh_recall, _q88_sql()),
-    # ------------- 50-row driver window ends here -------------
+    # q149 (CUBE census) debuts BELOW the window by choice: its
+    # grouping-sets family is in-window via q126 (ROLLUP with the same
+    # grouping_id bit convention), and the window slots are better
+    # spent keeping r5 debuts driver-validated; q149 is pinned by
+    # tests/test_queries_oracle.py and the sf0.01 mirror like every
+    # below-window row.
+    "q149_cube_census": (q149_cube_census, _Q149_SQL),
     # q80/q81/q82/q84 rotated out for the q144-q147 sketch/frontier
     # debuts: q80's embedding near-dup family keeps in-window presence
     # via q103 (the same k-means assignment kernel) with the exact/LSH

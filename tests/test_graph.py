@@ -132,3 +132,73 @@ def test_q125_purchase_before_view_never_counts(spark, tmp_path):
     assert row["n_reached_purchase"] == 1   # u2 only
     assert row["click_permille"] == 500
     assert row["purchase_permille"] == 1000
+
+
+# ---------------------------------------------------------------------------
+# tree_closure (pointer doubling)
+# ---------------------------------------------------------------------------
+
+from epstein_browser_spark.graph import tree_closure  # noqa: E402
+
+
+def _closure_brute(parent):
+    """Pure-Python ancestor walk: node -> (root, depth)."""
+    out = {}
+    for n in parent:
+        d, cur = 0, n
+        while parent[cur] is not None:
+            cur = parent[cur]
+            d += 1
+        out[n] = (cur, d)
+    return out
+
+
+def _closure_run(spark, parent):
+    df = spark.createDataFrame(
+        [(n, p) for n, p in parent.items()], "node bigint, parent bigint"
+    )
+    got = tree_closure(df, "node", "parent").collect()
+    return {r["node"]: (r["root"], r["depth"]) for r in got}
+
+
+@pytest.mark.parametrize(
+    "parent",
+    [
+        # two-tree forest with branching
+        {1: None, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 10: None, 11: 10},
+        # deep chain (depth 37): needs ceil(log2 37) = 6 doubling rounds
+        {0: None, **{i: i - 1 for i in range(1, 38)}},
+        # all roots (zero rounds of work)
+        {i: None for i in range(5)},
+        # single node
+        {42: None},
+    ],
+)
+def test_tree_closure_matches_python_walk(spark, parent):
+    assert _closure_run(spark, parent) == _closure_brute(parent)
+
+
+def test_tree_closure_detects_cycles(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "node bigint, parent bigint"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        tree_closure(df, "node", "parent", max_rounds=6)
+
+
+def test_tree_closure_partition_invariance(spark):
+    parent = {0: None, **{i: (i - 1) // 2 for i in range(1, 64)}}
+    df = spark.createDataFrame(
+        [(n, p) for n, p in parent.items()], "node bigint, parent bigint"
+    )
+    one = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_closure(df.coalesce(1), "node", "parent").collect()
+    }
+    many = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_closure(
+            df.repartition(5), "node", "parent"
+        ).collect()
+    }
+    assert one == many == _closure_brute(parent)
