@@ -46,34 +46,59 @@ def tree_closure(
     Execution discipline matches the repo's other iterative kernels
     (connected_components, pagerank): one equi-join shuffle per round,
     localCheckpoint to truncate lineage, scalar-only driver traffic
-    (the unsettled count), loud failure after ``max_rounds`` (a cycle —
-    a parent chain that never reaches a root — would otherwise spin
-    forever; 40 rounds covers depth 2^40).
+    (the unsettled count), loud failure on malformed input — a parent
+    referencing a node absent from the input raises up front (the
+    doubling join would silently drop the row), a self-loop or longer
+    cycle raises after ``max_rounds`` joins (settlement is re-checked
+    AFTER the final join, so ``max_rounds`` joins really do cover depth
+    ``2**max_rounds``).
 
     Multi-parent rows (a DAG, not a forest) would fan out the join;
     callers own pre-deduping to one parent per node.
     """
-    state = nodes.select(
+    src = nodes.select(
         F.col(node_col).cast("long").alias("node"),
-        F.coalesce(F.col(parent_col), F.col(node_col))
-        .cast("long")
-        .alias("anc"),
-        F.when(F.col(parent_col).isNull(), F.lit(0))
+        F.col(parent_col).cast("long").alias("parent"),
+    )
+    dangling = (
+        src.filter(F.col("parent").isNotNull())
+        .select(F.col("parent").alias("node"))
+        .join(src.select("node"), "node", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if dangling:
+        raise ValueError(
+            f"tree_closure: parent {dangling[0]['node']} is referenced "
+            f"but absent from the input — the closure would silently "
+            f"drop its subtree"
+        )
+    state = src.select(
+        "node",
+        F.coalesce(F.col("parent"), F.col("node")).alias("anc"),
+        F.when(F.col("parent").isNull(), F.lit(0))
         .otherwise(F.lit(1))
         .cast("long")
         .alias("depth"),
     ).localCheckpoint()
-    roots = state.filter(F.col("node") == F.col("anc")).select(
+    # true roots only (parent IS NULL): a self-loop row also has
+    # node == anc in the state encoding but is a 1-cycle, not a root —
+    # it must stay unsettled and hit the max_rounds error
+    roots = src.filter(F.col("parent").isNull()).select(
         F.col("node").alias("root_node")
     )
-    for _ in range(max_rounds):
-        unsettled = state.join(
-            roots, state.anc == F.col("root_node"), "left_anti"
+
+    def _unsettled(st) -> int:
+        return st.join(
+            roots, st.anc == F.col("root_node"), "left_anti"
         ).count()
-        if unsettled == 0:
-            return state.select(
-                "node", F.col("anc").alias("root"), "depth"
-            )
+
+    def _done(st):
+        return st.select("node", F.col("anc").alias("root"), "depth")
+
+    if _unsettled(state) == 0:
+        return _done(state)
+    for _ in range(max_rounds):  # max_rounds joins, checked AFTER each
         a = state.alias("a")
         b = state.select(
             F.col("node").alias("b_node"),
@@ -89,6 +114,8 @@ def tree_closure(
             )
             .localCheckpoint()
         )
+        if _unsettled(state) == 0:
+            return _done(state)
     raise RuntimeError(
         f"tree_closure did not settle in {max_rounds} rounds — the "
         f"parent relation likely contains a cycle (not a forest)"

@@ -7210,25 +7210,35 @@ def q150_table_fingerprint(spark, sf_dir):
     shuffle with |statuses| groups; only integer-typed columns (keys,
     epoch micros) and the status string feed the hash — float columns
     are excluded by design (their text rendering is not
-    engine-portable)."""
+    engine-portable). Timestamp columns enter as unix_micros of the
+    stored instant, which makes the fingerprint SESSION-TIMEZONE-bound:
+    both replicas must read under the same session timezone (this repo
+    pins UTC — session.py — as does the driver harness; verified: a
+    non-UTC session shifts DST-gap rows and changes the checksum).
+    NULL keyed values hash as an explicit '<NULL>' sentinel on both
+    engines — concat_ws would silently skip them and DuckDB's || would
+    NULL-propagate, either corrupting or escaping the integrity check."""
+    from epstein_browser_spark.sketches import md5_int
+
     o = _t(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("o_custkey").cast("string"),
-                    F.col("o_orderstatus"),
-                    F.unix_micros(
-                        F.col("o_orderdate").cast("timestamp")
-                    ).cast("string"),
-                )
-            ),
-            1,
-            10,
+
+    def _part(c):
+        # explicit NULL sentinel on BOTH engines: concat_ws silently
+        # SKIPS NULLs (collapsing 'a|NULL|b' into 'a|b') while DuckDB's
+        # || NULL-propagates and sum() then drops the whole row — either
+        # way a NULL key would corrupt or escape the integrity check.
+        # The keyed columns here are integers + a status code, so the
+        # sentinel cannot collide with real values.
+        return F.coalesce(c.cast("string"), F.lit("<NULL>"))
+
+    h = md5_int(
+        F.concat_ws(
+            "|",
+            _part(F.col("o_orderkey")),
+            _part(F.col("o_custkey")),
+            _part(F.col("o_orderstatus")),
+            _part(F.unix_micros(F.col("o_orderdate").cast("timestamp"))),
         ),
-        16,
         10,
     ).cast("decimal(38,0)")
     return (
@@ -7244,12 +7254,14 @@ def q150_table_fingerprint(spark, sf_dir):
 
 
 def _q150_sql() -> str:
-    h = _md5_int_sql(
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
-        " || '|' || o_orderstatus || '|' || CAST(epoch_us(o_orderdate)"
-        " AS VARCHAR)",
-        10,
-    )
+    parts = [
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "CAST(epoch_us(o_orderdate) AS VARCHAR)",
+    ]
+    joined = " || '|' || ".join(f"coalesce({c}, '<NULL>')" for c in parts)
+    h = _md5_int_sql(joined, 10)
     return f"""
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum({h}) % {1 << 61} AS BIGINT) AS fingerprint

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "md5_int",
     "hll_distinct",
     "cms_sketch",
     "cms_estimate",
@@ -49,10 +50,16 @@ __all__ = [
 ]
 
 
-def _md5_int(expr: Column, ndigits: int) -> Column:
+def md5_int(expr: Column, ndigits: int) -> Column:
     """Canonical engine-portable integer draw: the first ``ndigits`` hex
-    digits of md5 as a BIGINT (matches tools' `_md5_int_sql`)."""
+    digits of md5 as a BIGINT (matches queries' `_md5_int_sql` DuckDB
+    restatement). ONE definition for every consumer (HLL/CMS/Bloom here,
+    the q150 fingerprint) so the Spark side cannot drift from the SQL
+    oracles digit-count by digit-count."""
     return F.conv(F.substring(F.md5(expr), 1, ndigits), 16, 10).cast("long")
+
+
+_md5_int = md5_int  # internal alias, kept for the kernels below
 
 
 # ---------------------------------------------------------------------------

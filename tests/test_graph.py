@@ -202,3 +202,38 @@ def test_tree_closure_partition_invariance(spark):
         ).collect()
     }
     assert one == many == _closure_brute(parent)
+
+
+def test_tree_closure_settles_on_exact_round_budget(spark):
+    """A depth-4 chain needs exactly ceil(log2 4) = 2 doubling joins;
+    max_rounds=2 must therefore SUCCEED (settlement is re-checked after
+    the final join, not only before it)."""
+    parent = {0: None, 1: 0, 2: 1, 3: 2, 4: 3}
+    df = spark.createDataFrame(
+        [(n, p) for n, p in parent.items()], "node bigint, parent bigint"
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_closure(df, "node", "parent", max_rounds=2).collect()
+    }
+    assert got == _closure_brute(parent)
+
+
+def test_tree_closure_rejects_dangling_parent(spark):
+    """A parent referencing a node absent from the input raises up
+    front instead of silently dropping the subtree."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 5)], "node bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="absent"):
+        tree_closure(df, "node", "parent")
+
+
+def test_tree_closure_self_loop_is_a_cycle_not_a_root(spark):
+    """parent == node is a 1-cycle: it must hit the cycle error, not be
+    misreported as a settled root with depth 1."""
+    df = spark.createDataFrame(
+        [(1, None), (7, 7)], "node bigint, parent bigint"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        tree_closure(df, "node", "parent", max_rounds=5)
