@@ -227,6 +227,46 @@ SHOWCASE = {
         "single-shuffle shape as extraction, so the op scales exactly "
         "as far as the corpus scan does."
     ),
+    "q144_hll_customers": (
+        "HyperLogLog census: register build is a partial-aggregable "
+        "max over (group, register) — map-side combine ships 256 "
+        "registers per group per partition, never the raw keys; the "
+        "exact-baseline join is a BroadcastHashJoin of the "
+        "|groups|-sized audit side."
+    ),
+    "q145_cms_heavyhitters": (
+        "Count-min: the grid build is ONE partial-aggregable exchange "
+        "with <=1024 groups; probes are a BroadcastHashJoin of the "
+        "grid against the 20-row (localCheckpoint-pinned) candidate "
+        "set — the fact table shuffles once for the exact baseline, "
+        "zero times for the sketch probe."
+    ),
+    "q146_doc_skyline": (
+        "Skyline: the exact dominance check is a SortMergeJoin "
+        "LeftAnti on the x-bin EQUI key with the dominance predicate "
+        "as a residual — AQE-splittable, never a CartesianProduct; "
+        "the suffix-max prefilter arrives as a BroadcastHashJoin of "
+        "<=256 bin rows against the localCheckpoint-pinned points."
+    ),
+    "q147_bloom_semijoin": (
+        "Bloom semi-join: the filter is a BroadcastExchange of the "
+        "distinct dim-key bit positions (<=512 rows); orders probe it "
+        "with a BroadcastHashJoin — the fact table never shuffles on "
+        "the join key; the exact audit join is likewise broadcast."
+    ),
+    "q148_org_hierarchy": (
+        "Recursive closure (pointer doubling): each settled round is "
+        "an equi-join of the localCheckpoint-pinned state with itself; "
+        "the final census is one partial-aggregable groupBy — the "
+        "explain shows the LAST round's join over the checkpointed "
+        "RDD scan (lineage truncated by design, the CC/pagerank "
+        "discipline)."
+    ),
+    "q150_table_fingerprint": (
+        "Replica fingerprint: map-only md5 + ONE partial-aggregable "
+        "exchange with |statuses| groups; the DECIMAL(38,0) partial "
+        "sums keep the checksum exact at any row count."
+    ),
 }
 
 
