@@ -39,6 +39,17 @@ Layout:
   streaming.py   checkpointed streaming variant + stateful per-conversation
               progress (applyInPandasWithState)
   fsutil.py   Hadoop-FS small-file I/O (manifests work on hdfs://s3a://)
+  sketches.py bounded-state summaries: HyperLogLog distinct census,
+              count-min heavy hitters, Bloom-filter semi-join positions,
+              grid-pruned 2-D Pareto skyline (all md5-deterministic,
+              DuckDB-value-oracled)
+  graph.py    link-graph + hierarchy kernels: integer PageRank, triangle
+              census (degree orientation), recursive tree closure
+              (pointer doubling — the WITH RECURSIVE equivalent)
+  bpe.py      corpus-trained byte-pair encoding (train: one shuffle +
+              bounded driver merges; apply: JVM literal-replace chain)
+  convstats.py   agent-transcript analytics (role flows, tool census,
+              SFT pairs, conversation packing)
   synth.py    deterministic synthetic transcripts generator (seed=42)
 """
 
