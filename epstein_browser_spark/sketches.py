@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "md5_int",
+    "hll_register_cols",
+    "hll_census",
     "hll_distinct",
     "cms_sketch",
     "cms_estimate",
@@ -77,6 +79,54 @@ HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(
 )
 
 
+def hll_register_cols(value: Column, seed: str = "hll0"):
+    """The HLL register draw as reusable columns: (register index, rho).
+    The 40-bit md5 draw splits into an 8-bit register index and a 32-bit
+    tail; rho = leading-zero count of the tail + 1 computed EXACTLY as
+    ``33 - length(bin(tail))`` (both engines print minimal binary).
+    Shared by the batch census (hll_distinct) and the streaming register
+    table (streaming.hll_user_registers_stream) so the two surfaces
+    cannot drift."""
+    h = _md5_int(F.concat_ws(":", F.lit(seed), value.cast("string")), 10)
+    reg = (
+        h.bitwiseAND(F.lit((HLL_M - 1) * _TAIL_MOD)) / F.lit(_TAIL_MOD)
+    ).cast("long")  # top 8 bits, exact: the masked value / 2^32
+    tail = h % _TAIL_MOD
+    rho = F.when(tail == 0, F.lit(HLL_TAIL_BITS + 1)).otherwise(
+        F.lit(HLL_TAIL_BITS + 1) - F.length(F.bin(tail))
+    )
+    return reg, rho
+
+
+def hll_census(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table (group_cols + ``reg`` + ``m`` = max rho)
+    into the per-group census: (n_regs_hit, sum_scaled, hll_est). The
+    harmonic-mean denominator ``sum(2^-M_j)`` is emitted as the EXACT
+    integer ``sum_scaled = sum(2^(33-M_j))`` (each term a power of two
+    ≤ 2^33; 256 terms need ≤ 41 mantissa bits, so even its double image
+    is exact); empty registers contribute 2^33 each; hll_est is the one
+    correctly-rounded IEEE division HLL_ALPHA_NUM / sum_scaled. A
+    ≤ 256-rows-per-group fold — cheap enough to run at every read of a
+    persisted or streamed register table."""
+    census = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_regs_hit"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_TAIL_BITS + 1} - m)")
+        ).alias("_present"),
+    )
+    sum_scaled = (
+        F.col("_present")
+        + (F.lit(HLL_M) - F.col("n_regs_hit"))
+        * F.lit(1 << (HLL_TAIL_BITS + 1)).cast("long")
+    ).alias("sum_scaled")
+    est = (F.lit(HLL_ALPHA_NUM) / F.col("sum_scaled").cast("double")).alias(
+        "hll_est"
+    )
+    return census.select(*group_cols, "n_regs_hit", sum_scaled).select(
+        "*", est
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -109,37 +159,13 @@ def hll_distinct(
     # seed — a phantom distinct value); a group whose values are all
     # NULL is absent from the output on both sides, consistently.
     df = df.filter(F.col(value_col).isNotNull())
-    h = _md5_int(
-        F.concat_ws(":", F.lit(seed), F.col(value_col).cast("string")), 10
-    )
-    reg = h.bitwiseAND(F.lit((HLL_M - 1) * _TAIL_MOD)) / F.lit(_TAIL_MOD)
-    reg = reg.cast("long")  # top 8 bits, exact: the masked value / 2^32
-    tail = h % _TAIL_MOD
-    rho = F.when(tail == 0, F.lit(HLL_TAIL_BITS + 1)).otherwise(
-        F.lit(HLL_TAIL_BITS + 1) - F.length(F.bin(tail))
-    )
+    reg, rho = hll_register_cols(F.col(value_col), seed)
     regs = (
         df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("m"))
     )
-    census = regs.groupBy(*group_cols).agg(
-        F.count("*").alias("n_regs_hit"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_TAIL_BITS + 1} - m)")
-        ).alias("_present"),
-    )
-    sum_scaled = (
-        F.col("_present")
-        + (F.lit(HLL_M) - F.col("n_regs_hit"))
-        * F.lit(1 << (HLL_TAIL_BITS + 1)).cast("long")
-    ).alias("sum_scaled")
-    est = (F.lit(HLL_ALPHA_NUM) / F.col("sum_scaled").cast("double")).alias(
-        "hll_est"
-    )
-    out = census.select(*group_cols, "n_regs_hit", sum_scaled).select(
-        "*", est
-    )
+    out = hll_census(regs, group_cols)
     if not with_exact:
         return out
     exact = df.groupBy(*group_cols).agg(

@@ -206,6 +206,38 @@ def hopping_event_counts_stream(events_stream: DataFrame,
     )
 
 
+def hll_user_registers_stream(events_stream: DataFrame,
+                              watermark: str = "4 hours") -> DataFrame:
+    """Streaming distinct-cardinality (the q144 sketch as a stream):
+    per (hourly window, event_type), the HyperLogLog REGISTER TABLE —
+    groupBy(window, group, register).max(rho) — is the streaming
+    aggregate and the sink; the census (a ≤ 256-rows-per-group fold,
+    sketches.hll_census) runs at read. Two reasons this is the right
+    decomposition: Structured Streaming forbids chained aggregations in
+    one query, and register max is EXACTLY the streaming-friendly
+    operation — monotone (late rows within the watermark only raise a
+    register) and mergeable (two register tables union-max into one), so
+    state per key is bounded at ≤ 256 small rows per (window, group)
+    regardless of how many distinct users the window sees. The batch
+    twin over the same rows produces the identical register table —
+    pinned by the stream==batch census parity test."""
+    from epstein_browser_spark.sketches import hll_register_cols
+
+    reg, rho = hll_register_cols(F.col("user_id"))
+    return (
+        events_stream.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .select("ts", "event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type", "reg"
+        )
+        .agg(F.max("rho").alias("m"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "reg", "m"
+        )
+    )
+
+
 def session_counts_stream(events_stream: DataFrame,
                           gap: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:

@@ -716,3 +716,80 @@ def test_hopping_window_stream_matches_batch(spark, tmp_path):
     # every closed batch window was emitted (ends before the watermark)
     closed = [r["w_start"] for r in batch if r["w_start"] < "2024-01-01 07:00:00"]
     assert closed and all(w in stream_counts for w in closed)
+
+
+def test_hll_registers_stream_census_matches_batch(spark, tmp_path):
+    """Streaming HLL: the streamed register table, folded by
+    sketches.hll_census at read, equals the BATCH hll_distinct census
+    over the same closed-window rows — including sum_scaled and the
+    hll_est double (one IEEE division of identical integers). Late rows
+    beyond the watermark would only be dropped, never corrupt a
+    register (max is monotone)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from epstein_browser_spark import sketches
+    from epstein_browser_spark.streaming import hll_user_registers_stream
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "user_id": [1, 2, 3, 1, 2, 4, 5, 1, 6, 7],
+            "event_type": ["a", "a", "b", "a", "b",
+                           "a", "a", "b", "a", "a"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:15",
+                 "2024-01-01 00:25", "2024-01-01 00:35",
+                 "2024-01-01 01:05", "2024-01-01 01:10",
+                 "2024-01-01 01:20", "2024-01-01 01:30",
+                 "2024-01-01 09:00", "2024-01-01 09:01"]
+            ),
+        }
+    )
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(in_dir)
+    stream = (
+        spark.readStream
+        .schema("event_id long, user_id long, event_type string, "
+                "ts timestamp")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "regs")
+    q = (
+        hll_user_registers_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    regs = spark.read.parquet(out_dir)
+    got = {
+        (str(r["w_start"]), r["event_type"]): (
+            r["n_regs_hit"], r["sum_scaled"], r["hll_est"]
+        )
+        for r in sketches.hll_census(
+            regs, ["w_start", "event_type"]
+        ).collect()
+    }
+    # append mode emits only windows the watermark closed: the 09:00
+    # events hold the watermark at 08:01, so hours 00 and 01 are out,
+    # hour 09 is still open
+    assert all(k[0].startswith("2024-01-01 0") for k in got)
+    assert not any(k[0].startswith("2024-01-01 09") for k in got)
+    batch = spark.createDataFrame(pdf).select(
+        F.window("ts", "1 hour").getField("start")
+        .cast("string").alias("w_start"),
+        "event_type", "user_id",
+    ).filter(~F.col("w_start").startswith("2024-01-01 09"))
+    exp = {
+        (r["w_start"], r["event_type"]): (
+            r["n_regs_hit"], r["sum_scaled"], r["hll_est"]
+        )
+        for r in sketches.hll_distinct(
+            batch, ["w_start", "event_type"], "user_id", with_exact=False
+        ).collect()
+    }
+    assert got == exp and len(got) == 4  # hours 00/01 × types a/b
