@@ -44,9 +44,11 @@ __all__ = [
     "md5_int",
     "hll_register_cols",
     "hll_census",
+    "hll_merge_registers",
     "hll_distinct",
     "cms_sketch",
     "cms_estimate",
+    "cms_merge",
     "bloom_positions",
     "skyline_2d",
 ]
@@ -107,7 +109,15 @@ def hll_census(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     is exact); empty registers contribute 2^33 each; hll_est is the one
     correctly-rounded IEEE division HLL_ALPHA_NUM / sum_scaled. A
     ≤ 256-rows-per-group fold — cheap enough to run at every read of a
-    persisted or streamed register table."""
+    persisted or streamed register table.
+
+    Duplicate (group, reg) rows — the shape a union-max MERGE of two
+    register tables produces (two stream runs, stream + batch backfill,
+    re-appended sink output) — are folded by max first, so merging is
+    literally ``hll_census(a.unionByName(b), cols)``; without the
+    pre-fold a duplicated register would double-count n_regs_hit and
+    the harmonic sum."""
+    regs = regs.groupBy(*group_cols, "reg").agg(F.max("m").alias("m"))
     census = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_regs_hit"),
         F.sum(
@@ -124,6 +134,21 @@ def hll_census(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     )
     return census.select(*group_cols, "n_regs_hit", sum_scaled).select(
         "*", est
+    )
+
+
+def hll_merge_registers(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union-max merge of two register tables built with the SAME seed
+    — the distributive property that makes HLL state shippable: sketch
+    shards (or days, or a base corpus and an increment) independently,
+    merge the tiny register tables, census once. Output has one row per
+    (group, reg) again, suitable for re-merging or hll_census."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("m").alias("m"))
     )
 
 
@@ -272,6 +297,18 @@ def cms_estimate(
                 "cms_est"
             )
         )
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-add merge of two count-min grids built with the SAME
+    (depth, width, seed): counts are additive, so shards/increments
+    sketch independently and their ≤ depth·width-row grids sum into
+    one. Output is again one row per (row, bucket)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 

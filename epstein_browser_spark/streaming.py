@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epstein_browser_spark.pipeline import TRANSCRIPTS_SCHEMA, with_bucket
+from epstein_browser_spark.sketches import hll_register_cols
 from epstein_browser_spark.udfs import EXTRACT_SCHEMA, extract_map_in_pandas
 
 
@@ -207,7 +208,8 @@ def hopping_event_counts_stream(events_stream: DataFrame,
 
 
 def hll_user_registers_stream(events_stream: DataFrame,
-                              watermark: str = "4 hours") -> DataFrame:
+                              watermark: str = "4 hours",
+                              seed: str = "hll0") -> DataFrame:
     """Streaming distinct-cardinality (the q144 sketch as a stream):
     per (hourly window, event_type), the HyperLogLog REGISTER TABLE —
     groupBy(window, group, register).max(rho) — is the streaming
@@ -220,10 +222,10 @@ def hll_user_registers_stream(events_stream: DataFrame,
     state per key is bounded at ≤ 256 small rows per (window, group)
     regardless of how many distinct users the window sees. The batch
     twin over the same rows produces the identical register table —
-    pinned by the stream==batch census parity test."""
-    from epstein_browser_spark.sketches import hll_register_cols
-
-    reg, rho = hll_register_cols(F.col("user_id"))
+    pinned by the stream==batch census parity test. ``seed`` must
+    match the batch side's (hll_distinct / hll_merge_registers
+    compose only across same-seed tables)."""
+    reg, rho = hll_register_cols(F.col("user_id"), seed)
     return (
         events_stream.filter(F.col("user_id").isNotNull())
         .withWatermark("ts", watermark)

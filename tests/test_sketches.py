@@ -258,3 +258,63 @@ def test_skyline_rejects_fractional_coordinates(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         sketches.skyline_2d(df, "id", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# merge helpers: the distributive property, explicitly
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_registers_equals_whole(spark):
+    """Sketching two overlapping shards and union-max-merging their
+    register tables yields the SAME census as sketching the whole —
+    including across duplicated (group, reg) rows, which hll_census now
+    also folds defensively."""
+    a_vals = [f"k{i}" for i in range(250)]
+    b_vals = [f"k{i}" for i in range(100, 400)]
+    mk = lambda vals: spark.createDataFrame(
+        [(v, "g") for v in vals], "v string, g string"
+    )
+
+    def regs(df):
+        from pyspark.sql import functions as F
+        reg, rho = sketches.hll_register_cols(F.col("v"))
+        return (
+            df.select("g", reg.alias("reg"), rho.alias("rho"))
+            .groupBy("g", "reg").agg(F.max("rho").alias("m"))
+        )
+
+    merged = sketches.hll_merge_registers(
+        regs(mk(a_vals)), regs(mk(b_vals)), ["g"]
+    )
+    got = sketches.hll_census(merged, ["g"]).first()
+    whole = sketches.hll_distinct(
+        mk(a_vals + b_vals), ["g"], "v", with_exact=False
+    ).first()
+    assert got.asDict() == whole.asDict()
+    # and the census is safe even on an UNFOLDED union (dup reg rows)
+    raw_union = regs(mk(a_vals)).unionByName(regs(mk(b_vals)))
+    assert sketches.hll_census(raw_union, ["g"]).first().asDict() \
+        == whole.asDict()
+
+
+def test_cms_merge_equals_whole(spark):
+    a_items = [f"w{i % 9}" for i in range(200)]
+    b_items = [f"w{i % 13}" for i in range(150)] + ["hot"] * 20
+    mk = lambda items: spark.createDataFrame(
+        [(i,) for i in items], "item string"
+    )
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_merge(
+            sketches.cms_sketch(mk(a_items), "item", depth=3, width=32),
+            sketches.cms_sketch(mk(b_items), "item", depth=3, width=32),
+        ).collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_sketch(
+            mk(a_items + b_items), "item", depth=3, width=32
+        ).collect()
+    }
+    assert merged == whole
