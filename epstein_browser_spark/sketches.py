@@ -358,6 +358,7 @@ def skyline_2d(
     x_col: str,
     y_col: str,
     n_bins: int = 256,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Pareto frontier maximizing BOTH ``x_col`` and ``y_col`` (minimize a
     dimension by negating it upstream). A point is dominated iff another
@@ -395,10 +396,19 @@ def skyline_2d(
         F.col(y_col).cast("long").alias("y"),
     )
     # the projected points feed FOUR evaluations (bounds agg, bin-max
-    # collect, both sides of the survivor anti-join) — pin them once so
-    # an expensive upstream (q146 tokenizes the corpus) scans once
-    # (the q97/q43 localCheckpoint precedent)
-    pts = pts.localCheckpoint()
+    # collect, both sides of the survivor anti-join) — materialize them
+    # once so an expensive upstream (q146 tokenizes the corpus) runs
+    # once. Backend choice mirrors dedup.py: default localCheckpoint
+    # (executor storage — right at job scale), or pass scratch_dir to
+    # spill the projected (id, x, y) table to PARQUET and re-read — the
+    # corpus-scale path, where 10^12 rows of executor-storage blocks
+    # would dwarf cluster memory but four column-pruned parquet scans
+    # of a 3-column scratch table are cheap.
+    if scratch_dir is not None:
+        pts.write.mode("overwrite").parquet(scratch_dir)
+        pts = df.sparkSession.read.parquet(scratch_dir)
+    else:
+        pts = pts.localCheckpoint()
     lo, hi = pts.agg(F.min("x"), F.max("x")).first()
     if lo is None:
         return pts.select("id", "x", "y")

@@ -318,3 +318,23 @@ def test_cms_merge_equals_whole(spark):
         ).collect()
     }
     assert merged == whole
+
+
+def test_skyline_scratch_dir_backend_matches(spark, tmp_path):
+    """The parquet-scratch materialization (the corpus-scale path) and
+    the default localCheckpoint produce the identical frontier."""
+    pts = [(i, ((i * 37) % 101, (i * 53) % 97)) for i in range(150)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts], "id bigint, x bigint, y bigint"
+    )
+    via_ckpt = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in sketches.skyline_2d(df, "id", "x", "y").collect()
+    )
+    via_scratch = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in sketches.skyline_2d(
+            df, "id", "x", "y", scratch_dir=str(tmp_path / "pts")
+        ).collect()
+    )
+    assert via_ckpt == via_scratch == _sky_brute(pts)
