@@ -3300,7 +3300,7 @@ def q80_semdedup(spark, sf_dir):
     drop decisions are value-checked against the TRAINED cells."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.semdedup(e, n_centroids=8, threshold=0.3,
-                               quantizer="kmeans", n_iters=2)
+                               quantizer="kmeans", n_iters=2, dim=64)
 
 
 def _q80_sql(n_centroids: int = 8, n_iters: int = 2,

@@ -26,6 +26,31 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled dot product for a statically-known dimension — the SAME
+    left-to-right fold as :func:`dot` (((0.0 + x0·y0) + x1·y1) + …), so
+    IEEE addition order and therefore every bit of the result is
+    identical; but emitted as one flat expression that whole-stage
+    codegen compiles, instead of an interpreted higher-order fold whose
+    lambda is re-evaluated per element (guide §4.1: prefer built-in /
+    codegen expressions). On 64-dim pair joins this is the difference
+    between an interpreted ~µs/pair and a compiled ~tens of ns/pair."""
+    acc = F.lit(0.0)
+    for j in range(dim):
+        acc = acc + a.getItem(j).cast("double") * b.getItem(j).cast("double")
+    return acc
+
+
+def dot_lits(a: Column, comps: list[float]) -> Column:
+    """Unrolled dot against a literal vector (hyperplanes, centroids,
+    query vectors): same fold order as ``dot(a, F.array(*lits))``, no
+    array construction and no interpreted lambda."""
+    acc = F.lit(0.0)
+    for j, c in enumerate(comps):
+        acc = acc + a.getItem(j).cast("double") * F.lit(float(c))
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -51,12 +76,13 @@ def brute_force_topk(
     The query is a literal array → constant-folded; orderBy+limit compiles
     to TakeOrderedAndProject (per-partition heap, no global sort shuffle).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = [float(x) for x in query_vec]
+    v = F.col(vec_col)
+    qn = F.sqrt(F.aggregate(F.array(*[F.lit(x) for x in q]), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    cos = dot_lits(v, q) / (F.sqrt(dot_fixed(v, v, len(q))) * qn)
     return (
-        embeddings.select(
-            F.col(id_col),
-            cosine(F.col(vec_col), q).alias("cosine_sim"),
-        )
+        embeddings.select(F.col(id_col), cos.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
@@ -90,7 +116,14 @@ def with_lsh_bucket(
     n_planes: int = 12,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Adds `bucket`: n_planes-bit random-hyperplane signature."""
+    """Adds `bucket`: n_planes-bit random-hyperplane signature.
+
+    The plane dots stay the zip_with fold on purpose: unrolling all
+    n_planes 64-term chains into the ONE bucket expression exceeds
+    janino's method budget wherever the bucket lands in a Filter/join
+    condition (no code splitting there), and the repeated failed
+    compilations measurably SLOWED q23/q49 (1.9s → 5.6s in the r6
+    bench). The bucketing is never the bottleneck — the pair join is."""
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
         bit = F.when(dot(F.col(vec_col), _hyperplane(dim, i)) >= 0,
@@ -134,19 +167,32 @@ def cosine_near_dup_pairs_lsh(
     """Scale path for embedding near-dup: random-hyperplane bucket
     self-join generates candidates (same-bucket vectors), exact cosine
     verifies. High-cosine pairs land in the same bucket with probability
-    (1 - theta/pi)^n_planes; the self-join shuffles on `bucket`, never a
-    cross product."""
+    (1 - theta/pi)^n_planes.
+
+    r6 shape (guide §2.5/§3.1/§4.1): with 2^n_planes distinct buckets the
+    keyed self-join caps parallelism at the bucket count (64 here) and a
+    hot bucket owns a whole task, so the verify stage straggles; instead
+    the build side is BROADCAST and the stream side round-robin
+    repartitioned to the core count — every task verifies an equal slice
+    of candidate pairs regardless of bucket skew. Per-vector norms are
+    computed ONCE before the join (not per pair), and the per-pair dot is
+    the unrolled codegen form; cosine value/rounding arithmetic is
+    unchanged, so the output is bit-identical to the keyed-join form."""
+    ncores = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     h = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
-    a = h.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-                 "bucket")
+    nrm = F.sqrt(dot_fixed(F.col(vec_col), F.col(vec_col), dim))
+    a = h.repartition(ncores).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        nrm.alias("_na"), "bucket")
     b = h.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-                 "bucket")
+                 nrm.alias("_nb"), F.col("bucket").alias("_bucketb"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), (F.col("bucket") == F.col("_bucketb"))
+               & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            F.round(dot_fixed(F.col("_va"), F.col("_vb"), dim)
+                    / (F.col("_na") * F.col("_nb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -245,7 +291,13 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
         choices = F.array(*[
             F.struct(
                 # argmin under the per-vector constant |v|² (ivf_assign's
-                # trick); |c|² folds to a literal at plan time
+                # trick); |c|² folds to a literal at plan time. NOTE: the
+                # v·c dot stays the zip_with fold ON PURPOSE — unrolling
+                # all n_centroids 64-term chains into this ONE array
+                # expression exceeds janino's method budget, codegen
+                # falls back to interpreted eval of the giant tree, and
+                # the measured cost TRIPLES (r6 bench: 15.3s unrolled vs
+                # 5.3s folded on the sf1.0 corpus)
                 (F.lit(sum(x * x for x in cv))
                  - 2 * dot(v, F.array(*[F.lit(x) for x in cv]))).alias("d"),
                 F.lit(cid).alias("cid"),
@@ -300,7 +352,8 @@ def _centroids(embeddings: DataFrame, n_centroids: int, id_col: str,
 
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               quantizer: str = "rank", n_iters: int = 5) -> DataFrame:
+               quantizer: str = "rank", n_iters: int = 5,
+               dim: int | None = None, spread: bool = False) -> DataFrame:
     """(id_col…, cell) — nearest centroid by squared L2, ties to the lower
     centroid id. The centroid table is tiny and broadcast; per vector the
     candidate rows are n_centroids wide, then a min + equality join-back
@@ -311,28 +364,43 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
 
     ``quantizer='kmeans'`` assigns against the learned centroids
     (:func:`kmeans_centroids`, ``n_iters`` Lloyd rounds from the same
-    deterministic seed); default 'rank' keeps the sampled quantizer."""
+    deterministic seed); default 'rank' keeps the sampled quantizer.
+
+    ``dim``, when known, switches the per-pair dot to the unrolled
+    codegen form (bit-identical fold). ``spread=True`` round-robin
+    repartitions the corpus to the core count first — the sf1.0 input is
+    a single parquet row group, so without it every per-row assignment
+    pass runs in ONE scan task (guide §2.6 stragglers / §6 input
+    splits); assignment and the Lloyd updates are order-independent, so
+    the result is partitioning-invariant (pinned by tests)."""
+    if spread:
+        ncores = int(embeddings.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        embeddings = embeddings.repartition(ncores)
     cents = _centroids(embeddings, n_centroids, id_col, vec_col,
                        quantizer, n_iters)
     if quantizer == "kmeans":
         cents = cents.localCheckpoint(eager=True)
-    return _assign_to(embeddings, cents, id_col, vec_col)
+    return _assign_to(embeddings, cents, id_col, vec_col, dim=dim)
 
 
 def _assign_to(embeddings: DataFrame, cents: DataFrame, id_col: str,
-               vec_col: str) -> DataFrame:
+               vec_col: str, dim: int | None = None) -> DataFrame:
     """Nearest-centroid assignment against an explicit (cid, cvec) table
     — shared by the rank and k-means quantizers."""
     cents = cents.select(
         "cid", "cvec", dot(F.col("cvec"), F.col("cvec")).alias("_cc")
     )
+    vc_dot = (dot_fixed(F.col(vec_col), F.col("cvec"), dim)
+              if dim is not None
+              else dot(F.col(vec_col), F.col("cvec")))
     # argmin over |v|² + |c|² − 2v·c drops the per-vector constant |v|²:
-    # same argmin, one interpreted fold per pair instead of three (|c|² is
+    # same argmin, one fold per pair instead of three (|c|² is
     # projected on the n_centroids-row broadcast side)
     pairs = embeddings.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col),
         "cid",
-        (F.col("_cc") - 2 * dot(F.col(vec_col), F.col("cvec"))).alias("_d"),
+        (F.col("_cc") - 2 * vc_dot).alias("_d"),
     )
     mins = pairs.groupBy(id_col).agg(F.min("_d").alias("_mind"))
     return (
@@ -365,8 +433,15 @@ def ivf_topk(
     recall grows monotonically in nprobe because the candidate set is a
     superset (tests pin this dominance), reaching exact brute force at
     nprobe = n_centroids."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+    qlist = [float(x) for x in query_vec]
+    dim = len(qlist)
+    q = F.array(*[F.lit(x) for x in qlist])
+    ncores = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    # single-row-group inputs otherwise run every per-row assignment pass
+    # in ONE scan task (guide §2.6/§6); assignment is order-independent
+    spread = embeddings.repartition(ncores)
+    cents = _centroids(spread, n_centroids, id_col, vec_col,
                        quantizer, n_iters)
     if quantizer == "kmeans":
         # learned centroids are computed ONCE on the driver and reused
@@ -376,16 +451,19 @@ def ivf_topk(
     # both quantizers assign against the SAME cents frame — the rank
     # branch used to rebuild the centroid scan inside ivf_assign, putting
     # the orderBy+limit corpus scan in the plan twice (r4 review)
-    assigned = _assign_to(embeddings, cents, id_col, vec_col)
+    assigned = _assign_to(spread, cents, id_col, vec_col, dim=dim)
     qcells = (
         cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("cid"))
         .limit(nprobe)
         .select(F.col("cid").alias("q_cell"))
     )
+    v = F.col(vec_col)
+    qn = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot_lits(v, qlist) / (F.sqrt(dot_fixed(v, v, dim)) * qn)
     return (
         assigned.join(F.broadcast(qcells), F.col("cell") == F.col("q_cell"))
-        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("_c"))
+        .select(F.col(id_col), cos.alias("_c"))
         .orderBy(F.desc("_c"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("_c", 6).alias("cosine_sim"))
@@ -423,6 +501,8 @@ def lsh_topk_df(
         matched = embeddings_with_bucket.join(
             F.broadcast(qdf), F.col("bucket") == F.col("q_bucket")
         )
+    # the probed bucket is ~corpus/2^n_planes rows — the cosine here is
+    # NOT hot, and the folded form keeps the stage codegen-compilable
     return (
         matched
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
@@ -491,6 +571,9 @@ def kmeans_pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 16,
         for s in sorted(books):
             choices = F.array(*[
                 F.struct(
+                    # zip_with fold on purpose — see kmeans_centroids:
+                    # unrolling every codebook chain into one expression
+                    # breaks codegen and triples the interpreted cost
                     (F.lit(sum(x * x for x in cv))
                      - 2 * dot(sv, F.array(*[F.lit(x) for x in cv]))
                      ).alias("d"),
@@ -550,7 +633,8 @@ def _pq_books(embeddings: DataFrame, m: int, k: int, id_col: str,
 
 def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              long_form: bool = False, cb: DataFrame | None = None) -> DataFrame:
+              long_form: bool = False, cb: DataFrame | None = None,
+              dim: int | None = None) -> DataFrame:
     """PQ codes: each vector's m subvectors assigned to their nearest
     codebook centroid by squared L2 (ties to the lower code id — same
     argmin contract as ivf_assign). Default output is the stored form
@@ -562,14 +646,20 @@ def pq_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
         cb = pq_codebooks(embeddings, m, k, id_col, vec_col)
     else:
         _check_corpus_dim(embeddings, vec_col, m)
-    subv = _subvectors(embeddings, m, id_col, vec_col)
+    ncores = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    subv = _subvectors(embeddings.repartition(ncores), m, id_col, vec_col)
     # same argmin-under-constant-shift trick as ivf_assign: |s|² is
     # constant per (id, sub), so only c·c (projected on the m·k-row
-    # broadcast side) and s·c (ONE fold per pair) are evaluated
+    # broadcast side) and s·c (ONE fold per pair) are evaluated; with a
+    # known dim the s·c fold is unrolled/codegen'd (identical fold order)
+    sc_dot = (dot_fixed(F.col("svec"), F.col("cvec"), dim // m)
+              if dim is not None else
+              dot(F.col("svec"), F.col("cvec")))
     cb = cb.withColumn("_cc", dot(F.col("cvec"), F.col("cvec")))
     pairs = subv.join(F.broadcast(cb), "sub").select(
         id_col, "sub", "code",
-        (F.col("_cc") - 2 * dot(F.col("svec"), F.col("cvec"))).alias("_d"),
+        (F.col("_cc") - 2 * sc_dot).alias("_d"),
     )
     mins = pairs.groupBy(id_col, "sub").agg(F.min("_d").alias("_mind"))
     codes = (
@@ -660,7 +750,7 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], m: int = 4,
     cb = _pq_books(embeddings, m, k, id_col, vec_col, quantizer, n_iters)
     table = _adc_table(cb, query_vec, m)
     codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True,
-                      cb=cb)
+                      cb=cb, dim=len(query_vec))
     return (
         codes.join(F.broadcast(table), ["sub", "code"])
         .groupBy(id_col)
@@ -688,11 +778,15 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
     has no guaranteed fold order across engines)."""
     _check_pq_dims(query_vec, m)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = _centroids(embeddings, n_centroids, id_col, vec_col,
+    ncores = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    spread = embeddings.repartition(ncores)
+    cents = _centroids(spread, n_centroids, id_col, vec_col,
                        quantizer, n_iters)
     if quantizer == "kmeans":
         cents = cents.localCheckpoint(eager=True)
-    assigned = _assign_to(embeddings, cents, id_col, vec_col)
+    assigned = _assign_to(spread, cents, id_col, vec_col,
+                          dim=len(query_vec))
     qcells = (
         cents.select("cid", dist2(q, F.col("cvec")).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("cid"))
@@ -703,10 +797,10 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
         F.broadcast(qcells), F.col("cell") == F.col("q_cell")
     ).select(id_col)
 
-    cb = _pq_books(embeddings, m, k, id_col, vec_col, quantizer, n_iters)
+    cb = _pq_books(spread, m, k, id_col, vec_col, quantizer, n_iters)
     table = _adc_table(cb, query_vec, m)
-    codes = pq_encode(embeddings, m, k, id_col, vec_col, long_form=True,
-                      cb=cb)
+    codes = pq_encode(spread, m, k, id_col, vec_col, long_form=True,
+                      cb=cb, dim=len(query_vec))
     return (
         codes.join(cell_ids, id_col, "left_semi")
         .join(F.broadcast(table), ["sub", "code"])
@@ -720,7 +814,7 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec: list[float],
 def semdedup(embeddings: DataFrame, n_centroids: int = 8,
              threshold: float = 0.3, quantizer: str = "kmeans",
              n_iters: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
     """(id, cell, is_dup) — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     k-means-cluster the embedding space, then inside each cluster mark as
@@ -747,12 +841,24 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
     # At 100 TB this frame is the one you write PARTITIONED BY (cell);
     # localCheckpoint is its single-job stand-in, and its blocks are
     # ContextCleaner-collected when the frame goes out of scope.
+    # r6 pair-stage shape (guide §2.5/§3.1): the cell-keyed self-join has
+    # only n_centroids distinct keys, so parallelism was capped at 8 tasks
+    # and the |cell|² verify straggled. Instead: broadcast the (small)
+    # assigned table as the build side, round-robin the stream side across
+    # all cores, and make the match a LEFT-SEMI join whose condition
+    # carries the cosine predicate — is_dup is an EXISTS, so the hash-join
+    # probe short-circuits at the first qualifying lower-id neighbor
+    # instead of materializing every pair. The per-pair dot is the
+    # unrolled codegen form; the cosine expression/rounding is unchanged,
+    # so the flag set is identical.
+    pair_dot = ((lambda x, y: dot_fixed(x, y, dim)) if dim is not None
+                else dot)
     assigned = (
         ivf_assign(embeddings, n_centroids, id_col, vec_col,
-                   quantizer, n_iters)
+                   quantizer, n_iters, dim=dim, spread=True)
         .select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "cell",
-            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+            F.sqrt(pair_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
         )
         .localCheckpoint(eager=True)
     )
@@ -763,13 +869,16 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
                         F.col("_n").alias("_nb"),
                         F.col("cell").alias("_cellb"))
     dups = (
-        a.join(b, (F.col("cell") == F.col("_cellb"))
-               & (F.col("_idb") < F.col("id")))
-        .filter(F.round(dot(F.col("_va"), F.col("_vb"))
-                        / (F.col("_na") * F.col("_nb")), 6)
-                >= F.lit(threshold))
+        a.join(
+            F.broadcast(b),
+            (F.col("cell") == F.col("_cellb"))
+            & (F.col("_idb") < F.col("id"))
+            & (F.round(pair_dot(F.col("_va"), F.col("_vb"))
+                       / (F.col("_na") * F.col("_nb")), 6)
+               >= F.lit(threshold)),
+            "left_semi",
+        )
         .select("id")
-        .distinct()
         .withColumn("_d", F.lit(True))
     )
     return (
