@@ -181,19 +181,38 @@ def tokenize_words(word: Column, merges: list[tuple[str, str]]) -> Column:
 def doc_bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """(id, n_bpe_tokens) per document: explode words, apply the merge
-    chain, sum — the shuffle key is the doc id, the merge chain is
-    codegen'd per word. Empty/whitespace-only docs count 0."""
+    """(id, n_bpe_tokens) per document. Empty/whitespace-only docs
+    count 0.
+
+    r6 shape (guide §1.2 — fix the algorithm first): the merge chain is
+    n_merges literal replaces over the sentinel-expanded word, ~10⁴ char
+    ops per WORD; applying it per word OCCURRENCE cost
+    |occurrences| × chain. A document corpus has far fewer word TYPES
+    than occurrences (Heaps' law), so the chain now runs once per
+    DISTINCT word and the per-type token counts broadcast-join back to
+    the exploded occurrences — identical per-word counts, so identical
+    per-doc sums, at ~|types|/|occurrences| (measured ~1/40) of the
+    chain cost. The occurrence explode stays the doc-id-keyed partial
+    agg it was; the type table is repartitioned so the chain itself
+    spreads across cores (single-row-group inputs otherwise run it in
+    one task)."""
     from epstein_browser_spark.textstats import tokens
 
-    words = df.select(
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    words = df.repartition(ncores).select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(F.col(text_col))).alias("w"),
     )
-    per_word = words.withColumn(
-        "n",
+    types = (
+        words.filter(F.col("w").isNotNull())
+        .select("w").distinct()
+        .repartition(ncores)
+        .select("w", word_token_count_expr(F.col("w"), merges).alias("_tn"))
+    )
+    per_word = words.join(F.broadcast(types), "w", "left").select(
+        "id",
         F.when(F.col("w").isNull(), F.lit(0))
-        .otherwise(word_token_count_expr(F.col("w"), merges)),
+        .otherwise(F.col("_tn")).alias("n"),
     )
     return per_word.groupBy("id").agg(
         F.sum("n").cast("long").alias("n_bpe_tokens")

@@ -530,7 +530,10 @@ def minhash_features(df: DataFrame, text_col: str = "text",
     (minhash_candidates_between)."""
     from epstein_browser_spark.textstats import exploded_shingles
 
-    ex = exploded_shingles(df, text_col, id_col, shingle).withColumn(
+    # spread=True: the shingle explode is the dominant cost and must not
+    # run inside a single scan task (single-row-group inputs, guide §2.6)
+    ex = exploded_shingles(df, text_col, id_col, shingle,
+                           spread=True).withColumn(
         "_h", F.xxhash64("_sh")
     )
     # base-hash once per shingle; per-permutation re-hash is fixed-width

@@ -33,6 +33,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the session's shuffle-partition count.
+
+    The driver's test tables are single-row-group parquet files, so a
+    scan yields ONE input split no matter what
+    ``spark.sql.files.maxPartitionBytes`` says — every per-row-heavy
+    map stage (regex counts, shingle explodes, merge chains) otherwise
+    runs serially in that one task (guide §2.6 stragglers / §6 input
+    splits). Applied ONLY in queries whose scan-stage work dominates;
+    derived from the session's core count, never a constant, so the
+    same code is right at any parallelism. On a real multi-file table
+    the exchange is redundant but proportionally tiny."""
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(ncores)
+
+
 # ---------------------------------------------------------------------------
 # pandas UDFs exposing the real extraction kernels to relational queries
 # ---------------------------------------------------------------------------
@@ -776,7 +792,7 @@ FROM b ORDER BY {cos} DESC, vec_id ASC LIMIT 10
 
 def q24_token_stats(spark, sf_dir):
     """Token counting + quality ratios (training-data curation stats)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     toks = textstats.tokens(c)
     return d.select(
@@ -815,7 +831,7 @@ FROM documents
 
 def q25_langid(spark, sf_dir):
     """Marker-word language-ID heuristic, JVM expressions only."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", "lang",
         textstats.predicted_lang(F.col("text")).alias("predicted_lang"),
@@ -4384,7 +4400,7 @@ def q103_centroid_diversity(spark, sf_dir):
     accumulated term is an exact integer on both engines; only the
     final reported ratio is floating-point."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.centroid_diversity(e, "embedding", "label")
+    return similarity.centroid_diversity(e, "embedding", "label", dim=64)
 
 
 _Q103_SQL = """

@@ -893,6 +893,7 @@ def centroid_diversity(
     df: DataFrame,
     vec_col: str = "embedding",
     group_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-group corpus diversity as MEAN PAIRWISE COSINE — computed in
     O(n) via the centroid identity instead of the O(n²) pair join:
@@ -916,6 +917,12 @@ def centroid_diversity(
     |groups|·dim rows before the exchange), one groupBy per group —
     output is |groups| rows, nothing pairwise anywhere.
     """
+    if dim is not None:
+        # spread BEFORE the per-row quantize/normalize transforms so they
+        # run on every core, not in the one scan task a single-row-group
+        # parquet file produces (guide §2.6/§6)
+        ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(ncores)
     q = F.transform(
         F.col(vec_col), lambda x: F.round(x * 1000000.0, 0).cast("long")
     )
@@ -940,23 +947,44 @@ def centroid_diversity(
             "_nu", F.lit(0).cast("long"), lambda a, x: a + x * x
         ).cast("decimal(38,0)"),
     )
-    dims = unit.select(
-        "grp", "_usq", F.posexplode("_nu").alias("_dim", "_v")
-    )
-    per_dim = dims.groupBy("grp", "_dim").agg(
-        F.sum("_v").cast("decimal(38,0)").alias("_s"),
-        # _usq is per-vector; summing it per (grp, dim) would multiply
-        # it by dim — carry it (and the vector count) once via the
-        # dim-0 slice instead, so ONE aggregate over ONE scan feeds
-        # everything and no second corpus pass or join is needed
-        F.sum(F.when(F.col("_dim") == 0, F.col("_usq"))).alias("_usq0"),
-        F.sum(F.when(F.col("_dim") == 0, 1)).alias("_n0"),
-    )
-    per_grp = per_dim.groupBy("grp").agg(
-        F.sum(F.col("_s") * F.col("_s")).alias("_centroid_sq"),
-        F.sum("_usq0").alias("_sum_usq"),
-        F.sum("_n0").cast("long").alias("n_vecs"),
-    )
+    if dim is not None:
+        # r6 shape (guide §2.3 — shuffle fewer bytes): with a known dim
+        # the per-dimension sums are ``dim`` aggregate COLUMNS of one
+        # partial-agg groupBy — the exchange carries |groups| rows of
+        # dim decimals instead of n·dim exploded rows. All sums are the
+        # same exact integers in a different (irrelevant) order, so the
+        # result is bit-identical to the posexplode form.
+        per_grp = unit.groupBy("grp").agg(
+            *[F.sum(F.col("_nu").getItem(j)).cast("decimal(38,0)")
+              .alias(f"_s{j}") for j in range(dim)],
+            F.sum("_usq").alias("_sum_usq"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+        csq = None
+        for j in range(dim):
+            t = F.col(f"_s{j}") * F.col(f"_s{j}")
+            csq = t if csq is None else csq + t
+        per_grp = per_grp.select(
+            "grp", csq.alias("_centroid_sq"), "_sum_usq", "n_vecs"
+        )
+    else:
+        dims = unit.select(
+            "grp", "_usq", F.posexplode("_nu").alias("_dim", "_v")
+        )
+        per_dim = dims.groupBy("grp", "_dim").agg(
+            F.sum("_v").cast("decimal(38,0)").alias("_s"),
+            # _usq is per-vector; summing it per (grp, dim) would multiply
+            # it by dim — carry it (and the vector count) once via the
+            # dim-0 slice instead, so ONE aggregate over ONE scan feeds
+            # everything and no second corpus pass or join is needed
+            F.sum(F.when(F.col("_dim") == 0, F.col("_usq"))).alias("_usq0"),
+            F.sum(F.when(F.col("_dim") == 0, 1)).alias("_n0"),
+        )
+        per_grp = per_dim.groupBy("grp").agg(
+            F.sum(F.col("_s") * F.col("_s")).alias("_centroid_sq"),
+            F.sum("_usq0").alias("_sum_usq"),
+            F.sum("_n0").cast("long").alias("n_vecs"),
+        )
     pairs = (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
     mean_cos = F.when(
         F.col("n_vecs") > 1,

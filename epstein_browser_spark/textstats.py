@@ -32,6 +32,21 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
+def token_hits_count(col: Column, words: list[str]) -> Column:
+    """Number of whitespace tokens of ``col`` equal to any of ``words``,
+    duplicates counted — exactly ``size(filter(tokens(col), t ∈ words))``
+    re-expressed as ONE codegen regexp pass: a token equals w iff w
+    occurs in the string bounded by whitespace/edges on both sides, so
+    the zero-width guards ``(?<![^\\s])…(?![^\\s])`` count token hits
+    without consuming the boundary (adjacent hits still both match).
+    The interpreted-HOF form pays a lambda eval per token per language;
+    this is the q25/q24 hot path (guide §4.1)."""
+    import re
+
+    alts = "|".join(re.escape(w) for w in sorted(dict.fromkeys(words)))
+    return F.regexp_count(col, F.lit(r"(?<![^\s])(" + alts + r")(?![^\s])"))
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -42,10 +57,10 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # hit counting via ONE regexp pass (token_hits_count) instead of an
+    # interpreted array_contains lambda per token — same integer count
+    n = F.size(tokens(F.lower(col)))
+    hits = token_hits_count(F.lower(col), stopwords or EN_STOPWORDS)
     return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
@@ -104,14 +119,13 @@ def _argmax_lang(hits_by_lang: dict) -> Column:
 
 def predicted_lang(col: Column) -> Column:
     """Marker-word language heuristic: argmax of per-language hit counts,
-    'und' when nothing matches. Pure JVM expressions."""
-    toks = tokens(F.lower(col))
-    hits = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
-        # NOTE: one-arg lambda only — F.filter treats a two-arg lambda
-        # (e.g. a default-arg capture) as the (element, index) form
-        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    'und' when nothing matches. Pure JVM expressions — hit counts via
+    one codegen regexp pass per language (token_hits_count) instead of
+    an interpreted array_contains lambda per token per language."""
+    hits = {
+        lang: token_hits_count(F.lower(col), markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
     return _argmax_lang(hits)
 
 
@@ -147,25 +161,59 @@ def predicted_lang_ngram(col: Column, n: int = 3) -> Column:
 
 def langid_ngram_table(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, predicted_lang) for a whole corpus via the explode shingle
-    path (the scale form — the Column helper above re-normalizes per
-    lambda element, O(len²) per doc). Docs too short to shingle get
-    'und'."""
-    sets = shingle_sets(df, text_col, id_col, n)
-    grams = F.coalesce(
-        F.col("grams"), F.array().cast("array<string>")
-    )
-    lang = _argmax_lang({
-        lg: F.size(
-            F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
+    """(id, predicted_lang) for a whole corpus.
+
+    r6 shape (guide §2.4 — remove shuffles outright): a profile trigram
+    is in the doc's DISTINCT trigram set iff it occurs as a SUBSTRING of
+    the normalized text, so the per-language overlap |grams ∩ profile|
+    is a sum of ~15 ``contains`` probes per language — pure per-row
+    codegen, ZERO shuffles — instead of the explode → distinct →
+    collect_list → array_intersect chain (two corpus-wide exchanges of
+    every character position, and a single-task explode on single-row-
+    group inputs). Docs shorter than n chars get 'und' on both paths
+    (a length-n gram cannot be contained in a shorter string). The
+    trigram profiles are 3-char by construction; a non-default ``n``
+    falls back to the set-intersect path, whose n-grams can only match
+    3-char profile entries when n == 3."""
+    if n != 3:
+        sets = shingle_sets(df, text_col, id_col, n)
+        grams = F.coalesce(
+            F.col("grams"), F.array().cast("array<string>")
         )
+        lang = _argmax_lang({
+            lg: F.size(
+                F.array_intersect(grams,
+                                  F.array(*[F.lit(g) for g in profile]))
+            )
+            for lg, profile in LANG_TRIGRAMS.items()
+        })
+        return (
+            df.select(F.col(id_col).alias("id"))
+            .join(sets, "id", "left")
+            .select("id", lang.alias("predicted_lang"))
+        )
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    norm = F.lower(F.trim(F.col(text_col)))
+    lang = _argmax_lang({
+        lg: sum_profile_contains(norm, profile)
         for lg, profile in LANG_TRIGRAMS.items()
     })
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(sets, "id", "left")
-        .select("id", lang.alias("predicted_lang"))
-    )
+    # round-robin spread: single-row-group parquet otherwise runs the
+    # whole probe pass in one scan task (guide §2.6/§6)
+    return df.repartition(ncores).select(F.col(id_col).alias("id"),
+                                         lang.alias("predicted_lang"))
+
+
+def sum_profile_contains(norm: Column, profile: list[str]) -> Column:
+    """|distinct n-grams of ``norm`` ∩ profile| as a per-row expression:
+    one ``contains`` probe per (distinct) profile gram. Exactly the set
+    intersection — a gram is in the distinct-shingle set iff it occurs
+    somewhere in the string — with no explode and no shuffle."""
+    hits = None
+    for g in dict.fromkeys(profile):  # dedupe defensively: set semantics
+        h = F.when(norm.contains(F.lit(g)), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return hits if hits is not None else F.lit(0)
 
 
 SPLIT_NAMES = ["train", "val", "test"]
@@ -195,7 +243,8 @@ def deterministic_split(id_col: Column, train_pct: int = 80,
 
 
 def word_ngrams_exploded(df: DataFrame, text_col: str, id_col: str,
-                         n: int = 13) -> DataFrame:
+                         n: int = 13, distinct: bool = True,
+                         spread: bool = False) -> DataFrame:
     """(id, gram) — one row per DISTINCT n-word window per doc (lowercased,
     whitespace-tokenized, single-space joined). The unit of benchmark
     decontamination: GPT-3/The-Pile-style filtering drops training docs
@@ -205,7 +254,18 @@ def word_ngrams_exploded(df: DataFrame, text_col: str, id_col: str,
     The token array is materialized in a projection BELOW the transform so
     the window lambda captures a column reference — capturing the split
     expression itself re-evaluates it per element (the interpreted-HOF
-    O(len²) trap, see exploded_shingles)."""
+    O(len²) trap, see exploded_shingles).
+
+    ``distinct=False`` skips the corpus-wide (id, gram) dedup exchange —
+    for consumers that immediately broadcast-join the grams against a
+    tiny set and re-dedup with countDistinct, the up-front distinct
+    shuffles the WHOLE exploded corpus to keep rows the join then drops
+    (guide §2.3: aggregate/filter before you shuffle). ``spread=True``
+    round-robins the input first so the explode doesn't run in one scan
+    task on single-row-group parquet."""
+    if spread:
+        ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(ncores)
     norm = df.select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
@@ -214,7 +274,8 @@ def word_ngrams_exploded(df: DataFrame, text_col: str, id_col: str,
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
     )
-    return norm.select("id", F.explode(grams).alias("gram")).distinct()
+    out = norm.select("id", F.explode(grams).alias("gram"))
+    return out.distinct() if distinct else out
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text",
@@ -236,7 +297,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     partial-aggregable, no corpus-wide state, joins back on doc id.
     Docs with fewer words than the gram width get count 0 / null gram.
     """
-    norm = df.select(
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    norm = df.repartition(ncores).select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
@@ -258,12 +320,17 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         return g.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
 
     c2 = gram_counts(2)
-    top_cnt = c2.groupBy("id").agg(F.max("cnt").alias("top_bigram_count"))
-    top2 = (
-        c2.join(top_cnt, "id")
-        .filter(F.col("cnt") == F.col("top_bigram_count"))
-        .groupBy("id", "top_bigram_count")
-        .agg(F.min("gram").alias("top_bigram"))
+    # single-pass argmax (guide §2.4): min over struct(-cnt, gram) IS
+    # (max cnt, tie → lexicographically smallest gram) — the same answer
+    # the old max-count aggregate + self-join-back + min(gram) produced,
+    # minus one shuffle and one join
+    top2 = c2.groupBy("id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("_nc"),
+                       F.col("gram"))).alias("_top")
+    ).select(
+        "id",
+        (-F.col("_top._nc")).alias("top_bigram_count"),
+        F.col("_top.gram").alias("top_bigram"),
     )
     dup3 = gram_counts(3).groupBy("id").agg(
         F.sum(
@@ -306,7 +373,12 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     distinct-gram form, so the overlap is ONE equi-join on gram followed by
     a partial-aggregable groupBy — at 100 TB the benchmark side is tiny and
     broadcast."""
-    cg = word_ngrams_exploded(corpus, text_col, id_col, n)
+    # corpus side: NO up-front distinct (guide §2.3 — the broadcast join
+    # drops almost every row map-side; countDistinct below re-dedups the
+    # tiny survivor set). The old shape shuffled every exploded gram of
+    # the corpus just to dedup rows the join then discarded.
+    cg = word_ngrams_exploded(corpus, text_col, id_col, n, distinct=False,
+                              spread=True)
     bg = word_ngrams_exploded(benchmark, text_col, id_col, n).select(
         F.col("id").alias("bench_id"), "gram"
     )
@@ -342,14 +414,20 @@ def eval_containment(corpus: DataFrame, benchmark: DataFrame,
     Reference analog: the reference dedups exact content only
     (index_images.py md5); containment is the training-pipeline
     generalization."""
-    cg = word_ngrams_exploded(corpus, text_col, id_col, n)
+    # corpus side: NO up-front distinct — the broadcast join against the
+    # tiny benchmark gram set drops almost every exploded row map-side,
+    # and countDistinct re-dedups the survivors per (doc, item) pair;
+    # the old shape paid a corpus-wide (id, gram) dedup exchange first
+    # (guide §2.3: filter before you shuffle)
+    cg = word_ngrams_exploded(corpus, text_col, id_col, n, distinct=False,
+                              spread=True)
     bg = word_ngrams_exploded(benchmark, text_col, id_col, n).select(
         F.col("id").alias("bench_id"), "gram")
     btot = bg.groupBy("bench_id").agg(F.count("*").alias("_nb"))
     shared = (
         cg.join(F.broadcast(bg), "gram")
         .groupBy("id", "bench_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.countDistinct("gram").alias("n_shared"))
     )
     return (
         shared.join(F.broadcast(btot), "bench_id")
@@ -377,8 +455,8 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     lesson). The doc count per gram is partial-aggable (mega-gram skew
     bounded by the two-level aggregate), the join back is co-keyed on
     the gram, and the final per-doc reduce is another partial agg."""
-    g = word_ngrams_exploded(df, text_col, id_col, n).localCheckpoint(
-        eager=True)
+    g = word_ngrams_exploded(df, text_col, id_col, n,
+                             spread=True).localCheckpoint(eager=True)
     dc = g.groupBy("gram").agg(F.count("*").alias("_nd"))
     return (
         g.join(dc, "gram")
@@ -473,7 +551,7 @@ def fingerprint(col: Column, n: int = 4) -> Column:
 
 
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
-                      n: int) -> DataFrame:
+                      n: int, spread: bool = False) -> DataFrame:
     """(id, _sh) — one row per distinct char n-gram shingle per doc.
 
     The normalized string is materialized in a projection *below* the
@@ -483,7 +561,14 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
     and interpreted (higher-order functions skip codegen); this explode
     shape is the scale path for all shingle consumers (minhash, simhash,
     fingerprints).
+
+    ``spread=True`` round-robins the docs first so the explode isn't
+    serialized into the one scan task a single-row-group parquet file
+    produces (guide §2.6/§6).
     """
+    if spread:
+        ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(ncores)
     norm = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.trim(F.col(text_col))).alias("_norm"),
@@ -510,18 +595,29 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
 
 def fingerprint_table(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 4) -> DataFrame:
-    """(id, fingerprint) for a whole corpus via the explode path; documents
-    too short to shingle get md5('') (parity with the Column form)."""
-    sets = shingle_sets(df, text_col, id_col, n)
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(sets, "id", "left")
-        .select(
-            "id",
-            F.md5(
-                F.coalesce(F.concat_ws("", F.array_sort("grams")), F.lit(""))
-            ).alias("fingerprint"),
-        )
+    """(id, fingerprint) for a whole corpus; documents too short to
+    shingle get md5('') (parity with the Column form).
+
+    r6 shape (guide §2.4 — remove shuffles outright): the per-doc
+    distinct shingle set is extracted IN-ROW with one zero-width-
+    lookahead regex pass — ``(?s)(?=(.{n}))`` captures the n chars
+    starting at every position, i.e. exactly the overlapping n-gram
+    windows ((?s) so grams may span newlines) — then
+    array_distinct → array_sort → md5, all per-row JVM. The old explode
+    → distinct → collect_list chain shuffled every character position of
+    the corpus twice and ran its explode in ONE scan task on single-row-
+    group inputs. Set equality: both enumerate every i in
+    [1, len−n+1] → substring(i, n); a doc shorter than n yields no
+    lookahead match → empty array → concat_ws('') = '' → md5('')."""
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    norm = F.lower(F.trim(F.col(text_col)))
+    grams = F.regexp_extract_all(norm, F.lit(r"(?s)(?=(." + "{%d}" % n + "))"),
+                                 1)
+    return df.repartition(ncores).select(
+        F.col(id_col).alias("id"),
+        F.md5(
+            F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+        ).alias("fingerprint"),
     )
 
 
@@ -743,7 +839,8 @@ def dup_spans(df: DataFrame, text_col: str = "text",
     the two-level partial aggregate, not a bucket cap."""
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(ncores).select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     ).filter(F.size("_toks") >= n).localCheckpoint(eager=True)
@@ -804,7 +901,8 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     a bigint sum overflows ANSI arithmetic."""
     from pyspark.sql.window import Window
 
-    toks0 = df.select(
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks0 = df.repartition(ncores).select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
@@ -1420,7 +1518,8 @@ def chunk_langid(df: DataFrame, text_col: str = "text",
     codegen-able), two partial-agg groupBys keyed by (id, chunk) /
     (id, lang), and a broadcast-free rejoin on id. No corpus-wide
     window, nothing quadratic in document length."""
-    norm = df.select(
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    norm = df.repartition(ncores).select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
@@ -1439,39 +1538,55 @@ def chunk_langid(df: DataFrame, text_col: str = "text",
             )
         ).alias("_ci", "_chunk"),
     )
-    # the chunk frame feeds BOTH the shingle build and the verdict
-    # rejoin; without a cut Catalyst re-inlines the tokenize + chunk
-    # explode into each consumer — two extra full corpus passes at
-    # 100 TB (the q82/q101 segment-frame precedent)
-    chunks = chunks.localCheckpoint(eager=True)
-    sh = (
-        chunks.filter(F.length("_chunk") >= n)
-        .select(
-            "id", "_ci", "_chunk",
-            F.explode(
-                F.sequence(F.lit(1), F.length("_chunk") - (n - 1))
-            ).alias("_i"),
+    if n == 3:
+        # r6 shape (guide §2.4): the per-chunk profile overlap is ~60
+        # substring probes per chunk — per-row codegen, no shingle
+        # explode, no distinct shuffle, no hits rejoin, and the chunk
+        # frame now has a single consumer so the localCheckpoint cut is
+        # gone too. Equivalence: a 3-char profile gram is in the chunk's
+        # distinct-trigram set iff the chunk contains it (chunks shorter
+        # than 3 chars contain none → 0 hits → 'und', same as the old
+        # left-join-null → coalesce-0 path).
+        lang = _argmax_lang({
+            lg: sum_profile_contains(F.col("_chunk"), profile)
+            for lg, profile in LANG_TRIGRAMS.items()
+        })
+        chunk_lang = chunks.select("id", "_ci", lang.alias("_lang"))
+    else:
+        # the chunk frame feeds BOTH the shingle build and the verdict
+        # rejoin; without a cut Catalyst re-inlines the tokenize + chunk
+        # explode into each consumer — two extra full corpus passes at
+        # 100 TB (the q82/q101 segment-frame precedent)
+        chunks = chunks.localCheckpoint(eager=True)
+        sh = (
+            chunks.filter(F.length("_chunk") >= n)
+            .select(
+                "id", "_ci", "_chunk",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("_chunk") - (n - 1))
+                ).alias("_i"),
+            )
+            .select("id", "_ci",
+                    F.expr(f"substring(_chunk, _i, {n})").alias("_sh"))
+            .distinct()
         )
-        .select("id", "_ci", F.expr(f"substring(_chunk, _i, {n})").alias("_sh"))
-        .distinct()
-    )
-    hit_cols = {
-        lang: F.sum(
-            F.when(F.col("_sh").isin(profile), 1).otherwise(0)
+        hit_cols = {
+            lang: F.sum(
+                F.when(F.col("_sh").isin(profile), 1).otherwise(0)
+            )
+            for lang, profile in LANG_TRIGRAMS.items()
+        }
+        hits = sh.groupBy("id", "_ci").agg(
+            *[h.alias(f"_h_{lang}") for lang, h in hit_cols.items()]
         )
-        for lang, profile in LANG_TRIGRAMS.items()
-    }
-    hits = sh.groupBy("id", "_ci").agg(
-        *[h.alias(f"_h_{lang}") for lang, h in hit_cols.items()]
-    )
-    lang = _argmax_lang(
-        {lang: F.coalesce(F.col(f"_h_{lang}"), F.lit(0))
-         for lang in LANG_TRIGRAMS}
-    )
-    chunk_lang = (
-        chunks.join(hits, ["id", "_ci"], "left")
-        .select("id", "_ci", lang.alias("_lang"))
-    )
+        lang = _argmax_lang(
+            {lang: F.coalesce(F.col(f"_h_{lang}"), F.lit(0))
+             for lang in LANG_TRIGRAMS}
+        )
+        chunk_lang = (
+            chunks.join(hits, ["id", "_ci"], "left")
+            .select("id", "_ci", lang.alias("_lang"))
+        )
     per_lang = chunk_lang.groupBy("id", "_lang").agg(
         F.count("*").alias("_cnt")
     )
