@@ -753,10 +753,13 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame,
     reduce to ≤ ``n_buckets`` rows (partial-agg shuffles), the log-ratio
     table broadcasts, and the per-doc sum is one more partial-agg
     groupBy. Nothing quadratic, nothing driver-side."""
+    ncores = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
     def feats(d: DataFrame) -> DataFrame:
         # explode first (generators can't nest inside expressions), then
-        # hash the term to its bucket
-        terms = d.select(
+        # hash the term to its bucket; spread so the per-term md5 work
+        # never runs in one scan task (single-row-group inputs)
+        terms = d.repartition(ncores).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
@@ -997,9 +1000,10 @@ def nb_quality_scores(corpus: DataFrame, labeled: DataFrame,
     bounded broadcast, and scoring is one partial-agg groupBy over the
     corpus features. Nothing quadratic, nothing driver-side."""
     spark = corpus.sparkSession
+    ncores = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def feats(d: DataFrame, extra: tuple = ()) -> DataFrame:
-        terms = d.select(
+        terms = d.repartition(ncores).select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in extra],
             F.explode(
@@ -1640,7 +1644,7 @@ def split_leakage(df: DataFrame, text_col: str = "text",
     boilerplate grams are the hot keys; AQE skew-join handles them, and
     a production run typically drops grams above a df cap first, which
     only REMOVES report rows for ubiquitous grams)."""
-    grams = word_ngrams_exploded(df, text_col, id_col, n)
+    grams = word_ngrams_exploded(df, text_col, id_col, n, spread=True)
     g = grams.withColumn(
         "split", deterministic_split(F.col("id"), train_pct, val_pct)
     )
