@@ -212,7 +212,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     lambda-based transforms are interpreted, not codegen'd, and
     re-materialize the shingle array per permutation.
     """
-    ex = exploded_shingles(df, text_col, id_col, n).select(
+    # distinct=False: per-permutation min() is duplicate-insensitive, so
+    # the corpus-wide (id, shingle) dedup exchange is pure overhead (see
+    # minhash_features); spread so the explode isn't single-task
+    ex = exploded_shingles(df, text_col, id_col, n, spread=True,
+                           distinct=False).select(
         "id", F.xxhash64("_sh").alias("_h")
     )
     aggs = [
@@ -531,9 +535,16 @@ def minhash_features(df: DataFrame, text_col: str = "text",
     from epstein_browser_spark.textstats import exploded_shingles
 
     # spread=True: the shingle explode is the dominant cost and must not
-    # run inside a single scan task (single-row-group inputs, guide §2.6)
+    # run inside a single scan task (single-row-group inputs, guide §2.6).
+    # distinct=False (guide §2.4 — remove shuffles outright): min() per
+    # permutation is duplicate-insensitive and collect_set dedups in the
+    # aggregation itself, so the up-front corpus-wide (id, shingle)
+    # distinct exchange bought nothing; with it gone, map-side partial
+    # aggregation collapses each doc's shingles BEFORE the exchange
+    # (explode keeps a doc's rows in one partition) and the only wide
+    # shuffle left carries ~one row per doc.
     ex = exploded_shingles(df, text_col, id_col, shingle,
-                           spread=True).withColumn(
+                           spread=True, distinct=False).withColumn(
         "_h", F.xxhash64("_sh")
     )
     # base-hash once per shingle; per-permutation re-hash is fixed-width
@@ -544,7 +555,7 @@ def minhash_features(df: DataFrame, text_col: str = "text",
     ]
     return (
         ex.groupBy("id")
-        .agg(*sig_aggs, F.collect_list("_h").alias("grams"))
+        .agg(*sig_aggs, F.collect_set("_h").alias("grams"))
         .select(
             "id",
             F.array(*[f"_h{i}" for i in range(n_perms)]).alias("sig"),
@@ -573,11 +584,15 @@ def minhash_dedup_pairs_md5(
     per shingle-perm); this one exists so the banding/cap/verify SEMANTICS
     carry a full value oracle, not just rows-only checks."""
     _check_band_split(n_perms, n_bands)
-    ex = exploded_shingles(df, text_col, id_col, shingle)
+    # distinct=False + collect_set: the md5 min is duplicate-insensitive
+    # and the set collect dedups in the aggregate — same values, one
+    # fewer corpus-wide exchange (see minhash_features)
+    ex = exploded_shingles(df, text_col, id_col, shingle, spread=True,
+                           distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.col("_sh"), F.lit(f":{i}")))).alias(f"_h{i}")
         for i in range(n_perms)
-    ] + [F.collect_list("_sh").alias("grams")]
+    ] + [F.collect_set("_sh").alias("grams")]
     combined = ex.groupBy("id").agg(*aggs)
     width = n_perms // n_bands
     band_keys = [

@@ -396,18 +396,26 @@ def _assign_to(embeddings: DataFrame, cents: DataFrame, id_col: str,
               else dot(F.col(vec_col), F.col("cvec")))
     # argmin over |v|² + |c|² − 2v·c drops the per-vector constant |v|²:
     # same argmin, one fold per pair instead of three (|c|² is
-    # projected on the n_centroids-row broadcast side)
+    # projected on the n_centroids-row broadcast side).
+    # r6: the argmin itself is ONE min(struct(d, cid)) aggregate —
+    # lexicographic struct ordering IS (min distance, tie → lower cid),
+    # exactly the old filter(_d == min) + min(cid) semantics — instead
+    # of a min-aggregate, a join back, and a groupBy keyed on the
+    # vector ARRAY (guide §2.4: one partial-agg exchange, no join).
+    # first(vec) is deterministic: every row of an id-group carries the
+    # same vector.
     pairs = embeddings.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col),
         "cid",
         (F.col("_cc") - 2 * vc_dot).alias("_d"),
     )
-    mins = pairs.groupBy(id_col).agg(F.min("_d").alias("_mind"))
     return (
-        pairs.join(mins, id_col)
-        .filter(F.col("_d") == F.col("_mind"))
-        .groupBy(id_col, vec_col)
-        .agg(F.min("cid").alias("cell"))
+        pairs.groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
+            F.first(F.col(vec_col)).alias(vec_col),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("_m.cid").alias("cell"))
     )
 
 
@@ -853,6 +861,12 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
     # so the flag set is identical.
     pair_dot = ((lambda x, y: dot_fixed(x, y, dim)) if dim is not None
                 else dot)
+    # the repartition BEFORE the checkpoint pins the checkpointed RDD at
+    # the core count: AQE otherwise coalesces the small aggregate output
+    # to a handful of partitions, and since the checkpoint freezes that
+    # layout, the pair-verify stage would be capped at that many tasks
+    ncores = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
     assigned = (
         ivf_assign(embeddings, n_centroids, id_col, vec_col,
                    quantizer, n_iters, dim=dim, spread=True)
@@ -860,10 +874,11 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
             F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "cell",
             F.sqrt(pair_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
         )
+        .repartition(ncores)
         .localCheckpoint(eager=True)
     )
-    a = assigned.select("id", F.col("_v").alias("_va"),
-                        F.col("_n").alias("_na"), "cell")
+    a = assigned.select(
+        "id", F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell")
     b = assigned.select(F.col("id").alias("_idb"),
                         F.col("_v").alias("_vb"),
                         F.col("_n").alias("_nb"),

@@ -551,7 +551,8 @@ def fingerprint(col: Column, n: int = 4) -> Column:
 
 
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
-                      n: int, spread: bool = False) -> DataFrame:
+                      n: int, spread: bool = False,
+                      distinct: bool = True) -> DataFrame:
     """(id, _sh) — one row per distinct char n-gram shingle per doc.
 
     The normalized string is materialized in a projection *below* the
@@ -564,7 +565,9 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
 
     ``spread=True`` round-robins the docs first so the explode isn't
     serialized into the one scan task a single-row-group parquet file
-    produces (guide §2.6/§6).
+    produces (guide §2.6/§6). ``distinct=False`` skips the corpus-wide
+    (id, _sh) dedup exchange for consumers whose downstream aggregation
+    is duplicate-insensitive (min-hash, collect_set) — guide §2.3/§2.4.
     """
     if spread:
         ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -573,23 +576,24 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col).alias("id"),
         F.lower(F.trim(F.col(text_col))).alias("_norm"),
     ).filter(F.length("_norm") >= n)
-    return (
+    out = (
         norm.select(
             "id", "_norm",
             F.explode(F.sequence(F.lit(1), F.length("_norm") - (n - 1))).alias("_i"),
         )
         .select("id", F.expr(f"substring(_norm, _i, {n})").alias("_sh"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, grams array<string>) — distinct shingle set per doc via the
-    explode path (order-irrelevant: consumers do set ops)."""
+    explode path (order-irrelevant: consumers do set ops). collect_set
+    dedups inside the aggregate, so no up-front distinct exchange."""
     return (
-        exploded_shingles(df, text_col, id_col, n)
+        exploded_shingles(df, text_col, id_col, n, distinct=False)
         .groupBy("id")
-        .agg(F.collect_list("_sh").alias("grams"))
+        .agg(F.collect_set("_sh").alias("grams"))
     )
 
 
