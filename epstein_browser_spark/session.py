@@ -56,6 +56,20 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_ARROW_BATCH", "8192"),
         )
+        # Whole-stage-codegen methods above HotSpot's DontCompileHugeMethods
+        # threshold (8000 bytecode) NEVER JIT — the fused stage then runs in
+        # the JVM *bytecode interpreter*, measurably slower than Spark's
+        # Volcano path (q38 pair-verify: 22s fused-interpreted vs 6s after
+        # fallback). Spark's default limit (65535) only rejects stages janino
+        # itself cannot compile; 8000 makes Spark fall back to the Volcano
+        # path exactly when the JIT would refuse the method, which is at
+        # worst neutral and strictly faster for the unrolled-dot-product
+        # pair stages (guide §1.3 plan-shape note on WholeStageCodegen
+        # spans). Override via SPARK_HUGE_METHOD_LIMIT.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_HUGE_METHOD_LIMIT", "8000"),
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
