@@ -156,6 +156,73 @@ def cosine_near_dup_pairs(
     )
 
 
+def _pair_cosine_kernel(id_name: str, vec_name: str):
+    """applyInPandas kernel: all (id_a < id_b) same-group cosine pairs,
+    numpy-vectorized ACROSS pairs with the per-pair float arithmetic kept
+    bit-identical to the JVM expression form (see cosine_near_dup_pairs_lsh).
+
+    Fold-order contract: ``dot_fixed`` evaluates
+    ((0.0 + a0·b0) + a1·b1) + … with each float32 element cast to double
+    first. The kernel replays exactly that: one elementwise
+    multiply-then-add per dimension into a float64 accumulator —
+    vectorization is across the pair axis only, so every pair's IEEE
+    operation sequence (and thus every result bit) matches the expression
+    engine. numpy does not fuse multiply-add (no FMA contraction) and
+    np.sqrt/np.divide are the same correctly-rounded IEEE ops as
+    java.lang.Math. The UNROUNDED cosine is returned; round/threshold
+    stay Spark-side so their semantics are untouched.
+
+    Memory is bounded: pairs are produced in row-blocks of B anchor
+    vectors against the group's n vectors (accumulator B×n float64), with
+    B shrunk adaptively so the working set stays ~32 MB regardless of
+    bucket occupancy."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "_cos": pd.Series([], dtype="float64"),
+    })
+
+    def kernel(pdf: pd.DataFrame):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_name].to_numpy(), kind="stable")
+        ids = pdf[id_name].to_numpy()[order]
+        V = np.vstack(pdf[vec_name].to_numpy()[order]).astype(np.float64)
+        d = V.shape[1]
+        # per-vector norm, same fold as sqrt(dot_fixed(v, v, d))
+        acc = np.zeros(n)
+        for j in range(d):
+            acc = acc + V[:, j] * V[:, j]
+        nrm = np.sqrt(acc)
+        blk = max(1, min(256, (4 << 20) // max(n, 1)))
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n - 1)
+            A = V[i0:i1]
+            acc = np.zeros((i1 - i0, n))
+            for j in range(d):
+                acc = acc + A[:, j][:, None] * V[:, j][None, :]
+            # ids are sorted, so column index > row index <=> id_b > id_a
+            iu, ju = np.nonzero(
+                np.arange(n)[None, :] > np.arange(i0, i1)[:, None]
+            )
+            cos = acc[iu, ju] / (nrm[i0 + iu] * nrm[ju])
+            out_a.append(ids[i0 + iu])
+            out_b.append(ids[ju])
+            out_c.append(cos)
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "_cos": np.concatenate(out_c),
+        })
+
+    return kernel
+
+
 def cosine_near_dup_pairs_lsh(
     embeddings: DataFrame,
     dim: int,
@@ -169,30 +236,35 @@ def cosine_near_dup_pairs_lsh(
     verifies. High-cosine pairs land in the same bucket with probability
     (1 - theta/pi)^n_planes.
 
-    r6 shape (guide §2.5/§3.1/§4.1): with 2^n_planes distinct buckets the
-    keyed self-join caps parallelism at the bucket count (64 here) and a
-    hot bucket owns a whole task, so the verify stage straggles; instead
-    the build side is BROADCAST and the stream side round-robin
-    repartitioned to the core count — every task verifies an equal slice
-    of candidate pairs regardless of bucket skew. Per-vector norms are
-    computed ONCE before the join (not per pair), and the per-pair dot is
-    the unrolled codegen form; cosine value/rounding arithmetic is
-    unchanged, so the output is bit-identical to the keyed-join form."""
-    ncores = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    h = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
-    nrm = F.sqrt(dot_fixed(F.col(vec_col), F.col(vec_col), dim))
-    a = h.repartition(ncores).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-        nrm.alias("_na"), "bucket")
-    b = h.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-                 nrm.alias("_nb"), F.col("bucket").alias("_bucketb"))
-    return (
-        a.join(F.broadcast(b), (F.col("bucket") == F.col("_bucketb"))
-               & (F.col("id_a") < F.col("id_b")))
+    r6 shape (guide §4.2/§2.5): the per-pair dot product is the hot loop
+    — as a JVM expression it runs ~µs/pair (the fused codegen method
+    exceeds the JIT's bytecode budget, so the stage is interpreted either
+    way), while one Arrow-batched numpy kernel per bucket runs the same
+    arithmetic at SIMD speed and ships only |corpus| vectors (5 MB at
+    20k×64) instead of a pair-expanded join output. Bit-identity with the
+    expression form is by construction (see _pair_cosine_kernel) and
+    pinned by tests; round + threshold remain Spark expressions.
+    Parallelism is the bucket count (2^n_planes ≥ cores whenever the
+    corpus needs more than one machine); kernel memory is blocked, not
+    |bucket|²."""
+    h = (
+        with_lsh_bucket(embeddings, dim, n_planes, vec_col)
         .select(
-            "id_a", "id_b",
-            F.round(dot_fixed(F.col("_va"), F.col("_vb"), dim)
-                    / (F.col("_na") * F.col("_nb")), 6).alias("cosine_sim"),
+            F.col(id_col).cast("long").alias("_pid"),
+            F.col(vec_col).alias("_pv"), "bucket",
+        )
+        # the join form paired nothing with a NULL bucket (SQL equality)
+        # or NULL id (id_a < id_b); drop them before grouping so the
+        # kernel sees the identical candidate universe
+        .filter(F.col("bucket").isNotNull() & F.col("_pid").isNotNull())
+    )
+    pairs = h.groupBy("bucket").applyInPandas(
+        _pair_cosine_kernel("_pid", "_pv"),
+        "id_a long, id_b long, _cos double",
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -308,20 +380,32 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
         assigned = embeddings.select(
             F.array_min(choices)["cid"].alias("cell"), v.alias("_v")
         )
+        # r6 (guide §2.4): the update used to posexplode to |corpus|×dim
+        # (cell, pos, x) rows and shuffle them; per-dimension sums as dim
+        # aggregate COLUMNS of one groupBy(cell) keep the corpus-wide
+        # pass map-side (k×(dim+1) rows cross the exchange) — the q103
+        # centroid_diversity rewrite applied to Lloyd. Identical decimal
+        # sums (exact, order-independent); count(*) per cell equals the
+        # old per-(cell,pos) count because vectors are fixed-dim.
+        dim_ = len(cents[0][1])
         upd = (
-            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cell", "pos")
+            assigned.groupBy("cell")
             .agg(
-                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                *[
+                    F.sum(
+                        F.element_at("_v", j + 1).cast("decimal(38,18)")
+                    ).alias(f"s{j}")
+                    for j in range(dim_)
+                ],
                 F.count("*").alias("n"),
             )
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in upd:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
-                float(r["s"]) / int(r["n"])
-            )
+            by_cell[int(r["cell"])] = {
+                j: float(r[f"s{j}"]) / int(r["n"]) for j in range(dim_)
+            }
         cents = [
             (cid,
              [by_cell[cid][p] for p in sorted(by_cell[cid])]
@@ -387,35 +471,41 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
 def _assign_to(embeddings: DataFrame, cents: DataFrame, id_col: str,
                vec_col: str, dim: int | None = None) -> DataFrame:
     """Nearest-centroid assignment against an explicit (cid, cvec) table
-    — shared by the rank and k-means quantizers."""
-    cents = cents.select(
-        "cid", "cvec", dot(F.col("cvec"), F.col("cvec")).alias("_cc")
+    — shared by the rank and k-means quantizers.
+
+    r6 shape (guide §2.4 — remove shuffles outright): the centroid table
+    is k driver-bounded rows; collected once and embedded as PLAN
+    LITERALS, the argmin becomes one map-only ``array_min`` over
+    struct(d, cid) candidates — no crossJoin row expansion, no
+    groupBy(id) exchange (the previous min(struct)+first(vec) aggregate
+    shuffled the whole corpus including its vectors). Arithmetic is the
+    in-loop Lloyd assignment's exactly: d = |c|² − 2·v·c with |c|²
+    Python-summed left-to-right (same IEEE fold as ``dot(c, c)``) and
+    the v·c dot kept FOLDED — unrolling all k dim-term chains into the
+    one array expression exceeds janino's method budget and measured 3×
+    slower interpreted (see kmeans_centroids). Struct ordering gives the
+    identical (min d, tie → lower cid) result."""
+    rows = cents.select("cid", "cvec").collect()  # k rows, driver-bounded
+    cl = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows
     )
-    vc_dot = (dot_fixed(F.col(vec_col), F.col("cvec"), dim)
-              if dim is not None
-              else dot(F.col(vec_col), F.col("cvec")))
-    # argmin over |v|² + |c|² − 2v·c drops the per-vector constant |v|²:
-    # same argmin, one fold per pair instead of three (|c|² is
-    # projected on the n_centroids-row broadcast side).
-    # r6: the argmin itself is ONE min(struct(d, cid)) aggregate —
-    # lexicographic struct ordering IS (min distance, tie → lower cid),
-    # exactly the old filter(_d == min) + min(cid) semantics — instead
-    # of a min-aggregate, a join back, and a groupBy keyed on the
-    # vector ARRAY (guide §2.4: one partial-agg exchange, no join).
-    # first(vec) is deterministic: every row of an id-group carries the
-    # same vector.
-    pairs = embeddings.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col(vec_col),
-        "cid",
-        (F.col("_cc") - 2 * vc_dot).alias("_d"),
-    )
-    return (
-        pairs.groupBy(id_col)
-        .agg(
-            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
-            F.first(F.col(vec_col)).alias(vec_col),
+    if not cl:  # empty corpus → empty centroid table → no assignments
+        return embeddings.select(
+            F.col(id_col), F.col(vec_col),
+            F.lit(None).cast("long").alias("cell"),
+        ).filter(F.lit(False))
+    v = F.col(vec_col)
+    choices = F.array(*[
+        F.struct(
+            (F.lit(sum(x * x for x in cv))
+             - 2 * dot(v, F.array(*[F.lit(x) for x in cv]))).alias("d"),
+            F.lit(cid).cast("long").alias("cid"),
         )
-        .select(F.col(id_col), F.col(vec_col), F.col("_m.cid").alias("cell"))
+        for cid, cv in cl
+    ])
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.array_min(choices)["cid"].alias("cell"),
     )
 
 
