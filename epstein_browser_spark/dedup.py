@@ -244,10 +244,21 @@ def _check_band_split(n_perms: int, n_bands: int) -> None:
         )
 
 
+def _sig_agreement(sa, sb, n_perms: int):
+    """Minhash signature-agreement jaccard estimate (matches/n_perms) —
+    the ONE definition shared by the join-attached and fused forms."""
+    return F.aggregate(
+        F.zip_with(sa, sb, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_perms))
+
+
 def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
                            max_bucket: int = 200,
                            n_perms: int | None = None,
-                           cap_metrics: CapMetrics | None = None) -> DataFrame:
+                           cap_metrics: CapMetrics | None = None,
+                           sig_est: bool = False) -> DataFrame:
     """Banded LSH: docs sharing any band hash become candidate pairs.
 
     Shuffle profile: explode to |docs|×n_bands rows, one shuffle on
@@ -264,30 +275,60 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 4,
 
     ``n_perms``, when the caller knows it, validates the band split
     (:func:`_check_band_split`).
+
+    ``sig_est=True`` (requires ``n_perms``) additionally carries the full
+    signatures through the bucket join and emits the signature-agreement
+    jaccard estimate as ``_est`` — fused candidate scoring (guide §2.4:
+    shuffle fewer TIMES): downstream verification then skips its two
+    candidate×signature join exchanges. The estimate is a deterministic
+    function of the pair, so `.distinct()` over (id_a, id_b, _est) has
+    exactly the candidate-pair cardinality and the candidate SET is
+    unchanged.
     """
     if n_perms is not None:
         _check_band_split(n_perms, n_bands)
-    banded = _banded(sigs, n_bands, max_bucket, cap_metrics)
-    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
-    return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    if sig_est and n_perms is None:
+        raise ValueError("sig_est=True requires n_perms")
+    carry = ("sig",) if sig_est else ()
+    banded = _banded(sigs, n_bands, max_bucket, cap_metrics, carry=carry)
+    a_cols = [F.col("id").alias("id_a"), "band", "band_hash"] + (
+        [F.col("sig").alias("_sa")] if sig_est else []
     )
+    b_cols = [F.col("id").alias("id_b"), "band", "band_hash"] + (
+        [F.col("sig").alias("_sb")] if sig_est else []
+    )
+    j = (
+        banded.select(*a_cols)
+        .join(banded.select(*b_cols), ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    if sig_est:
+        return (
+            j.select(
+                "id_a", "id_b",
+                _sig_agreement(F.col("_sa"), F.col("_sb"), n_perms)
+                .alias("_est"),
+            )
+            .distinct()
+        )
+    return j.select("id_a", "id_b").distinct()
 
 
 def _banded(sigs: DataFrame, n_bands: int,
             max_bucket: int | None = None,
-            cap_metrics: CapMetrics | None = None) -> DataFrame:
+            cap_metrics: CapMetrics | None = None,
+            carry: tuple = ()) -> DataFrame:
     """(id, band, band_hash) — one row per signature band. When
     ``max_bucket`` is given, mega-buckets are dropped via a window count —
     the same (band, band_hash) shuffle key as any downstream bucket join,
     so the partitioning is reused and nothing is broadcast (bucket stats
-    scale with the corpus)."""
+    scale with the corpus). ``carry`` names extra columns to keep on the
+    banded rows (the fused-candidate path carries ``sig``); the stored
+    band index (:func:`band_index`) carries nothing, so its layout is
+    unchanged."""
     banded = sigs.select(
         "id",
+        *carry,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -412,14 +453,19 @@ def verify_pairs(cands: DataFrame, features: DataFrame, threshold: float,
     discarded before exact verification."""
     sigs = features.select("id", "sig")
     if prefilter_margin < 1:
-        sa = sigs.select(F.col("id").alias(a_col), F.col("sig").alias("_sa"))
-        sb = sigs.select(F.col("id").alias(b_col), F.col("sig").alias("_sb"))
-        est = F.aggregate(
-            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ) / F.lit(float(n_perms))
-        scored = cands.join(sa, a_col).join(sb, b_col).withColumn("_est", est)
+        if "_est" in cands.columns:
+            # fused path: the candidate generator already scored each
+            # pair (minhash_lsh_candidates sig_est=True) — identical
+            # estimator, no candidate×signature join exchanges
+            scored = cands
+        else:
+            sa = sigs.select(F.col("id").alias(a_col),
+                             F.col("sig").alias("_sa"))
+            sb = sigs.select(F.col("id").alias(b_col),
+                             F.col("sig").alias("_sb"))
+            scored = cands.join(sa, a_col).join(sb, b_col).withColumn(
+                "_est", _sig_agreement(F.col("_sa"), F.col("_sb"), n_perms)
+            )
         if cap_metrics is not None:
             scored = cap_metrics.attach(
                 scored, "verify_prefilter",
@@ -429,6 +475,8 @@ def verify_pairs(cands: DataFrame, features: DataFrame, threshold: float,
             scored.filter(F.col("_est") >= F.lit(threshold - prefilter_margin))
             .select(a_col, b_col)
         )
+    elif "_est" in cands.columns:
+        cands = cands.select(a_col, b_col)
     grams = features.select("id", "grams")
     ga = grams.select(F.col("id").alias(a_col), F.col("grams").alias("_ga"))
     gb = grams.select(F.col("id").alias(b_col), F.col("grams").alias("_gb"))
@@ -518,7 +566,9 @@ def minhash_dedup_pairs(
         combined.count()  # materialize BEFORE the joins fan out (see above)
     cands = minhash_lsh_candidates(combined.select("id", "sig"), n_bands,
                                    max_bucket=max_bucket,
-                                   cap_metrics=cap_metrics)
+                                   cap_metrics=cap_metrics,
+                                   n_perms=n_perms,
+                                   sig_est=prefilter_margin < 1)
     return verify_pairs(cands, combined, threshold, n_perms, prefilter_margin,
                         cap_metrics=cap_metrics)
 

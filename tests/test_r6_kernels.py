@@ -108,6 +108,40 @@ def test_assign_to_matches_crossjoin_reference(spark, vecs):
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
 
 
+def test_fused_lsh_candidates_match_join_form(spark):
+    """sig_est=True (signatures carried through the bucket join, estimate
+    computed in-join) must produce the identical candidate SET, verified
+    pair set, and verify_prefilter metrics as the two-join form."""
+    from epstein_browser_spark.dedup import (
+        CapMetrics, minhash_features, minhash_lsh_candidates, verify_pairs,
+    )
+
+    rows = []
+    for i in range(120):
+        words = [f"w{(i * 7 + j * 3) % 23}" for j in range(30)]
+        if i % 4 == 0 and i > 0:  # near-dup family
+            words = [f"w{((i - 4) * 7 + j * 3) % 23}" for j in range(30)]
+            words[0] = f"x{i}"
+        rows.append((i, " ".join(words)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = minhash_features(d, "text", "doc_id").localCheckpoint(eager=True)
+
+    c_old = minhash_lsh_candidates(feats.select("id", "sig"), 8,
+                                   max_bucket=50)
+    c_new = minhash_lsh_candidates(feats.select("id", "sig"), 8,
+                                   max_bucket=50, n_perms=32, sig_est=True)
+    assert sorted(map(tuple, c_old.collect())) == sorted(
+        (r.id_a, r.id_b) for r in c_new.collect())
+
+    m_old, m_new = CapMetrics(), CapMetrics()
+    p_old = verify_pairs(c_old, feats, 0.5, 32, cap_metrics=m_old).collect()
+    p_new = verify_pairs(c_new, feats, 0.5, 32, cap_metrics=m_new).collect()
+    assert len(p_old) > 0  # non-vacuous
+    assert sorted(map(tuple, p_old)) == sorted(map(tuple, p_new))
+    assert (m_old.summary()["verify_prefilter"]
+            == m_new.summary()["verify_prefilter"])
+
+
 def test_assign_to_empty_centroids(spark, vecs):
     empty = vecs.filter(F.lit(False)).select(
         F.col("vec_id").alias("cid"),
