@@ -118,11 +118,10 @@ def test_fused_lsh_candidates_match_join_form(spark):
 
     rows = []
     for i in range(120):
-        words = [f"w{(i * 7 + j * 3) % 23}" for j in range(30)]
-        if i % 4 == 0 and i > 0:  # near-dup family
-            words = [f"w{((i - 4) * 7 + j * 3) % 23}" for j in range(30)]
-            words[0] = f"x{i}"
-        rows.append((i, " ".join(words)))
+        text = " ".join(f"w{(i * 7 + j * 3) % 23}" for j in range(30))
+        if i % 4 == 0 and i > 0:  # near-dup: previous doc + tiny suffix
+            text = rows[i - 4][1] + f" x{i}"
+        rows.append((i, text))
     d = spark.createDataFrame(rows, "doc_id long, text string")
     feats = minhash_features(d, "text", "doc_id").localCheckpoint(eager=True)
 
