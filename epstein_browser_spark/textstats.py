@@ -448,23 +448,47 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     fabric), a high-novelty one contributes new sequences — the scalar
     that memorization-risk and data-value triage sort on.
 
-    Scale shape: the (id, gram) explode is checkpointed once (the gram
-    doc-count aggregate and the join back both consume it; the partial
-    agg under the count makes the exchanges non-identical, so without
-    the checkpoint the corpus would tokenize twice — the dup_spans
-    lesson). The doc count per gram is partial-aggable (mega-gram skew
-    bounded by the two-level aggregate), the join back is co-keyed on
-    the gram, and the final per-doc reduce is another partial agg."""
-    g = word_ngrams_exploded(df, text_col, id_col, n,
-                             spread=True).localCheckpoint(eager=True)
-    dc = g.groupBy("gram").agg(F.count("*").alias("_nd"))
+    Scale shape (r6, guide §2.4): per-doc distinct grams are computed
+    IN-ROW (array_distinct — the fingerprint_table trick), so ``n_grams``
+    is a map-only projection and the global (id, gram) dedup exchange is
+    gone. A gram with corpus doc-count 1 has exactly ONE owner, so
+    ``n_novel`` falls out of the gram census itself — groupBy(gram)
+    keeping min(id), filter count==1, regroup by that owner — replacing
+    the old exploded-corpus × gram-census JOIN with a second aggregate
+    over the (tiny) unique-gram set. One corpus-wide exchange total
+    (the gram census, partial-aggable) instead of distinct + census +
+    co-keyed join + per-doc reduce."""
+    ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    norm = df.repartition(ncores).select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+    )
+    # (id, distinct-gram array) — materialized once: the census explode
+    # and the map-only n_grams projection both consume it
+    dg = norm.select("id", F.array_distinct(grams).alias("_g")).localCheckpoint(
+        eager=True
+    )
+    n_grams = dg.select("id", F.size("_g").alias("n_grams"))
+    census = (
+        dg.select("id", F.explode("_g").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("_nd"), F.min("id").alias("_owner"))
+    )
+    novel = (
+        census.filter(F.col("_nd") == 1)
+        .groupBy(F.col("_owner").alias("id"))
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
     return (
-        g.join(dc, "gram")
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("_nd") == 1, 1).otherwise(0))
-            .cast("long").alias("n_novel"),
+        n_grams.join(novel, "id", "left")
+        .select(
+            "id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
         )
         .withColumn("novelty",
                     F.round(F.col("n_novel") / F.col("n_grams"), 6))
