@@ -860,14 +860,21 @@ def dup_spans(df: DataFrame, text_col: str = "text",
     each side — cheap array slicing, deliberately NOT materialized: the
     gram table is ~``n``× the corpus and costs more to spill than to
     recompute). ONE wide shuffle keyed on the gram for the distinct-doc
-    count (at 100 TB, map the gram through ``xxhash64`` twice — 128
-    bits — first so the exchange carries 16-byte keys instead of
-    ~50-char strings; kept as the string here so the DuckDB oracle
-    shares the exact group key); a semi-join back on the same key; then
-    island-merging under a PER-DOC window (partition = doc id, never
-    global). The distinct-doc count is a partial-aggable
-    ``count_distinct`` — skew on mega-grams ("the" * 8) is bounded by
-    the two-level partial aggregate, not a bucket cap."""
+    count; a semi-join back on the same key; then island-merging under a
+    PER-DOC window (partition = doc id, never global). The distinct-doc
+    count is a partial-aggable ``count_distinct`` — skew on mega-grams
+    ("the" * 8) is bounded by the two-level partial aggregate, not a
+    bucket cap.
+
+    r6 (guide §2.3 — shuffle fewer BYTES): the census/semi-join key is
+    ``xxhash64`` of the n-token slice itself — no per-position string
+    concatenation, and the two gram-keyed exchanges carry 8-byte longs
+    instead of ~50-char strings. Identical output absent a 64-bit
+    collision between two distinct grams (P ≈ m²/2⁶⁵ ≈ 1e-6 at 10M
+    distinct grams — the same accepted bound as the minhash verify
+    path's hashed-gram jaccard, dedup.minhash_dedup_pairs); span
+    coordinates and counts are unchanged because the key never reaches
+    the output."""
     from pyspark.sql.window import Window
 
     ncores = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -877,7 +884,7 @@ def dup_spans(df: DataFrame, text_col: str = "text",
     ).filter(F.size("_toks") >= n).localCheckpoint(eager=True)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+        lambda i: F.xxhash64(F.slice("_toks", i, n)),
     )
     g = toks.select("id", F.posexplode(grams).alias("pos", "gram"))
     dup = (
